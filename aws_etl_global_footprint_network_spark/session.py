@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Local-mode testing defaults; every knob chosen for the 100 TB posture is
+commented with why. The reference has no engine of its own (it connects
+to in-process DuckDB, reference: local_test/scripts/local_data_ingestion.py:68-78);
+this is our equivalent of "connect".
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "aws_etl_global_footprint_network_spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults target local[N] testing; on a real cluster the same
+    settings are safe: AQE re-plans shuffle partition counts at
+    runtime, so ``shuffle_partitions`` is only the pre-AQE upper
+    bound for the first stage.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions, skew-join
+        # splitting, and dynamic join-strategy switching. Essential at
+        # 100 TB (skewed keys, unknown selectivities); harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Pre-AQE shuffle parallelism: ~cores locally. On a cluster this
+        # would be ~2-3x total cores; AQE coalesces the excess.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Dimension tables (region/nation/calendar) must broadcast, never
+        # shuffle the fact side. 64 MB covers every dim we have.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Timestamps: parquet test data is UTC-naive; DuckDB (the
+        # correctness oracle) is UTC-naive. Pin the session so oracle
+        # comparison is bit-stable.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas exchange (Pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Quiet the UI for headless runs.
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,50 @@
+"""File readers.
+
+Reference reads CSV with DuckDB inference
+(reference: mkt_returns/sql_test_mkt_returns.ipynb:239-240) and JSON with Polars
+(reference: local_test/scripts/local_data_ingestion.py:93-99). We standardise on
+explicit schemas — at 100 TB, schema inference is an extra full pass
+and CSV date inference is engine-dependent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_etl_global_footprint_network_spark.schemas import (
+    MARKET_DATA_RAW_SCHEMA,
+    TESTDATA_TABLES,
+)
+
+
+def read_market_data(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``data.csv`` shaped market data and normalise the header
+    typo ``RETUNR_TYPE`` -> ``RETURN_TYPE``
+    (reference: mkt_returns/sql_test_mkt_returns.ipynb:241 does it via
+    ALTER TABLE RENAME COLUMN).
+    """
+    df = spark.read.csv(path, header=True, schema=MARKET_DATA_RAW_SCHEMA)
+    return df.withColumnRenamed("RETUNR_TYPE", "RETURN_TYPE")
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver test table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table and register each as a temp view, so both
+    the DataFrame API and ``spark.sql`` can address them (the
+    reference's DuckDB replacement-scan idiom,
+    reference: local_test/scripts/local_data_ingestion.py:125).
+    """
+    out: dict[str, DataFrame] = {}
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            df.createOrReplaceTempView(t)
+            out[t] = df
+    return out

@@ -1,0 +1,338 @@
+"""Deduplication operators over the ``documents`` table ([EXT] —
+LLM-data-pipeline surface, SURVEY §0/§7.6).
+
+Four families, each fully distributed (no driver-side collects):
+
+- exact: hash-groupBy on the full text.
+- MinHash + LSH banding: shingle/token -> 31-bit portable hash ->
+  k affine permutations -> per-doc signature -> band buckets ->
+  candidate pairs via bucket equi-join -> exact Jaccard verify.
+- SimHash: 60-bit sign-aggregated fingerprint per doc.
+- n-gram Jaccard: exact word-shingle Jaccard on a bounded pair set.
+
+Scale posture: every step is an explode + groupBy/join on hashed
+keys. The LSH band join is the only pair-producing step and its
+fan-out is controlled by band size, not corpus size — that is the
+whole point of LSH at 100 TB. Hash functions are md5-derived
+(functions.hashing) so the DuckDB oracle reproduces them bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.hashing import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_ROWS_PER_BAND,
+    P31,
+    hash31,
+    hash31_sql,
+    md5_hash60,
+    md5_hash60_sql,
+    minhash_perm,
+    minhash_perm_sql,
+)
+from aws_etl_global_footprint_network_spark.functions.text import (
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+JACCARD_THRESHOLD = 0.2
+NGRAM_THRESHOLD = 0.2
+SIMHASH_BITS = 60
+
+
+# --------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    "exact dedup: one representative (min id) per identical text",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: groupBy on the text hash — Spark shuffles hashed keys,
+    partial-aggregates map-side; at 100 TB you'd group on
+    ``xxhash64(text)`` to avoid shuffling full documents (shown in
+    tests); here the text itself is grouped so the oracle can match."""
+    d = read_testdata(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_doc_id", "n_copies")
+
+
+# --------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------
+
+def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) with set semantics — exploded distinct tokens."""
+    d = read_testdata(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) where token is a distinct 3-word shingle.
+
+    MinHash runs on shingles, not unigrams: with a small shared
+    vocabulary nearly every document contains every word, so unigram
+    Jaccard saturates; order-sensitive shingles keep the similarity
+    signal (the classic Broder construction)."""
+    d = read_testdata(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens("text"), 3))
+        ).alias("token"),
+    )
+
+
+def minhash_signatures(token_sets: DataFrame) -> DataFrame:
+    """doc_id -> m0..m{k-1} minhash signature columns."""
+    h = token_sets.select("doc_id", hash31("token").alias("h"))
+    aggs = [
+        F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(MINHASH_K)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
+    """Explode a signature into (doc_id, band, bucket) rows.
+
+    Bucket = base-P31 packing of the band's signature rows (2 rows of
+    31 bits fit a bigint)."""
+    bands = []
+    for b in range(MINHASH_BANDS):
+        lo = b * MINHASH_ROWS_PER_BAND
+        val = F.col(f"m{lo}") * F.lit(P31) + F.col(f"m{lo + 1}")
+        bands.append(
+            F.struct(F.lit(b).alias("band"), val.alias("bucket")).alias(f"b{b}")
+        )
+    return (
+        signatures.select("doc_id", F.explode(F.array(*bands)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def _minhash_oracle() -> str:
+    perms = ", ".join(
+        f"MIN({minhash_perm_sql('h', i)}) AS m{i}" for i in range(MINHASH_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{b * MINHASH_ROWS_PER_BAND} * {P31}::BIGINT "
+        f"+ m{b * MINHASH_ROWS_PER_BAND + 1} AS bucket FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct({word_shingles_sql('t', 3)})) AS token
+      FROM base),
+    h AS (SELECT doc_id, {hash31_sql('token')} AS h FROM tok),
+    sig AS (SELECT doc_id, {perms} FROM h GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN tok x ON x.doc_id = c.doc_a
+      JOIN tok y ON y.doc_id = c.doc_b AND y.token = x.token
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+           ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    f"MinHash({MINHASH_K})+LSH({MINHASH_BANDS} bands) candidate pairs,"
+    f" verified at exact Jaccard >= {JACCARD_THRESHOLD}",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Scale: candidates come only from same-(band,bucket) joins; the
+    verify join ships token sets only for candidate docs (semi-join
+    pruning), never all-pairs."""
+    tok = _shingle_sets(spark, sf_dir)
+    sig = minhash_signatures(tok)
+    bands = lsh_band_buckets(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = tok.alias("x")
+    y = tok.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.token") == F.col("x.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------
+
+def _simhash_oracle() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents),
+    h AS (SELECT doc_id, {md5_hash60_sql('token')} AS h FROM tok)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, ({terms}) AS simhash
+    FROM h GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    f"{SIMHASH_BITS}-bit SimHash fingerprint per document",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-aggregated fingerprint: bit j of the hash votes +1/-1 per
+    token; majority sets the output bit. One explode + one groupBy —
+    near-dup docs differ in O(1) bits (compared via hamming distance,
+    pinned in tests)."""
+    tok = _token_sets(spark, sf_dir)
+    h = tok.select("doc_id", md5_hash60("token").alias("h"))
+    vote = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = h.groupBy("doc_id").agg(*vote)
+    bits = [
+        F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(SIMHASH_BITS)
+    ]
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+# --------------------------------------------------------------------
+# n-gram (word shingle) exact Jaccard
+# --------------------------------------------------------------------
+
+def _ngram_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+      WHERE doc_id < 150),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({word_shingles_sql('t', 3)})) AS shingle
+      FROM base),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+           ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {NGRAM_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _ngram_oracle(),
+    f"exact word-3-gram Jaccard pairs (doc_id<150) >= {NGRAM_THRESHOLD}",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard on a key-bounded subset. The unbounded
+    version of this is exactly what MinHash LSH approximates — this is
+    the ground-truth operator used to measure LSH recall in tests."""
+    d = read_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens("text"), 3))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= NGRAM_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing ([EXT]): image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` UDFs.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic stub (``_fake_decode``) — the Spark-side
+contract (schema, batch shape, partitioning) is real and tested, and a
+production deployment swaps only the inner decode function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(documents: DataFrame) -> DataFrame:
+    """Treat the document text's UTF-8 bytes as an opaque media payload
+    — the schema/partitioning stand-in for real image bytes."""
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """STUB for the real decoder (PIL/librosa/ffmpeg not in this
+    container). Deterministic: derives FEATURE_DIM floats from byte
+    statistics. A real deployment replaces exactly this function."""
+    n = len(payload)
+    return [
+        float((sum(payload[i::FEATURE_DIM]) % 1000) / 1000.0 + (n % (i + 2)))
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: each task pulls Arrow record batches, runs the
+    (stub) decoder per payload, emits a feature vector — the exact
+    plumbing a real image/audio featurizer uses. No shuffle: this is
+    a map-only stage, so it scales linearly with partitions."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": pdf["payload"].map(_fake_decode),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURES_SCHEMA)
+
+
+@register(
+    "binary_payload_meta",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    "binary column plumbing: payload byte length + content digest",
+    tags=("multimodal",),
+)
+def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("payload_md5"),
+    )
+
+
+@register(
+    "multimodal_features",
+    None,  # Python-side stub decoder — driver does the rows-only check
+    "mapInPandas feature extraction over binary payloads (stub decode)",
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(d))

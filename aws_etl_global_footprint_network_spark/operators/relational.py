@@ -1,0 +1,841 @@
+"""Core relational operator library over the driver test tables.
+
+Covers every operator family in SURVEY §2 (scans, projections,
+filters, equi-joins, aggregation, windows, sorts/limits) plus the
+★-starred absent-in-reference categories of §2.11 (outer/semi/anti/
+cross joins, distinct, rollup/cube/grouping sets, ranking/lag
+windows, set ops, approximate aggregates) — all stock Spark.
+
+Scale notes per query are in each docstring: what shuffles, what
+broadcasts, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.datetime import year_week
+from aws_etl_global_footprint_network_spark.functions.returns import (
+    compound_return,
+    cumulative_compound_return,
+)
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# Aggregation (SURVEY §2.5) + filter pushdown (§2.3)
+# --------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 6)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: pushdown filter + 8-agg groupBy",
+    tags=("agg", "filter"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-side partial aggregation on 2 low-cardinality keys
+    (6 groups) — the shuffle carries only partial aggregates, never
+    rows. The shipdate predicate reaches the parquet scan
+    (PushedFilters), so a 100 TB scan prunes row groups by min/max."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    """
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "join + group + ordered limit (top-k via TakeOrderedAndProject)",
+    tags=("join", "agg", "topk"),
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the ordered LIMIT lowers to TakeOrderedAndProject — each
+    partition keeps its local top-10, only 10×partitions rows reach
+    the driver. No global sort materialises."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", F.col("o_orderdate").cast("date"), "revenue")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# Join varieties (SURVEY §2.4 + §2.11 ★)
+# --------------------------------------------------------------------
+
+@register(
+    "customer_order_stats_left",
+    """
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    "left outer join preserving customers with zero orders",
+    tags=("join",),
+)
+def customer_order_stats_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "customers_with_open_orders_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    "left-semi join (EXISTS)",
+    tags=("join",),
+)
+def customers_with_open_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: semi join never duplicates the left side and Spark can
+    broadcast the distinct keys of the filtered right side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "customers_without_orders_anti",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+    """,
+    "left-anti join (NOT EXISTS) against a filtered right side",
+    tags=("join",),
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "nation_region_cross",
+    """
+    SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r
+    """,
+    "cross join of two broadcast-sized dims",
+    tags=("join",),
+)
+def nation_region_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.crossJoin(r).select("n_name", "r_name")
+
+
+@register(
+    "regional_supplier_revenue",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5-style star join: local supplier revenue by nation",
+    tags=("join", "agg"),
+)
+def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: nation/region/supplier broadcast (dims); the only big
+    shuffle is lineitem⋈orders on orderkey. Catalyst pushes the
+    region filter through the dim chain before any fact row moves."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Distinct / stats / approximate aggregates (§2.11 ★)
+# --------------------------------------------------------------------
+
+@register(
+    "priority_distinct_customers",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "grouped count(distinct)",
+    tags=("agg",),
+)
+def priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "nation_acctbal_stats",
+    """
+    SELECT n.n_name,
+           ROUND(MIN(c.c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c.c_acctbal), 2) AS max_bal,
+           ROUND(AVG(c.c_acctbal), 4) AS avg_bal,
+           ROUND(STDDEV_SAMP(c.c_acctbal), 4) AS std_bal,
+           COUNT(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "min/max/avg/stddev stats per broadcast-joined dim",
+    tags=("agg", "join"),
+)
+def nation_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "lineitem_distinct_counts",
+    """
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_partkey)  AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey)  AS BIGINT) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+    "multiple global count(distinct) in one pass (expand strategy)",
+    tags=("agg",),
+)
+def lineitem_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    None,  # engine-specific HLL sketches cannot hash-match an oracle
+    "approx_count_distinct (HLL) — rows-only driver check by design",
+    tags=("agg", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: HLL sketch merges are why this beats exact distinct at
+    100 TB — constant memory per partition, one shuffle of sketches."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price"),
+    )
+
+
+# --------------------------------------------------------------------
+# Grouping sets / rollup / cube (§2.11 ★)
+# --------------------------------------------------------------------
+
+@register(
+    "rollup_lineitem_qty",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "ROLLUP with GROUPING() indicators",
+    tags=("agg",),
+)
+def rollup_lineitem_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "cube_order_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "CUBE over two dimensions",
+    tags=("agg",),
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "grouping_sets_events",
+    """
+    SELECT event_type, CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n
+    FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """,
+    "explicit GROUPING SETS",
+    tags=("agg",),
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        "SELECT event_type, CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n "
+        "FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())"
+    )
+
+
+# --------------------------------------------------------------------
+# Set operators (§2.11 ★)
+# --------------------------------------------------------------------
+
+@register(
+    "set_union_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    "UNION (distinct)",
+    tags=("setop",),
+)
+def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    "INTERSECT",
+    tags=("setop",),
+)
+def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    "EXCEPT",
+    tags=("setop",),
+)
+def set_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+# --------------------------------------------------------------------
+# Window functions (§2.6 + §2.11 ★ ranking/analytic)
+# --------------------------------------------------------------------
+
+@register(
+    "top3_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+      FROM part) WHERE rn <= 3
+    """,
+    "top-k per group via row_number (deterministic tie-break)",
+    tags=("window",),
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "events_lag_delta",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             AS delta
+    FROM events
+    """,
+    "lag/analytic window per entity time-series",
+    tags=("window",),
+)
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        F.round(F.col("value") - prev, 2).alias("delta"),
+    )
+
+
+@register(
+    "events_running_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    """,
+    "cumulative sum with explicit ROWS frame",
+    tags=("window",),
+)
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential left-to-right accumulation: identical fold order in
+    both engines, so values match before rounding."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "gap-based sessionization: lag + running flag-sum + per-session agg",
+    tags=("window", "agg", "sessionize"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id serves both windows and the final
+    aggregate (same partitioning reused across stages)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # microsecond-exact gap comparison, matching the oracle's
+    # ts - lag(ts) > INTERVAL 30 MINUTE
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    flagged = ev.select("user_id", "ts", "event_id", "value", is_new.alias("is_new"))
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new").over(wrun).cast("bigint").alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# Sorts / limits (§2.7), projections & scalar functions (§2.3, §2.8)
+# --------------------------------------------------------------------
+
+@register(
+    "orders_ordered_limit",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "multi-key global order + limit (top-k)",
+    tags=("sort",),
+)
+def orders_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "acctbal_case_buckets",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n, ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY 1
+    """,
+    "CASE WHEN bucketing + aggregate",
+    tags=("projection", "agg"),
+)
+def acctbal_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select(bucket.alias("bucket"), "c_acctbal")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "part_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           p_brand || ':' || p_type AS brand_type,
+           replace(lower(p_type), ' ', '_') AS type_slug
+    FROM part WHERE p_partkey <= 200
+    """,
+    "string scalar functions (upper/substr/length/concat/replace)",
+    tags=("projection", "string"),
+)
+def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.lower("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k_value
+    FROM events WHERE event_id < 500
+    """,
+    "regex extraction from a JSON-ish string column",
+    tags=("projection", "string"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.regexp_extract("props", r"(\d+)", 1).cast("int").alias("k_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# Time-series / date functions (§2.8 F1 applied to driver data)
+# --------------------------------------------------------------------
+
+@register(
+    "events_daily_agg",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "tumbling daily aggregation via date_trunc",
+    tags=("agg", "time"),
+)
+def events_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_year_week",
+    """
+    SELECT strftime(ts, '%Y-%W') AS year_week, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    "the reference's %Y-%W week label (F1) over the events stream",
+    tags=("time",),
+)
+def events_year_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        year_week(F.col("ts").cast("date")).alias("year_week")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "weekly_compound_by_user",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           strftime(ts, '%Y-%W') AS year_week,
+           ROUND(EXP(SUM(LN(1 + value / 1000))) - 1, 6) AS weekly_compound
+    FROM events
+    GROUP BY user_id, event_type, strftime(ts, '%Y-%W')
+    """,
+    "the reference's log-compound aggregate (A4) on the events table",
+    tags=("agg", "time", "flagship"),
+)
+def weekly_compound_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature EXP(SUM(LN(1+r)))-1
+    (reference: mkt_returns/sql_test_mkt_returns.ipynb:687) re-applied to the
+    driver's event stream, values scaled to return-like magnitudes."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            year_week(F.col("ts").cast("date")).alias("year_week"),
+        )
+        .agg(
+            F.round(compound_return(F.col("value") / 1000), 6).alias(
+                "weekly_compound"
+            )
+        )
+    )
+
+
+@register(
+    "compound_evolution_by_user",
+    """
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+           ROUND(EXP(SUM(LN(1 + value / 1000)) OVER (
+                 PARTITION BY user_id, event_type ORDER BY ts, event_id)) - 1, 6)
+             AS compound_evolution
+    FROM events
+    """,
+    "the reference's cumulative compound window (W1) on events",
+    tags=("window", "time", "flagship"),
+)
+def compound_evolution_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(
+            cumulative_compound_return(F.col("value") / 1000, w), 6
+        ).alias("compound_evolution"),
+    )
+
+
+@register(
+    "nation_check_avg",
+    """
+    SELECT n.n_name, ROUND(AVG(c.c_acctbal), 4) AS avg_bal, COUNT(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY n.n_name
+    ORDER BY avg_bal DESC LIMIT 2
+    """,
+    "port of the reference's post-load verification query (G7: filter"
+    " + group + avg + order + limit, reference: local_test/scripts/"
+    "local_data_ingestion.py:146-153)",
+    tags=("agg", "checks"),
+)
+def nation_check_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("avg_bal").desc())
+        .limit(2)
+    )
+
+
+@register(
+    "user_event_pivot",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS n_click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS n_view,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0), 2)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    "pivot via conditional aggregation",
+    tags=("agg", "pivot"),
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implemented with the native .pivot() operator; the oracle uses
+    the equivalent conditional aggregation (engine-portable SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value"),
+        )
+    )
+    return pivoted.select(
+        "user_id",
+        F.coalesce("click_n", F.lit(0)).alias("n_click"),
+        F.coalesce("view_n", F.lit(0)).alias("n_view"),
+        F.coalesce("purchase_n", F.lit(0)).alias("n_purchase"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )

@@ -1,0 +1,222 @@
+"""Similarity search over the ``embeddings`` table ([EXT]).
+
+- ``ann_cosine_topk``: brute-force cosine top-k — the exactness
+  baseline. All vector math is a JVM-side left fold
+  (functions.vectors), bit-identical to the DuckDB oracle, so even
+  the rank ordering needs no rounding tolerance.
+- ``ann_threshold_pairs``: all-pairs near-duplicate detection above a
+  cosine threshold (brute force; the ground truth for LSH recall).
+- ``ann_lsh_pairs``: the scale path — sign-random-projection LSH.
+  Hyperplanes are derived from md5 at build time (plain Python,
+  deterministic), embedded as literals in BOTH the Spark plan and the
+  oracle SQL, so the bucketing is reproducible everywhere. Pairs are
+  generated only within (band, bucket) groups: candidate count scales
+  with bucket occupancy, not corpus², which is what makes ANN viable
+  on 10^9 vectors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    cosine_sql,
+    dot,
+)
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+DIM = 64
+N_PLANES = 16  # 4 bands x 4 bits
+LSH_BANDS = 4
+BITS_PER_BAND = N_PLANES // LSH_BANDS
+TOPK = 5
+N_QUERIES = 10
+PAIR_THRESHOLD = 0.45
+LSH_PAIR_THRESHOLD = 0.40
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1], derived from
+    md5 of 'hp|{plane}|{dim}' — reproducible from this source file
+    alone (no RNG state, no engine hash)."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = int(hashlib.md5(f"hp|{p}|{i}".encode()).hexdigest()[:15], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES = _hyperplanes()
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id, e FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {cosine_sql('q.e', 'v.e')} AS cos
+      FROM q JOIN v ON q.vec_id <> v.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS score
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+    f"brute-force cosine top-{TOPK} for the first {N_QUERIES} query vectors",
+    tags=("similarity",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: broadcast the (small) query set against the corpus —
+    a map-only scored pass, then per-query top-k via window. For a
+    large query set you'd block both sides with LSH first
+    (``ann_lsh_pairs``)."""
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("qe", "e").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+    )
+
+
+@register(
+    "ann_threshold_pairs",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cosine_sql('a.e', 'b.e')}, 6) AS score
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.e', 'b.e')} >= {PAIR_THRESHOLD}
+    """,
+    f"brute-force embedding near-dup pairs at cosine >= {PAIR_THRESHOLD}",
+    tags=("similarity", "dedup"),
+)
+def ann_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = cosine("ea", "eb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("score"))
+    )
+
+
+def _plane_sql(p: int) -> str:
+    lits = ", ".join(repr(x) for x in HYPERPLANES[p])
+    return f"[{lits}]::DOUBLE[]"
+
+
+def _lsh_oracle() -> str:
+    proj = ", ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, {DIM}+1),"
+        f" i -> e[i] * ({_plane_sql(p)})[i])) > 0 THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(N_PLANES)
+    )
+    band_vals = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, ".format(b=b)
+        + " + ".join(
+            f"(bit{b * BITS_PER_BAND + j}::BIGINT << {j})"
+            for j in range(BITS_PER_BAND)
+        )
+        + " AS bucket FROM bits"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bits AS (SELECT vec_id, e, {proj} FROM v),
+    bands AS ({band_vals}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b, ROUND({cosine_sql('x.e', 'y.e')}, 6) AS score
+    FROM cand c JOIN v x ON x.vec_id = c.vec_a JOIN v y ON y.vec_id = c.vec_b
+    WHERE {cosine_sql('x.e', 'y.e')} >= {LSH_PAIR_THRESHOLD}
+    """
+
+
+@register(
+    "ann_lsh_pairs",
+    _lsh_oracle(),
+    f"sign-LSH ({LSH_BANDS} bands x {BITS_PER_BAND} bits) candidate pairs"
+    f" verified at cosine >= {LSH_PAIR_THRESHOLD}",
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: bucket join replaces the all-pairs
+    cross join. Candidates are verified with exact cosine, so
+    precision is 1.0 and only recall depends on band geometry."""
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    bit_cols = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(x) for x in HYPERPLANES[p]])
+        bit = F.when(dot("e", plane) > 0, 1).otherwise(0)
+        bit_cols.append(bit.alias(f"bit{p}"))
+    bits = emb.select("vec_id", "e", *bit_cols)
+    band_structs = []
+    for b in range(LSH_BANDS):
+        bucket = F.lit(0).cast("bigint")
+        for j in range(BITS_PER_BAND):
+            bucket = bucket + F.shiftleft(
+                F.col(f"bit{b * BITS_PER_BAND + j}").cast("bigint"), j
+            )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    bands = bits.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("xid"), F.col("e").alias("xe"))
+    y = emb.select(F.col("vec_id").alias("yid"), F.col("e").alias("ye"))
+    cos = cosine("xe", "ye")
+    return (
+        cand.join(x, F.col("xid") == F.col("vec_a"))
+        .join(y, F.col("yid") == F.col("vec_b"))
+        .filter(cos >= LSH_PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("score"))
+    )

@@ -1,0 +1,157 @@
+"""Text-analysis operators over ``documents`` ([EXT]): quality stats,
+token counting, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (split + higher-order array functions) —
+the entire module runs inside whole-stage codegen, no Python in the
+hot path, so throughput scales with executor cores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.hashing import (
+    P31,
+    hash31_sql,
+    md5_hash60,
+)
+from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+# Stopword marker set for the language heuristic (English function
+# words; the quality score also counts them as "glue").
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, {tokens_sql('text')} AS t FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+           ROUND(len(list_distinct(t)) * 1.0 / len(t), 6) AS distinct_ratio,
+           ROUND(length(array_to_string(t, '')) * 1.0 / len(t), 4)
+             AS avg_token_len,
+           ROUND(len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))
+                 * 1.0 / len(t), 6) AS stopword_ratio,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM base WHERE len(t) > 0
+    """,
+    "per-document quality stats: token counts, type/token ratio,"
+    " stopword ratio",
+    tags=("text",),
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    t = tokens("text")
+    base = d.select("doc_id", "lang", "n_chars", t.alias("t")).filter(
+        F.size("t") > 0
+    )
+    n = F.size("t")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return base.select(
+        "doc_id",
+        "lang",
+        n.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("int").alias("n_distinct"),
+        F.round(F.size(F.array_distinct("t")) / n, 6).alias("distinct_ratio"),
+        F.round(F.length(F.array_join("t", "")) / n, 4).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter("t", lambda x: F.array_contains(stop_arr, x))) / n, 6
+        ).alias("stopword_ratio"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))
+               * 1.0 / len(t) AS en_score
+      FROM base WHERE len(t) > 0)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           ROUND(en_score, 6) AS en_score,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS predicted
+    FROM scored
+    """,
+    "n-gram/stopword language-ID heuristic with prediction column",
+    tags=("text",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real language-ID model is a dictionary of per-language n-gram
+    weights broadcast to executors; the heuristic here keeps the same
+    shape (marker-token ratio -> argmax) with one language class."""
+    d = read_testdata(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", tokens("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    en_score = F.size(F.filter("t", lambda x: F.array_contains(stop_arr, x))) / F.size("t")
+    return base.select(
+        "doc_id",
+        "lang",
+        F.round(en_score, 6).alias("en_score"),
+        F.when(en_score >= 0.05, "en").otherwise("other").alias("predicted"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(t, x -> {hash31_sql('x')})),
+             (acc, h) -> (acc * 31 + h) % {P31}) AS fingerprint
+    FROM base
+    """,
+    "order-sensitive polynomial rolling-hash document fingerprint",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike the set-based minhash, this fingerprint is
+    order-sensitive (content-defined): same tokens reordered give a
+    different fingerprint. Left fold, identical in both engines."""
+    d = read_testdata(spark, sf_dir, "documents")
+    t = tokens("text")
+    fp = F.aggregate(
+        F.transform(t, lambda x: md5_hash60(x) % F.lit(P31)),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % F.lit(P31),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "token_count_per_source",
+    f"""
+    WITH base AS (
+      SELECT source, lang, {tokens_sql('text')} AS t FROM documents)
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(t)), 4) AS avg_tokens
+    FROM base GROUP BY source, lang
+    """,
+    "corpus token accounting per (source, lang) — the budgeting query"
+    " every training-data pipeline runs",
+    tags=("text", "agg"),
+)
+def token_count_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    base = d.select("source", "lang", F.size(tokens("text")).alias("n"))
+    return base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n"), 4).alias("avg_tokens"),
+    )

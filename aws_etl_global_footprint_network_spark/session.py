@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Quiet the UI for headless runs.
         .config("spark.ui.enabled", "false")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is not a native Spark
+        # type; read as long and convert to micros at the reader layer
+        # (sources.readers.read_testdata) — same ns->us truncation
+        # DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

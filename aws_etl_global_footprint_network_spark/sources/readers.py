@@ -29,9 +29,31 @@ def read_market_data(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumnRenamed("RETUNR_TYPE", "RETURN_TYPE")
 
 
-def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one driver test table (TESTDATA.md)."""
+def read_testdata_raw(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver test table with no normalisation (nanosecond
+    timestamps appear as LongType under
+    spark.sql.legacy.parquet.nanosAsLong)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def normalize_nanos(df: DataFrame) -> DataFrame:
+    """Convert nanosAsLong-read nanosecond columns to microsecond
+    timestamps (integer division — same truncation DuckDB applies when
+    it reads TIMESTAMP_NS into its microsecond TIMESTAMP)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for name, dtype in df.dtypes:
+        if name == "ts" and dtype == "bigint":
+            out = out.withColumn(
+                name, F.timestamp_micros(F.expr(f"{name} DIV 1000"))
+            )
+    return out
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver test table (TESTDATA.md), types normalised."""
+    return normalize_nanos(read_testdata_raw(spark, sf_dir, table))
 
 
 def testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -44,7 +66,7 @@ def testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            df = spark.read.parquet(p)
+            df = read_testdata(spark, sf_dir, t)
             df.createOrReplaceTempView(t)
             out[t] = df
     return out

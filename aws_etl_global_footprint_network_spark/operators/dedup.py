@@ -91,13 +91,21 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash runs on shingles, not unigrams: with a small shared
     vocabulary nearly every document contains every word, so unigram
     Jaccard saturates; order-sensitive shingles keep the similarity
-    signal (the classic Broder construction)."""
+    signal (the classic Broder construction).
+
+    The token array is materialised as a column BEFORE shingling:
+    higher-order lambdas inline their argument expression per element,
+    so ``word_shingles(tokens(text))`` would re-run the tokenizer for
+    every element_at — a ~250x slowdown measured at sf0.1."""
     d = read_testdata(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(tokens("text"), 3))
-        ).alias("token"),
+    return (
+        d.select("doc_id", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("t"), 3))
+            ).alias("token"),
+        )
     )
 
 
@@ -177,8 +185,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates come only from same-(band,bucket) joins; the
     verify join ships token sets only for candidate docs (semi-join
-    pruning), never all-pairs."""
-    tok = _shingle_sets(spark, sf_dir)
+    pruning), never all-pairs. The exploded shingle set feeds four
+    consumers (signature, sizes, both sides of the verify join) — it
+    is persisted so the explode+md5 pass runs once, the same way a
+    cluster job would checkpoint it to storage."""
+    tok = _shingle_sets(spark, sf_dir).persist()
     sig = minhash_signatures(tok)
     bands = lsh_band_buckets(sig)
     a, b = bands.alias("a"), bands.alias("b")
@@ -309,11 +320,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     version of this is exactly what MinHash LSH approximates — this is
     the ground-truth operator used to measure LSH recall in tests."""
     d = read_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(tokens("text"), 3))
-        ).alias("shingle"),
+    sh = (
+        d.select("doc_id", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("t"), 3))
+            ).alias("shingle"),
+        )
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y")

@@ -32,7 +32,11 @@ from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 
 DIM = 64
-N_PLANES = 16  # 4 bands x 4 bits
+# 4 bands x 8 bits: 256 buckets per band keeps expected candidate
+# count at n^2 * bands / 2^bits (~0.016 n^2) while 4 OR-ed bands give
+# ~75% recall at cosine 0.9. 4-bit bands were measured to produce
+# ~25% of all pairs as candidates — no better than brute force.
+N_PLANES = 32
 LSH_BANDS = 4
 BITS_PER_BAND = N_PLANES // LSH_BANDS
 TOPK = 5

@@ -1,0 +1,115 @@
+"""Carbon-footprint ingestion pipeline — the Spark port of the
+reference's EP2 (reference: local_test/scripts/local_data_ingestion.py).
+
+Reference lifecycle: glob per-year JSON -> Polars read+concat ->
+rename camelCase -> DuckDB CREATE+TRUNCATE+INSERT (positional) ->
+verification queries. Spark-first equivalents:
+
+- one ``spark.read.json`` over a glob replaces the per-file loop and
+  eager concat (S2+S3): the file list is distributed, not a driver
+  loop, and an explicit schema avoids an inference pass.
+- rename map applied via ``withColumnsRenamed`` (D6).
+- ``write.mode("overwrite").saveAsTable`` replaces
+  CREATE IF NOT EXISTS + TRUNCATE + INSERT (S6/D1/D2) — and is
+  NAME-based, deliberately safer than the reference's positional
+  INSERT SELECT * (reference: local_data_ingestion.py:125); the column-order
+  permutation case is pinned by test.
+- ``run_checks`` ports the three verification queries (G7,
+  reference: local_data_ingestion.py:133-156).
+
+The reference's latent empty-glob bug (generator is always truthy,
+reference: local_data_ingestion.py:86-88) is fixed, not reproduced: an empty
+raw zone returns None cleanly.
+
+Scale posture: the warehouse table is partitioned by ``year`` — the
+extraction unit and the natural pruning key for a 25-year, all-country
+fact table.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.schemas import (
+    CARBON_COLUMN_MAPPING,
+    CARBON_FOOTPRINT_SCHEMA,
+    CARBON_RAW_SCHEMA,
+)
+
+logger = logging.getLogger(__name__)
+
+WAREHOUSE_COLUMNS = [f.name for f in CARBON_FOOTPRINT_SCHEMA.fields]
+
+
+def extract_and_transform(spark: SparkSession, raw_glob: str) -> DataFrame | None:
+    """Read all raw-zone JSON (array-of-records per year file) and
+    normalise to the warehouse schema. Returns None for an empty raw
+    zone (the reference's *intended* behaviour)."""
+    if not glob(raw_glob):
+        logger.warning("no raw files match %s", raw_glob)
+        return None
+    df = (
+        spark.read.schema(CARBON_RAW_SCHEMA)
+        .option("multiLine", True)
+        .json(raw_glob)
+    )
+    renamed = df.withColumnsRenamed(CARBON_COLUMN_MAPPING)
+    # Name-based projection to the DDL order; a reordered source file
+    # cannot corrupt the load (unlike positional INSERT SELECT *).
+    return renamed.select(*WAREHOUSE_COLUMNS)
+
+
+def load_warehouse(
+    df: DataFrame, table: str = "carbon_footprint", partition_by: str = "year"
+) -> None:
+    """Full-refresh load (create-if-absent + truncate + insert in one
+    overwrite), partitioned for pruning at scale."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(partition_by)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+@dataclass
+class CheckResult:
+    row_count: int
+    sample: list
+    brazil_avg: list
+
+
+def run_checks(
+    spark: SparkSession, table: str = "carbon_footprint", country: str = "Brazil"
+) -> CheckResult:
+    """The reference's three post-load verification queries
+    (reference: local_test/scripts/local_data_ingestion.py:140-153): scalar
+    count, sample rows, filter+group+avg+order+limit."""
+    t = spark.table(table)
+    row_count = t.count()
+    sample = t.limit(2).collect()
+    brazil_avg = (
+        t.filter(F.col("country_name") == country)
+        .groupBy("country_name", "year")
+        .agg(F.round(F.avg("carbon"), 6).alias("avg_carbon"))
+        .orderBy(F.col("year").desc())
+        .limit(5)
+        .collect()
+    )
+    return CheckResult(row_count, sample, brazil_avg)
+
+
+def run_pipeline(
+    spark: SparkSession, raw_glob: str, table: str = "carbon_footprint"
+) -> CheckResult | None:
+    """EP2 end-to-end: extract -> transform -> load -> verify."""
+    df = extract_and_transform(spark, raw_glob)
+    if df is None:
+        return None
+    load_warehouse(df, table)
+    return run_checks(spark, table)

@@ -14,8 +14,16 @@ REFERENCE = "/root/reference"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     yield s
 
 

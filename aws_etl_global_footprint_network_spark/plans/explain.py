@@ -29,5 +29,15 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen stages — wider/fewer is better."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", executed_plan(df))))
+    """Number of WholeStageCodegen stages — wider/fewer is better.
+
+    The plan's toString marks codegen stages as ``*(n)`` prefixes
+    (formatted explain spells out WholeStageCodegen). Under AQE the
+    codegen markers only appear in the FINAL plan of the SAME
+    QueryExecution, so this collects the df first (``count()`` would
+    build a different plan) — test-sized data only."""
+    df.collect()
+    plan = executed_plan(df)
+    spans = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    spans |= set(re.findall(r"\*\((\d+)\)", plan))
+    return len(spans)

@@ -1,0 +1,84 @@
+"""Physical-plan quality gates (SURVEY §4): these pin the *plan*, not
+the result — a correct-but-10x-slower regression (lost pushdown, lost
+broadcast, lost codegen) fails here before it shows up in bench."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.plans import (
+    executed_plan,
+    has_broadcast_join,
+    pushed_filters,
+    wholestage_codegen_spans,
+)
+from aws_etl_global_footprint_network_spark.registry import load_all
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+SPECS = load_all()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = SPECS["q1_pricing_summary"].builder(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = SPECS["q1_pricing_summary"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    # the scan must not read columns the query never touches
+    assert "l_comment" not in plan and "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = SPECS["regional_supplier_revenue"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_nation_check_broadcasts(spark, sf_dir):
+    df = SPECS["nation_check_avg"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = executed_plan(SPECS["customers_with_open_orders_semi"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_is_anti(spark, sf_dir):
+    plan = executed_plan(SPECS["customers_without_orders_anti"].builder(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_ordered_limit_is_topk(spark, sf_dir):
+    plan = executed_plan(SPECS["orders_ordered_limit"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    # map-side combine: two HashAggregate nodes around the exchange
+    plan = executed_plan(SPECS["q1_pricing_summary"].builder(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    df = SPECS["q1_pricing_summary"].builder(spark, sf_dir)
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_partition_pruning_on_year_filter(spark, sf_dir, tmp_path):
+    """A year-partitioned warehouse table must prune partitions for a
+    year predicate (the 25x scan saving on the 25-year fact table)."""
+    li = read_testdata(spark, sf_dir, "lineitem").withColumn(
+        "year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "li_part")
+    li.write.partitionBy("year").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("year") == 1996)
+    plan = executed_plan(scan)
+    assert "PartitionFilters" in plan and "year" in plan.split("PartitionFilters")[1][:120], plan[:800]
+    # pruned scan reads exactly the one partition's rows
+    expected = li.filter(F.col("year") == 1996).count()
+    assert scan.count() == expected

@@ -1,0 +1,168 @@
+"""Advanced relational surface: scalar subqueries, exact percentiles,
+math/array scalar functions, and SCD2/MERGE emulation (SURVEY §2.11 ★
+categories + guide's CDC pattern)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+
+@register(
+    "acctbal_vs_global_avg",
+    """
+    SELECT c_custkey,
+           ROUND(c_acctbal - (SELECT AVG(c_acctbal) FROM customer), 4) AS diff
+    FROM customer WHERE c_custkey <= 300
+    """,
+    "uncorrelated scalar subquery (global-average centering)",
+    tags=("subquery",),
+)
+def acctbal_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built with a cross-joined 1-row aggregate — the plan Spark
+    produces for a scalar subquery (broadcast of a single row)."""
+    c = read_testdata(spark, sf_dir, "customer")
+    avg = c.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.filter(F.col("c_custkey") <= 300)
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "c_custkey",
+            round_compat(F.col("c_acctbal") - F.col("_avg"), 4).alias("diff"),
+        )
+    )
+
+
+@register(
+    "price_percentiles_per_brand",
+    """
+    SELECT p_brand,
+           ROUND(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(p_retailprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(p_retailprice, 0.75), 4) AS p75,
+           COUNT(*) AS n
+    FROM part GROUP BY p_brand
+    """,
+    "exact continuous percentiles per group",
+    tags=("agg", "percentile"),
+)
+def price_percentiles_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile needs the group's values together — fine per
+    brand; for a single global percentile over 100 TB you'd switch to
+    percentile_approx (bounded memory sketch, see
+    approx_distinct_parts)."""
+    p = read_testdata(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        round_compat(F.percentile("p_retailprice", F.lit(0.25)), 4).alias("p25"),
+        round_compat(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("p50"),
+        round_compat(F.percentile("p_retailprice", F.lit(0.75)), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "math_scalar_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_extendedprice - 1000), 6)          AS abs_diff,
+           CAST(ceil(l_quantity) AS BIGINT)               AS qty_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT)             AS tax_floor,
+           ROUND(sqrt(l_extendedprice), 6)                AS price_sqrt,
+           ROUND(pow(1 + l_discount, 2), 6)               AS disc_sq,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)        AS disc_sign,
+           CAST(l_orderkey % 97 AS BIGINT)                AS key_mod
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    "math scalar functions (abs/ceil/floor/sqrt/pow/sign/mod)",
+    tags=("projection", "math"),
+)
+def math_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        round_compat(F.abs(F.col("l_extendedprice") - 1000), 6).alias("abs_diff"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor(F.col("l_tax") * 100).cast("bigint").alias("tax_floor"),
+        round_compat(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        round_compat(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
+    )
+
+
+@register(
+    "array_functions_embeddings",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < 100)
+    SELECT vec_id,
+           CAST(len(e) AS INT)                    AS dim,
+           e[1]                                   AS first_el,
+           e[len(e)]                              AS last_el,
+           list_min(e)                            AS min_el,
+           list_max(e)                            AS max_el,
+           ROUND(list_sum(e) / len(e), 6)         AS mean_el,
+           list_sort(e)[1:3]                      AS smallest3
+    FROM v
+    """,
+    "array scalar functions (size/index/min/max/mean/sort/slice)",
+    tags=("projection", "array"),
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    e = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", e.alias("e"))
+    mean = F.aggregate("e", F.lit(0.0), lambda a, x: a + x) / F.size("e")
+    return base.select(
+        "vec_id",
+        F.size("e").cast("int").alias("dim"),
+        F.element_at("e", 1).alias("first_el"),
+        F.element_at("e", F.size("e")).alias("last_el"),
+        F.array_min("e").alias("min_el"),
+        F.array_max("e").alias("max_el"),
+        round_compat(mean, 6).alias("mean_el"),
+        F.slice(F.array_sort("e"), 1, 3).alias("smallest3"),
+    )
+
+
+@register(
+    "scd2_merge_emulation",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, ROUND(c_acctbal + 1000, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+           FALSE AS was_updated
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, TRUE AS was_updated FROM updates
+    """,
+    "MERGE/upsert emulation without Delta: anti-join unchanged rows +"
+    " union updates (the CDC pattern)",
+    tags=("merge", "etl"),
+)
+def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Without a transactional table format, MERGE INTO = anti-join
+    the target against the update keys, union the updates, rewrite.
+    With Delta/Iceberg on the cluster this whole operator collapses
+    to one MERGE statement (connector stub, see sources docs)."""
+    c = read_testdata(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        round_compat(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+    )
+    unchanged = c.join(updates.select("c_custkey"), "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_name",
+        round_compat("c_acctbal", 2).alias("c_acctbal"),
+    )
+    return unchanged.withColumn("was_updated", F.lit(False)).unionByName(
+        updates.withColumn("was_updated", F.lit(True))
+    )

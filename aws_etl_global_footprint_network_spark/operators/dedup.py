@@ -40,6 +40,7 @@ from aws_etl_global_footprint_network_spark.functions.text import (
     word_shingles,
     word_shingles_sql,
 )
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 
@@ -226,7 +227,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(jac, 6).alias("jaccard"),
+            round_compat(jac, 6).alias("jaccard"),
         )
     )
 
@@ -349,5 +350,5 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= NGRAM_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", round_compat(jac, 6).alias("jaccard"))
     )

@@ -20,6 +20,7 @@ from aws_etl_global_footprint_network_spark.functions.returns import (
     compound_return,
     cumulative_compound_return,
 )
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 
@@ -62,13 +63,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            round_compat(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_compat(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_compat(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_compat(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            round_compat(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_compat(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_compat(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -96,7 +97,7 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
+            round_compat(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -130,7 +131,7 @@ def customer_order_stats_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            round_compat(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
                 "total_spend"
             ),
         )
@@ -233,7 +234,7 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
+            round_compat(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -285,10 +286,10 @@ def nation_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-            F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+            round_compat(F.min("c_acctbal"), 2).alias("min_bal"),
+            round_compat(F.max("c_acctbal"), 2).alias("max_bal"),
+            round_compat(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            round_compat(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -351,7 +352,7 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_lineitem_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        round_compat(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
     )
@@ -371,7 +372,7 @@ def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        round_compat(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -497,7 +498,7 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
         prev.alias("prev_value"),
-        F.round(F.col("value") - prev, 2).alias("delta"),
+        round_compat(F.col("value") - prev, 2).alias("delta"),
     )
 
 
@@ -524,7 +525,7 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        round_compat(F.sum("value").over(w), 2).alias("running_value"),
     )
 
 
@@ -578,7 +579,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        round_compat(F.sum("value"), 2).alias("session_value"),
     )
 
 
@@ -630,7 +631,7 @@ def acctbal_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            round_compat(F.avg("c_acctbal"), 4).alias("avg_bal"),
         )
     )
 
@@ -700,7 +701,7 @@ def events_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            round_compat(F.sum("value"), 2).alias("total_value"),
         )
     )
 
@@ -745,7 +746,7 @@ def weekly_compound_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             year_week(F.col("ts").cast("date")).alias("year_week"),
         )
         .agg(
-            F.round(compound_return(F.col("value") / 1000), 6).alias(
+            round_compat(compound_return(F.col("value") / 1000), 6).alias(
                 "weekly_compound"
             )
         )
@@ -771,7 +772,7 @@ def compound_evolution_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.round(
+        round_compat(
             cumulative_compound_return(F.col("value") / 1000, w), 6
         ).alias("compound_evolution"),
     )
@@ -798,7 +799,7 @@ def nation_check_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            round_compat(F.avg("c_acctbal"), 4).alias("avg_bal"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(F.col("avg_bal").desc())
@@ -829,7 +830,7 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "view", "purchase"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("value"),
+            round_compat(F.sum("value"), 2).alias("value"),
         )
     )
     return pivoted.select(

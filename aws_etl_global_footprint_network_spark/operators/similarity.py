@@ -28,6 +28,7 @@ from aws_etl_global_footprint_network_spark.functions.vectors import (
     cosine_sql,
     dot,
 )
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 
@@ -107,7 +108,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOPK)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+        .select("query_id", "neighbor_id", "rank", round_compat("cos", 6).alias("score"))
     )
 
 
@@ -133,7 +134,7 @@ def ann_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= PAIR_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("score"))
+        .select("vec_a", "vec_b", round_compat(cos, 6).alias("score"))
     )
 
 
@@ -222,5 +223,5 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(x, F.col("xid") == F.col("vec_a"))
         .join(y, F.col("yid") == F.col("vec_b"))
         .filter(cos >= LSH_PAIR_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("score"))
+        .select("vec_a", "vec_b", round_compat(cos, 6).alias("score"))
     )

@@ -1,0 +1,218 @@
+"""Temporal operators ([EXT], SURVEY §2.11/§4: as-of, range join,
+session windows, multi-granularity time rollup).
+
+The as-of join is the one operator here Spark genuinely lacks; it is
+implemented as union + last(ignorenulls) over a window — one shuffle
+on (key, ts), no merge_asof Python path, no broadcast requirement —
+and validated against DuckDB's native ASOF JOIN, the strongest
+possible oracle for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` within the ``on`` group (inclusive
+    as-of semantics, like ``ASOF JOIN ... ON r.ts <= l.ts``).
+
+    Implementation: tag and union both sides, sort each key group by
+    (ts, side) with right rows first on ties, and carry right values
+    forward with ``last(ignorenulls)``. Exactly one shuffle, and skew
+    on the key is handled by AQE like any window. At 100 TB this
+    beats a per-key ``merge_asof`` (no Python, no per-group memory)
+    and beats an inequality join (which Catalyst would plan as a
+    broadcast nested loop).
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_values],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_values],
+    ).select(  # align column order with l
+        *lcols, "_asof_ts", "_asof_side", *[f"_r_{v}" for v in right_values]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        *lcols,
+        "_asof_side",
+        *[
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v)
+            for v in right_values
+        ],
+    )
+    return carried.filter(F.col("_asof_side") == 1).drop("_asof_side")
+
+
+@register(
+    "asof_last_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           p.ts AS last_purchase_ts,
+           epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "as-of join: latest purchase at-or-before each click (oracle:"
+    " DuckDB native ASOF JOIN)",
+    tags=("temporal", "asof"),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    joined = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="pts",
+        right_values=["pts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("pts").alias("last_purchase_ts"),
+        (F.unix_micros("ts") - F.unix_micros("pts")).alias("gap_us"),
+    )
+
+
+@register(
+    "lineitem_ship_window_range",
+    """
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+    "range join (equi key + time-interval band) — prompt shipments",
+    tags=("temporal", "join"),
+)
+def lineitem_ship_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi key carries the hash join; the band predicate is a
+    post-join filter, so this stays a shuffled hash/merge join — NOT a
+    nested loop. A pure band join (no equi key) would instead bucket
+    the time axis and join on bucket."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders")
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+    )
+    return (
+        j.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_compat(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    "native session_window grouping; oracle reconstructs gap-merge"
+    " semantics with lag + running sum",
+    tags=("temporal", "window", "sessionize"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window: events merge while the gap is
+    < 30 min (session end = last event + gap). Same operator works
+    unchanged in Structured Streaming with a watermark."""
+    ev = read_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "time_rollup_multi_grain",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(date_trunc('month', ts) AS DATE) AS month,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                            (date_trunc('month', ts)), ())
+    """,
+    "hypertable-style multi-granularity rollup (day+month+total in"
+    " one pass via grouping sets)",
+    tags=("temporal", "agg"),
+)
+def time_rollup_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_trmg")
+    return spark.sql(
+        """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(date_trunc('month', ts) AS DATE) AS month,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events_trmg
+        GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                                (date_trunc('month', ts)), ())
+        """
+    )

@@ -17,6 +17,7 @@ from aws_etl_global_footprint_network_spark.functions.hashing import (
     md5_hash60,
 )
 from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 
@@ -59,9 +60,9 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n.cast("int").alias("n_tokens"),
         F.size(F.array_distinct("t")).cast("int").alias("n_distinct"),
-        F.round(F.size(F.array_distinct("t")) / n, 6).alias("distinct_ratio"),
-        F.round(F.length(F.array_join("t", "")) / n, 4).alias("avg_token_len"),
-        F.round(
+        round_compat(F.size(F.array_distinct("t")) / n, 6).alias("distinct_ratio"),
+        round_compat(F.length(F.array_join("t", "")) / n, 4).alias("avg_token_len"),
+        round_compat(
             F.size(F.filter("t", lambda x: F.array_contains(stop_arr, x))) / n, 6
         ).alias("stopword_ratio"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
@@ -99,7 +100,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         "lang",
-        F.round(en_score, 6).alias("en_score"),
+        round_compat(en_score, 6).alias("en_score"),
         F.when(en_score >= 0.05, "en").otherwise("other").alias("predicted"),
     )
 
@@ -153,5 +154,5 @@ def token_count_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("bigint").alias("total_tokens"),
-        F.round(F.avg("n"), 4).alias("avg_tokens"),
+        round_compat(F.avg("n"), 4).alias("avg_tokens"),
     )

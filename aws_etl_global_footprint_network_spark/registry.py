@@ -50,10 +50,12 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module for its registration side effects."""
     from aws_etl_global_footprint_network_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         multimodal,
         relational,
         similarity,
+        temporal,
         text_analysis,
     )
     from aws_etl_global_footprint_network_spark.streaming import jobs  # noqa: F401

@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import (
     normalize_nanos,
@@ -100,7 +101,7 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("value"), 2).alias("total_value"),
+                round_compat(F.sum("value"), 2).alias("total_value"),
             )
         )
 
@@ -177,6 +178,6 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "user_id",
             "n_events",
-            F.round("total_value", 2).alias("total_value"),
+            round_compat("total_value", 2).alias("total_value"),
         )
     )

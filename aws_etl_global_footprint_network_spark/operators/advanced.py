@@ -166,3 +166,24 @@ def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unchanged.withColumn("was_updated", F.lit(False)).unionByName(
         updates.withColumn("was_updated", F.lit(True))
     )
+
+
+@register(
+    "events_json_path",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events WHERE event_id < 300
+    """,
+    "JSON path extraction from a string column",
+    tags=("projection", "json"),
+)
+def events_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.filter(F.col("event_id") < 300).select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+    )

@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         temporal,
         text_analysis,
+        windows_suite,
     )
     from aws_etl_global_footprint_network_spark.streaming import jobs  # noqa: F401
 

@@ -115,6 +115,60 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_counts",
+    """
+    WITH starts AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS DATE)
+               AS window_start,
+             event_type, value FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n,
+           ROUND(SUM(value) * 100, 0) / 100 AS total_value
+    FROM starts GROUP BY 1, 2
+    """,
+    "Structured Streaming sliding window (2d window, 1d slide);"
+    " oracle expands each event into its two windows",
+    tags=("streaming", "window"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows: each event lands in window_size /
+    slide = 2 overlapping windows (Spark materialises the expansion
+    the same way the oracle's UNION ALL does). Epoch-aligned day
+    boundaries in UTC on both sides."""
+    import os
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            normalize_nanos(stream)
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                round_compat(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    out = run_available_now(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        raw.schema,
+        transform,
+        name,
+    )
+    return out.select(
+        F.col("w.start").cast("date").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
     "streaming_user_totals_stateful",
     None,  # arbitrary-stateful op: rows-only driver check by design
     "applyInPandasWithState running per-user totals over the stream",
@@ -146,10 +200,19 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    # Stage the source as 4 files and feed ONE file per micro-batch:
+    # the per-user GroupState must survive and accumulate across the 4
+    # batches for the final totals to be right (pinned by test against
+    # the batch aggregate).
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="stream_state_src_")
+    raw.repartition(4).write.mode("overwrite").parquet(staged)
     stream = (
         spark.readStream.schema(raw.schema)
         .format("parquet")
-        .load(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+        .option("maxFilesPerTrigger", 1)
+        .load(staged)
     )
     out = stream.groupBy("user_id").applyInPandasWithState(
         update,

@@ -1,0 +1,42 @@
+"""Streaming semantics: batch-stream equivalence and cross-batch
+state accumulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.registry import load_all
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+SPECS = load_all()
+
+
+def test_stateful_totals_accumulate_across_batches(spark, sf_dir):
+    """4 micro-batches (maxFilesPerTrigger=1): the last emitted state
+    per user must equal the plain batch aggregate — proof the
+    GroupState carried across batches."""
+    out = SPECS["streaming_user_totals_stateful"].builder(spark, sf_dir)
+    got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    ev = read_testdata(spark, sf_dir, "events")
+    exp = {
+        r.user_id: (r.n, r.t)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for u in exp:
+        assert got[u][0] == exp[u][0], (u, got[u], exp[u])
+        assert abs(got[u][1] - exp[u][1]) < 1e-6, (u, got[u], exp[u])
+
+
+def test_streaming_batch_equivalence_daily(spark, sf_dir):
+    stream_out = SPECS["streaming_daily_counts"].builder(spark, sf_dir)
+    ev = read_testdata(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = {(r.day, r.event_type): r.n for r in stream_out.collect()}
+    b = {(r.day, r.event_type): r.n for r in batch.collect()}
+    assert s == b

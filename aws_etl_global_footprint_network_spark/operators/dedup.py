@@ -192,7 +192,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster job would checkpoint it to storage."""
     tok = _shingle_sets(spark, sf_dir).persist()
     sig = minhash_signatures(tok)
-    bands = lsh_band_buckets(sig)
+    # persist: the band self-join reads this twice; without it each
+    # side re-runs the signature aggregation over the shingle set
+    bands = lsh_band_buckets(sig).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -24,9 +24,10 @@ from pyspark.sql import functions as F
 
 from aws_etl_global_footprint_network_spark.functions.vectors import (
     as_double_array,
-    cosine,
-    cosine_sql,
     dot,
+    dot_sql,
+    norm,
+    norm_sql,
 )
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
@@ -66,11 +67,13 @@ HYPERPLANES = _hyperplanes()
 @register(
     "ann_cosine_topk",
     f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    q AS (SELECT vec_id, e FROM v WHERE vec_id < {N_QUERIES}),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {norm_sql('(embedding::DOUBLE[])')} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-             {cosine_sql('q.e', 'v.e')} AS cos
+             {dot_sql('q.e', 'v.e')} / (q.nrm * v.nrm) AS cos
       FROM q JOIN v ON q.vec_id <> v.vec_id),
     ranked AS (
       SELECT query_id, neighbor_id, cos,
@@ -89,17 +92,21 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     large query set you'd block both sides with LSH first
     (``ann_lsh_pairs``)."""
     emb = read_testdata(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("e")
+        "vec_id",
+        as_double_array("embedding").alias("e"),
+        norm(as_double_array("embedding")).alias("nrm"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine("qe", "e").alias("cos"),
+            (dot("qe", "e") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -115,22 +122,34 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_threshold_pairs",
     f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({cosine_sql('a.e', 'b.e')}, 6) AS score
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE {cosine_sql('a.e', 'b.e')} >= {PAIR_THRESHOLD}
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {norm_sql('(embedding::DOUBLE[])')} AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, ROUND(cos, 6) AS score
+    FROM scored WHERE cos >= {PAIR_THRESHOLD}
     """,
     f"brute-force embedding near-dup pairs at cosine >= {PAIR_THRESHOLD}",
     tags=("similarity", "dedup"),
 )
 def ann_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("e")
+        "vec_id",
+        as_double_array("embedding").alias("e"),
+        norm(as_double_array("embedding")).alias("nrm"),
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = cosine("ea", "eb")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= PAIR_THRESHOLD)
@@ -159,16 +178,22 @@ def _lsh_oracle() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {norm_sql('(embedding::DOUBLE[])')} AS nrm
+               FROM embeddings),
     bits AS (SELECT vec_id, e, {proj} FROM v),
     bands AS ({band_vals}),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    SELECT c.vec_a, c.vec_b, ROUND({cosine_sql('x.e', 'y.e')}, 6) AS score
-    FROM cand c JOIN v x ON x.vec_id = c.vec_a JOIN v y ON y.vec_id = c.vec_b
-    WHERE {cosine_sql('x.e', 'y.e')} >= {LSH_PAIR_THRESHOLD}
+    , scored AS (
+      SELECT c.vec_a, c.vec_b,
+             {dot_sql('x.e', 'y.e')} / (x.nrm * y.nrm) AS cos
+      FROM cand c JOIN v x ON x.vec_id = c.vec_a
+                  JOIN v y ON y.vec_id = c.vec_b)
+    SELECT vec_a, vec_b, ROUND(cos, 6) AS score
+    FROM scored WHERE cos >= {LSH_PAIR_THRESHOLD}
     """
 
 
@@ -184,7 +209,9 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join. Candidates are verified with exact cosine, so
     precision is 1.0 and only recall depends on band geometry."""
     emb = read_testdata(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("e")
+        "vec_id",
+        as_double_array("embedding").alias("e"),
+        norm(as_double_array("embedding")).alias("nrm"),
     )
     bit_cols = []
     for p in range(N_PLANES):
@@ -202,9 +229,14 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_structs.append(
             F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
         )
-    bands = bits.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", "bb.band", "bb.bucket")
+    # persist: the self-join below would otherwise recompute the
+    # 32-plane projection once per side (measured 1.4s/side at sf0.1
+    # for an 8000-row relation)
+    bands = (
+        bits.select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("vec_id", "bb.band", "bb.bucket")
+        .persist()
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -216,9 +248,15 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    x = emb.select(F.col("vec_id").alias("xid"), F.col("e").alias("xe"))
-    y = emb.select(F.col("vec_id").alias("yid"), F.col("e").alias("ye"))
-    cos = cosine("xe", "ye")
+    x = emb.select(
+        F.col("vec_id").alias("xid"), F.col("e").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("yid"), F.col("e").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    cos = dot("xe", "ye") / (F.col("xn") * F.col("yn"))
     return (
         cand.join(x, F.col("xid") == F.col("vec_a"))
         .join(y, F.col("yid") == F.col("vec_b"))

@@ -1,0 +1,120 @@
+"""Dedup operator QUALITY on planted near-duplicates: MinHash-LSH
+must recover high-Jaccard pairs (recall), and everything it reports
+must really be above threshold (precision = 1.0 by construction —
+candidates are exact-verified). Also pins salted-join equivalence."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+
+VOCAB = [f"w{i:03d}" for i in range(400)]
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """A documents table with 25 planted near-dup pairs (one ~95%
+    shingle-overlap twin per base doc) plus 50 unrelated docs."""
+    rng = random.Random(1234)
+    rows = []
+    doc_id = 0
+
+    def add(text):
+        nonlocal doc_id
+        rows.append((doc_id, text, "en", "synth", len(text)))
+        doc_id += 1
+
+    for _ in range(25):
+        base = [rng.choice(VOCAB) for _ in range(80)]
+        twin = list(base)
+        for _ in range(3):  # mutate 3 of 80 tokens -> jaccard ~0.9
+            twin[rng.randrange(80)] = rng.choice(VOCAB)
+        add(" ".join(base))
+        add(" ".join(twin))
+    for _ in range(50):
+        add(" ".join(rng.choice(VOCAB) for _ in range(80)))
+
+    d = tmp_path_factory.mktemp("planted")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_lsh_recall_on_planted_pairs(spark, planted_dir):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, planted_dir).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(25)}
+    found = planted & set(got)
+    recall = len(found) / len(planted)
+    # jaccard ~0.9 twins: P(candidate) = 1-(1-s^2)^4 ≈ 0.999 per pair
+    assert recall >= 0.9, (recall, sorted(planted - set(got)))
+    for pair in found:
+        assert got[pair] >= 0.2
+
+
+def test_lsh_matches_exact_ground_truth(spark, planted_dir):
+    """Every LSH-reported pair must appear in the exact n-gram scan
+    with the same jaccard (precision 1.0; both operators share the
+    shingle definition)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, planted_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, planted_dir).collect()
+    }
+    for pair, j in lsh.items():
+        if max(pair) < 150:  # ngram ground truth is key-bounded
+            assert pair in exact and exact[pair] == j
+
+
+def test_simhash_hamming_close_for_twins(spark, planted_dir):
+    sigs = {r.doc_id: r.simhash for r in dedup_simhash(spark, planted_dir).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    twin_d = [ham(sigs[2 * i], sigs[2 * i + 1]) for i in range(25)]
+    rng = random.Random(5)
+    unrel_d = [
+        ham(sigs[rng.randrange(0, 50)], sigs[rng.randrange(50, 100)])
+        for _ in range(50)
+    ]
+    # twins must be far closer in hamming space than unrelated docs
+    assert max(twin_d) < min(unrel_d), (max(twin_d), min(unrel_d))
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from aws_etl_global_footprint_network_spark.operators.skew import salted_join
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        read_testdata(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    salted = (
+        salted_join(li, o, "l_orderkey", n_salt=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    a = {r.o_orderpriority: (r.n, r.q) for r in plain.collect()}
+    b = {r.o_orderpriority: (r.n, r.q) for r in salted.collect()}
+    assert a == b

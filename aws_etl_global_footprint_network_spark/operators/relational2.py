@@ -1,0 +1,174 @@
+"""Second relational batch: lateral explode, statistical aggregates,
+ordered string aggregation, median, date arithmetic, unpivot."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+
+@register(
+    "top_tokens_exploded",
+    f"""
+    WITH tok AS (
+      SELECT unnest({tokens_sql('text')}) AS token FROM documents)
+    SELECT token, COUNT(*) AS n FROM tok
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "explode (lateral unnest) + frequency count + ordered limit — the"
+    " vocabulary query",
+    tags=("text", "explode"),
+)
+def top_tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "price_quantity_correlation",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice) * 1000000, 0) / 1000000
+             AS qty_price_corr,
+           ROUND(covar_samp(l_discount, l_tax) * 1000000000, 0) / 1000000000
+             AS disc_tax_covar,
+           ROUND(var_samp(l_quantity) * 10000, 0) / 10000 AS qty_var,
+           bool_and(l_quantity > 0)  AS all_positive,
+           bool_or(l_discount > 0.09) AS any_high_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "statistical aggregates: corr/covar/variance/bool_and/bool_or",
+    tags=("agg", "stats"),
+)
+def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_compat(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        round_compat(F.covar_samp("l_discount", "l_tax"), 9).alias(
+            "disc_tax_covar"
+        ),
+        round_compat(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+    )
+
+
+@register(
+    "supplier_names_agg",
+    """
+    SELECT s_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS names,
+           COUNT(*) AS n
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "ordered string aggregation (listagg)",
+    tags=("agg", "string"),
+)
+def supplier_names_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_testdata(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "median_order_value",
+    """
+    SELECT o_orderpriority,
+           ROUND(median(o_totalprice) * 10000, 0) / 10000 AS median_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact median per group",
+    tags=("agg", "percentile"),
+)
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_testdata(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        round_compat(F.median("o_totalprice"), 4).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "date_functions_suite",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                          AS order_date,
+           CAST(date_diff('day', o_orderdate,
+                TIMESTAMP '2000-01-01 00:00:00') AS INT)      AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)       AS plus_3m,
+           CAST(last_day(o_orderdate) AS DATE)                AS month_end,
+           CAST(date_trunc('week', o_orderdate) AS DATE)      AS week_start,
+           CAST(year(o_orderdate) AS INT)                     AS y,
+           CAST(month(o_orderdate) AS INT)                    AS m,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)            AS dow_sunday1
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    "date arithmetic: diff/add-months/last_day/trunc-week/extract",
+    tags=("time", "projection"),
+)
+def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB dayofweek is Sunday=0; Spark dayofweek is Sunday=1 —
+    aligned here to Sunday=1 (the oracle adds 1). date_trunc('week')
+    is Monday-start in both engines."""
+    o = read_testdata(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.filter(F.col("o_orderkey") <= 400).select(
+        "o_orderkey",
+        d.cast("date").alias("order_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+        .cast("int")
+        .alias("days_to_y2k"),
+        F.add_months(d, 3).cast("date").alias("plus_3m"),
+        F.last_day(d).cast("date").alias("month_end"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofweek(d).cast("int").alias("dow_sunday1"),
+    )
+
+
+@register(
+    "lineitem_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS val
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    "unpivot (wide -> long) via the native melt/stack operator",
+    tags=("reshape",),
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "price")
+        .otherwise("discount"),
+    )

@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         temporal,
         text_analysis,

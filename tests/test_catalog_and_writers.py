@@ -1,0 +1,110 @@
+"""Catalog/DDL surface (SURVEY §2.2 D1-D5) and file sinks (S5/S6):
+the reference's DuckDB DDL idioms expressed through Spark SQL and the
+DataFrameWriter, round-tripped."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+
+def test_create_insert_describe_alter_drop(spark, sf_dir):
+    """D1 CREATE TABLE IF NOT EXISTS, D2 truncate-by-overwrite,
+    D3 rename column, D5 DESCRIBE — the notebook's DDL lifecycle
+    (reference: mkt_returns/sql_test_mkt_returns.ipynb:239-241, 272)."""
+    spark.sql("DROP TABLE IF EXISTS ddl_demo")
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS ddl_demo "
+        "(k INT, v STRING, RETUNR_TYPE STRING) USING parquet"
+    )
+    spark.sql("CREATE TABLE IF NOT EXISTS ddl_demo (other INT) USING parquet")
+    cols = [r.col_name for r in spark.sql("DESCRIBE TABLE ddl_demo").collect()]
+    assert cols[:3] == ["k", "v", "RETUNR_TYPE"]  # IF NOT EXISTS: kept original
+
+    spark.sql("INSERT INTO ddl_demo VALUES (1, 'a', 'T'), (2, 'b', 'T')")
+    assert spark.table("ddl_demo").count() == 2
+    # D2: TRUNCATE + reload == INSERT OVERWRITE
+    spark.sql("INSERT OVERWRITE ddl_demo VALUES (3, 'c', 'U')")
+    assert [tuple(r) for r in spark.table("ddl_demo").collect()] == [(3, "c", "U")]
+
+    # D3: the typo-repair rename (RETUNR_TYPE -> RETURN_TYPE).
+    # v1 parquet tables reject ALTER ... RENAME COLUMN (DSv2/Delta
+    # catalogs support it); the engine's documented path is a
+    # read-time rename, which we pin here (SURVEY §2.2 D3).
+    with pytest.raises(Exception, match="RENAME COLUMN"):
+        spark.sql("ALTER TABLE ddl_demo RENAME COLUMN RETUNR_TYPE TO RETURN_TYPE")
+    renamed = spark.table("ddl_demo").withColumnRenamed(
+        "RETUNR_TYPE", "RETURN_TYPE"
+    )
+    assert "RETURN_TYPE" in renamed.columns
+    spark.sql("DROP TABLE ddl_demo")
+
+
+def test_create_or_replace_view_chain(spark, sf_dir):
+    """D4: views are macros — re-resolved per query, replaceable
+    (reference: mkt_returns/sql_test_mkt_returns.ipynb:671, 772)."""
+    read_testdata(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW v_big AS "
+        "SELECT * FROM v_orders WHERE o_totalprice > 300000"
+    )
+    n1 = spark.table("v_big").count()
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW v_big AS "
+        "SELECT * FROM v_orders WHERE o_totalprice > 400000"
+    )
+    n2 = spark.table("v_big").count()
+    assert n2 < n1
+    spark.catalog.dropTempView("v_big")
+
+
+def test_ctas(spark, sf_dir):
+    """S7: CREATE TABLE AS SELECT from a file-backed view."""
+    read_testdata(spark, sf_dir, "region").createOrReplaceTempView("v_region")
+    spark.sql("DROP TABLE IF EXISTS region_ctas")
+    spark.sql("CREATE TABLE region_ctas USING parquet AS SELECT * FROM v_region")
+    assert spark.table("region_ctas").count() == 5
+    spark.sql("DROP TABLE region_ctas")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+def test_sink_roundtrip(spark, sf_dir, tmp_path, fmt):
+    """S5 file sinks: every format round-trips the nation dim."""
+    n = read_testdata(spark, sf_dir, "nation")
+    path = str(tmp_path / f"nation_{fmt}")
+    w = n.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", True).option("inferSchema", True)
+    back = r.load(path)
+    assert back.count() == 25
+    got = {r2.n_name for r2 in back.select("n_name").collect()}
+    assert got == {f"NATION_{i}" for i in range(25)}
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """S6 at scale: partitioned overwrite + per-partition replace
+    (dynamic overwrite = idempotent per-year reload)."""
+    ev = read_testdata(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_part")
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        one_day = ev.filter(F.col("day") == "2024-01-05").withColumn(
+            "value", F.col("value") * 0
+        )
+        one_day.write.partitionBy("day").mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        assert back.count() == ev.count()  # other partitions untouched
+        assert back.filter("day = '2024-01-05'").agg(
+            F.sum("value")
+        ).collect()[0][0] == 0
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

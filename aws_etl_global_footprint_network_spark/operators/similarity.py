@@ -263,3 +263,114 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= LSH_PAIR_THRESHOLD)
         .select("vec_a", "vec_b", round_compat(cos, 6).alias("score"))
     )
+
+
+# --------------------------------------------------------------------
+# IVF building blocks: centroid computation + nearest-centroid
+# assignment — the coarse quantizer of an IVF index
+# --------------------------------------------------------------------
+
+CENTROID_ROUND = 6
+
+
+@register(
+    "ivf_label_centroids",
+    f"""
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+    ex AS (SELECT v.label, generate_subscripts(v.e, 1) AS pos,
+                  unnest(v.e) AS val FROM v)
+    SELECT CAST(label AS INT) AS label, CAST(pos AS INT) AS pos,
+           ROUND(AVG(val) * 1e{CENTROID_ROUND}, 0) / 1e{CENTROID_ROUND}
+             AS centroid_val
+    FROM ex GROUP BY label, pos
+    """,
+    "element-wise centroid per label (posexplode + grouped mean) —"
+    " the k-means/IVF coarse-quantizer training step",
+    tags=("similarity", "ivf"),
+)
+def ivf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: posexplode shuffles (label, pos) partial sums, never
+    whole vectors; the mean is rounded so both engines (whose
+    summation trees differ) agree bit-for-bit, which also lets the
+    assignment step below run on identical centroids."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(as_double_array("embedding")).alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    return ex.groupBy("label", "pos").agg(
+        round_compat(F.avg("val"), CENTROID_ROUND).alias("centroid_val")
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("pos").cast("int").alias("pos"),
+        "centroid_val",
+    )
+
+
+@register(
+    "ivf_assignments",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ex AS (SELECT t.label, generate_subscripts(t.e, 1) AS pos,
+                  unnest(t.e) AS val
+           FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) t),
+    cent AS (
+      SELECT label, pos,
+             ROUND(AVG(val) * 1e{CENTROID_ROUND}, 0) / 1e{CENTROID_ROUND} AS cv
+      FROM ex GROUP BY label, pos),
+    carr AS (
+      SELECT label, list(cv ORDER BY pos) AS c FROM cent GROUP BY label),
+    dists AS (
+      SELECT v.vec_id, carr.label,
+             list_sum(list_transform(range(1, len(v.e)+1),
+                      i -> (v.e[i] - carr.c[i]) * (v.e[i] - carr.c[i]))) AS d
+      FROM v CROSS JOIN carr),
+    ranked AS (
+      SELECT vec_id, label, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+      FROM dists)
+    SELECT vec_id, CAST(label AS INT) AS assigned_label,
+           ROUND(d * 1e6, 0) / 1e6 AS sq_dist
+    FROM ranked WHERE rn = 1
+    """,
+    "nearest-centroid assignment (IVF coarse quantization): every"
+    " vector routed to its closest label centroid",
+    tags=("similarity", "ivf"),
+)
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF probe path: centroids (tiny) broadcast against the
+    corpus; each vector computes k squared distances and keeps the
+    argmin — a map-only stage at any corpus size. Rounded centroids
+    make the distance arithmetic bit-identical to the oracle."""
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    cent = ivf_label_centroids(spark, sf_dir)
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "centroid_val"))
+                ),
+                lambda s: s.centroid_val,
+            ).alias("c")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", dist.alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("assigned_label"),
+            round_compat("d", 6).alias("sq_dist"),
+        )
+    )

@@ -187,3 +187,57 @@ def events_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_str"),
         k.cast("int").alias("k_int"),
     )
+
+
+@register(
+    "parts_at_brand_max_price",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT MAX(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+    "correlated scalar subquery (per-group max membership)",
+    tags=("subquery",),
+)
+def parts_at_brand_max_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst de-correlates this into an aggregate + join — the same
+    plan the window formulation produces, pinned in SQL form here."""
+    read_testdata(spark, sf_dir, "part").createOrReplaceTempView("part_corr")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part_corr p
+        WHERE p_retailprice = (SELECT MAX(p2.p_retailprice) FROM part_corr p2
+                               WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "table_profile_orders",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS custkey_nulls,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_card,
+           ROUND(MIN(o_totalprice) * 100, 0) / 100 AS min_price,
+           ROUND(MAX(o_totalprice) * 100, 0) / 100 AS max_price,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order
+    FROM orders
+    """,
+    "one-pass table profile (the reference's EDA/run_checks idiom"
+    " generalised: nulls, cardinality, ranges)",
+    tags=("checks", "agg"),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_testdata(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("custkey_nulls"),
+        F.countDistinct("o_orderstatus").alias("status_card"),
+        round_compat(F.min("o_totalprice"), 2).alias("min_price"),
+        round_compat(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )

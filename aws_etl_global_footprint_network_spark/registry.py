@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         similarity,
+        similarity_vectorized,
         temporal,
         text_analysis,
         windows_suite,

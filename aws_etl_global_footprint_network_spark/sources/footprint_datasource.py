@@ -21,9 +21,16 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 RAW_FILE_RE = re.compile(r"data_all_(\d{4})\.json$")
 
@@ -65,6 +72,62 @@ class FootprintApiReader(DataSourceReader):
             yield tuple(rec.get(name) for name in _FIELDS)
 
 
+class FootprintApiWriter(DataSourceWriter):
+    """Write path: lands rows back into raw-zone shape — one
+    ``data_all_{year}.json`` per year encountered, camelCase records,
+    byte-compatible with the extractor's sink
+    (reference: local_test/scripts/local_data_extraction.py:52-60).
+
+    Each task writes task-scoped temp files (commit messages carry the
+    paths); commit merges per-year fragments — the standard two-phase
+    pattern that keeps a failed task from half-writing a year file.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.raw_dir = options.get("raw_dir", "raw")
+        self.overwrite = overwrite
+
+    def write(self, rows: Iterator) -> WriterCommitMessage:
+        by_year: dict[int, list[dict]] = {}
+        for row in rows:
+            rec = {name: row[i] for i, name in enumerate(_FIELDS)}
+            by_year.setdefault(rec["year"], []).append(rec)
+        os.makedirs(self.raw_dir, exist_ok=True)
+        paths = []
+        task_id = uuid.uuid4().hex[:12]
+        for year, recs in by_year.items():
+            p = os.path.join(self.raw_dir, f".part_{year}_{task_id}.json")
+            with open(p, "w") as f:
+                json.dump(recs, f)
+            paths.append((year, p))
+        msg = WriterCommitMessage()
+        msg.paths = paths  # type: ignore[attr-defined]
+        return msg
+
+    def commit(self, messages) -> None:
+        by_year: dict[int, list[dict]] = {}
+        for m in messages:
+            for year, p in getattr(m, "paths", []):
+                with open(p) as f:
+                    by_year.setdefault(year, []).extend(json.load(f))
+                os.remove(p)
+        for year, recs in by_year.items():
+            out = os.path.join(self.raw_dir, f"data_all_{year}.json")
+            if not self.overwrite and os.path.exists(out):
+                with open(out) as f:
+                    recs = json.load(f) + recs
+            tmp = out + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(recs, f, indent=2)
+            os.replace(tmp, out)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            for _, p in getattr(m, "paths", []):
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 class FootprintApiDataSource(DataSource):
     """format("footprint_api"): year-partitioned raw-zone relation."""
 
@@ -77,6 +140,9 @@ class FootprintApiDataSource(DataSource):
 
     def reader(self, schema) -> FootprintApiReader:
         return FootprintApiReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> FootprintApiWriter:
+        return FootprintApiWriter(self.options, overwrite)
 
 
 def register_datasource(spark) -> None:

@@ -114,3 +114,20 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     assert "SelectedBucketsCount" in plan
     spark.sql("DROP TABLE orders_b")
     spark.sql("DROP TABLE lineitem_b")
+
+
+def test_datasource_write_roundtrip(spark, raw_dir, tmp_path):
+    """The DataSink path: read the raw zone through the source, write
+    it back out through the same format, read again — identical."""
+    register_datasource(spark)
+    df = spark.read.format("footprint_api").option("raw_dir", raw_dir).load()
+    out_dir = str(tmp_path / "raw_out")
+    (df.write.format("footprint_api").option("raw_dir", out_dir)
+       .mode("append").save())
+    import os
+    files = sorted(f for f in os.listdir(out_dir) if f.startswith("data_all_"))
+    assert files == ["data_all_2021.json", "data_all_2022.json", "data_all_2023.json"]
+    back = spark.read.format("footprint_api").option("raw_dir", out_dir).load()
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

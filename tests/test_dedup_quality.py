@@ -118,3 +118,24 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = {r.o_orderpriority: (r.n, r.q) for r in plain.collect()}
     b = {r.o_orderpriority: (r.n, r.q) for r in salted.collect()}
     assert a == b
+
+
+def test_vectorized_topk_matches_exact(spark, sf_dir_mid):
+    """The numpy fast path must agree with the deterministic JVM-fold
+    operator (same neighbors/ranks; scores to 1e-9)."""
+    from aws_etl_global_footprint_network_spark.registry import load_all
+
+    specs = load_all()
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in specs["ann_cosine_topk"].builder(spark, sf_dir_mid).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in specs["ann_cosine_topk_vectorized"].builder(spark, sf_dir_mid).collect()
+    }
+    assert set(exact) == set(fast)
+    for k in exact:
+        assert exact[k][0] == fast[k][0], (k, exact[k], fast[k])
+        # exact operator rounds to 6 decimals; fast path is unrounded
+        assert abs(exact[k][1] - fast[k][1]) < 6e-7

@@ -29,10 +29,24 @@ def read_market_data(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumnRenamed("RETUNR_TYPE", "RETURN_TYPE")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive: the driver may hand us a session built without our
+    factory (session.get_spark). Both confs are runtime-settable and
+    required for correctness — nanosAsLong to read the events table's
+    TIMESTAMP(NANOS) parquet at all, UTC so timestamp values agree
+    with the (UTC-naive) DuckDB oracle."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_testdata_raw(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver test table with no normalisation (nanosecond
     timestamps appear as LongType under
     spark.sql.legacy.parquet.nanosAsLong)."""
+    ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 

@@ -43,10 +43,16 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
     "ann_lsh_pairs",
+    "ivf_assignments",
+    "asof_last_purchase",
+    "session_window_native",
+    "window_analytic_suite",
     "text_quality_stats",
     "doc_fingerprint",
     "token_count_per_source",
+    "streaming_daily_counts",
 ]
 
 

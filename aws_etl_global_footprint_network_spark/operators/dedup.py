@@ -42,7 +42,7 @@ from aws_etl_global_footprint_network_spark.functions.text import (
 )
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
-from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
 
 JACCARD_THRESHOLD = 0.2
 NGRAM_THRESHOLD = 0.2
@@ -80,7 +80,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, token) with set semantics — exploded distinct tokens."""
-    d = read_testdata(spark, sf_dir, "documents")
+    d = spread(read_testdata(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
     )
@@ -98,7 +98,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order lambdas inline their argument expression per element,
     so ``word_shingles(tokens(text))`` would re-run the tokenizer for
     every element_at — a ~250x slowdown measured at sf0.1."""
-    d = read_testdata(spark, sf_dir, "documents")
+    d = spread(read_testdata(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", tokens("text").alias("t"))
         .select(
@@ -322,7 +322,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard on a key-bounded subset. The unbounded
     version of this is exactly what MinHash LSH approximates — this is
     the ground-truth operator used to measure LSH recall in tests."""
-    d = read_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    d = spread(
+        read_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    )
     sh = (
         d.select("doc_id", tokens("text").alias("t"))
         .select(

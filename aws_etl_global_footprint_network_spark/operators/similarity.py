@@ -31,7 +31,7 @@ from aws_etl_global_footprint_network_spark.functions.vectors import (
 )
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
-from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
 
 DIM = 64
 # 4 bands x 8 bits: 256 buckets per band keeps expected candidate
@@ -91,7 +91,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-only scored pass, then per-query top-k via window. For a
     large query set you'd block both sides with LSH first
     (``ann_lsh_pairs``)."""
-    emb = read_testdata(spark, sf_dir, "embeddings").select(
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
         "vec_id",
         as_double_array("embedding").alias("e"),
         norm(as_double_array("embedding")).alias("nrm"),
@@ -136,7 +136,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def ann_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_testdata(spark, sf_dir, "embeddings").select(
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
         "vec_id",
         as_double_array("embedding").alias("e"),
         norm(as_double_array("embedding")).alias("nrm"),
@@ -208,7 +208,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH: bucket join replaces the all-pairs
     cross join. Candidates are verified with exact cosine, so
     precision is 1.0 and only recall depends on band geometry."""
-    emb = read_testdata(spark, sf_dir, "embeddings").select(
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
         "vec_id",
         as_double_array("embedding").alias("e"),
         norm(as_double_array("embedding")).alias("nrm"),
@@ -341,7 +341,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; each vector computes k squared distances and keeps the
     argmin — a map-only stage at any corpus size. Rounded centroids
     make the distance arithmetic bit-identical to the oracle."""
-    emb = read_testdata(spark, sf_dir, "embeddings").select(
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double_array("embedding").alias("e")
     )
     cent = ivf_label_centroids(spark, sf_dir)

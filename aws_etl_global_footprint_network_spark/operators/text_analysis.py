@@ -19,7 +19,7 @@ from aws_etl_global_footprint_network_spark.functions.hashing import (
 from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
-from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
 
 # Stopword marker set for the language heuristic (English function
 # words; the quality score also counts them as "glue").
@@ -124,7 +124,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unlike the set-based minhash, this fingerprint is
     order-sensitive (content-defined): same tokens reordered give a
     different fingerprint. Left fold, identical in both engines."""
-    d = read_testdata(spark, sf_dir, "documents")
+    d = spread(read_testdata(spark, sf_dir, "documents"))
     t = tokens("text")
     fp = F.aggregate(
         F.transform(t, lambda x: md5_hash60(x) % F.lit(P31)),

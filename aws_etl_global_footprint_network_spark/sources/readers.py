@@ -70,6 +70,19 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return normalize_nanos(read_testdata_raw(spark, sf_dir, table))
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition for compute-heavy map stages.
+
+    A single-file parquet scan yields ONE input partition, so an
+    expression-heavy stage (vector folds, per-token md5) runs in one
+    task regardless of cores — measured 26s single-task vs ~2s spread
+    for the all-pairs cosine at sf0.1. Operators whose per-row cost
+    dominates I/O must set their own parallelism rather than inherit
+    the file layout's."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every test table and register each as a temp view, so both
     the DataFrame API and ``spark.sql`` can address them (the

@@ -79,10 +79,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, token) with set semantics — exploded distinct tokens."""
+    """(doc_id, token) with set semantics — exploded distinct tokens.
+
+    The tokenizer is split into explode(split) + row filter +
+    distinct: a generator whose child contains a higher-order lambda
+    re-evaluates it per OUTPUT row and blocks codegen (measured 3.9s
+    vs 0.45s at sf0.1), so the empty-token filter runs on exploded
+    rows instead of inside the array."""
     d = spread(read_testdata(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
     )
 
 
@@ -94,20 +105,33 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard saturates; order-sensitive shingles keep the similarity
     signal (the classic Broder construction).
 
-    The token array is materialised as a column BEFORE shingling:
-    higher-order lambdas inline their argument expression per element,
-    so ``word_shingles(tokens(text))`` would re-run the tokenizer for
-    every element_at — a ~250x slowdown measured at sf0.1."""
+    Formulated as explode(index sequence) + per-row element_at
+    assembly + distinct, NOT explode(transform(...)): a generator
+    over a higher-order-function array re-evaluates the whole HOF
+    chain per output row (no codegen), measured 12s vs 0.4s at
+    sf0.1. The distinct is a row-level shuffle instead of a per-doc
+    array_distinct for the same reason."""
     d = spread(read_testdata(spark, sf_dir, "documents"))
-    return (
-        d.select("doc_id", tokens("text").alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(word_shingles(F.col("t"), 3))
-            ).alias("token"),
-        )
+    base = d.select("doc_id", tokens("text").alias("t"))
+    # rows with <3 tokens produce NULL -> explode drops them
+    idx = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - F.lit(2))
+            )
+        ).alias("i"),
     )
+    return idx.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("i")),
+            F.element_at("t", F.col("i") + F.lit(1)),
+            F.element_at("t", F.col("i") + F.lit(2)),
+        ).alias("token"),
+    ).distinct()
 
 
 def minhash_signatures(token_sets: DataFrame) -> DataFrame:
@@ -322,17 +346,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard on a key-bounded subset. The unbounded
     version of this is exactly what MinHash LSH approximates — this is
     the ground-truth operator used to measure LSH recall in tests."""
-    d = spread(
-        read_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    )
     sh = (
-        d.select("doc_id", tokens("text").alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(word_shingles(F.col("t"), 3))
-            ).alias("shingle"),
-        )
+        _shingle_sets(spark, sf_dir)
+        .filter(F.col("doc_id") < 150)
+        .withColumnRenamed("token", "shingle")
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

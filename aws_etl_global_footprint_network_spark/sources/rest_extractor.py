@@ -55,6 +55,9 @@ class ExtractionConfig:
     backoff_cap_s: float = 60.0
     output_dir: str = "raw"
     skip_cached: bool = True
+    # post-success politeness sleep range, seconds
+    # (reference: local_test/scripts/local_data_extraction.py:116)
+    politeness_s: tuple[float, float] = (0.3, 0.7)
 
 
 @dataclass
@@ -112,6 +115,9 @@ async def _fetch_year(
                 with open(tmp, "w") as f:
                     json.dump(payload, f, indent=2)
                 os.replace(tmp, path)
+                lo, hi = cfg.politeness_s
+                if hi > 0:
+                    await sleep(random.uniform(lo, hi))
                 return "ok"
             if kind == "permanent":
                 raise PermanentError(f"HTTP {status} for {url}")

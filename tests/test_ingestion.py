@@ -98,6 +98,7 @@ def _cfg(tmp_path, years=(2001, 2002, 2003)) -> ExtractionConfig:
         output_dir=str(tmp_path),
         initial_backoff_s=0.001,
         backoff_cap_s=0.002,
+        politeness_s=(0.0, 0.0),
     )
 
 

@@ -37,7 +37,6 @@ from aws_etl_global_footprint_network_spark.functions.hashing import (
 from aws_etl_global_footprint_network_spark.functions.text import (
     tokens,
     tokens_sql,
-    word_shingles,
     word_shingles_sql,
 )
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat

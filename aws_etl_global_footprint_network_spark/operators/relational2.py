@@ -172,3 +172,48 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("measure") == "l_extendedprice", "price")
         .otherwise("discount"),
     )
+
+
+@register(
+    "key_uniqueness_checks",
+    """
+    SELECT 'orders_pk' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM (SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_pk',
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'events_user_ts',
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT user_id, ts FROM events
+          GROUP BY user_id, ts HAVING COUNT(*) > 1)
+    """,
+    "business-key uniqueness profiling (the reference's EDA idiom,"
+    " reference: mkt_returns/sql_test_mkt_returns.ipynb:595-658)",
+    tags=("checks", "agg"),
+)
+def key_uniqueness_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING COUNT>1 per candidate key, collapsed to a
+    violations count — the uniqueness EDA the reference runs before
+    trusting a key, as one reusable profiling query."""
+    def violations(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        v = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        return v.select(F.lit(name).alias("key_name"), "n_violations")
+
+    o = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    ev = read_testdata(spark, sf_dir, "events")
+    return (
+        violations(o, ["o_orderkey"], "orders_pk")
+        .unionByName(violations(li, ["l_orderkey", "l_linenumber"], "lineitem_pk"))
+        .unionByName(violations(ev, ["user_id", "ts"], "events_user_ts"))
+    )

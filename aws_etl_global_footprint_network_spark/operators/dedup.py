@@ -208,13 +208,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     Scale: candidates come only from same-(band,bucket) joins; the
-    verify join ships token sets only for candidate docs (semi-join
-    pruning), never all-pairs. The exploded shingle set feeds four
-    consumers (signature, sizes, both sides of the verify join) — it
-    is persisted so the explode+md5 pass runs once, the same way a
-    cluster job would checkpoint it to storage."""
+    verify join ships token sets only for candidate docs (tok is
+    semi-joined against the candidate ids — a broadcast, since
+    candidates are tiny by LSH construction — before the pair-token
+    join), never all-pairs. Set sizes ride along in the signature
+    aggregation (one groupBy computes both). The exploded shingle set
+    is persisted: it feeds the signature pass and both sides of the
+    verify join, the same intermediate a cluster job would checkpoint
+    to storage."""
     tok = _shingle_sets(spark, sf_dir).persist()
-    sig = minhash_signatures(tok)
+    # one groupBy yields the minhash signature AND the set size
+    h = tok.select("doc_id", hash31("token").alias("h"))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
     # persist: the band self-join reads this twice; without it each
     # side re-runs the signature aggregation over the shingle set
     bands = lsh_band_buckets(sig).persist()
@@ -228,12 +239,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .persist()
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = tok.alias("x")
-    y = tok.alias("y")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    # prune the shingle table to candidate docs before the pair join
+    tokc = tok.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    x = tokc.alias("x")
+    y = tokc.alias("y")
     inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        F.broadcast(cand)
+        .join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(
             y,
             (F.col("y.doc_id") == F.col("doc_b"))
@@ -242,12 +261,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    sizes = sig.select("doc_id", "n")
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_a",

@@ -112,3 +112,48 @@ def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_testdata(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(d))
+
+
+@register(
+    "grouped_pandas_rank",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS BIGINT) AS visit_rank,
+           ROUND(value * 100, 0) / 100 AS value
+    FROM events
+    """,
+    "grouped-map Pandas UDF (applyInPandas): per-user visit ranking;"
+    " integer output keeps the oracle hash-exact despite the Python"
+    " path",
+    tags=("pandas_udf", "window"),
+)
+def grouped_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: each user's events arrive as one pandas
+    DataFrame (Arrow transfer), ranked in Python, returned as Arrow.
+    The grouped-map shape is what per-entity model scoring / feature
+    engineering uses; outputs here are exact integers so even the
+    DuckDB oracle hash-matches the Python path. Scale: one shuffle on
+    user_id; group size must fit a worker's memory (bounded here;
+    for unbounded groups use mapInPandas + window instead)."""
+    from aws_etl_global_footprint_network_spark.sources.readers import (
+        read_testdata as _rt,
+    )
+
+    ev = _rt(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "visit_rank": range(1, len(pdf) + 1),
+                "value": (pdf["value"] * 100).round(0) / 100,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        rank_group,
+        schema="user_id bigint, event_id bigint, visit_rank bigint, value double",
+    )

@@ -107,10 +107,14 @@ def math_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_min(e)                            AS min_el,
            list_max(e)                            AS max_el,
            ROUND(list_sum(e) / len(e), 6)         AS mean_el,
-           list_sort(e)[1:3]                      AS smallest3
+           list_sort(e)[1]                        AS small1,
+           list_sort(e)[2]                        AS small2,
+           list_sort(e)[3]                        AS small3
     FROM v
     """,
-    "array scalar functions (size/index/min/max/mean/sort/slice)",
+    "array scalar functions (size/index/min/max/mean/sort/slice);"
+    " slice emitted as scalar columns so the hash gate (pandas"
+    " canonicalizer) never sees an array cell",
     tags=("projection", "array"),
 )
 def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,6 +122,7 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("embedding").cast("array<double>")
     base = emb.select("vec_id", e.alias("e"))
     mean = F.aggregate("e", F.lit(0.0), lambda a, x: a + x) / F.size("e")
+    sorted_e = F.array_sort("e")
     return base.select(
         "vec_id",
         F.size("e").cast("int").alias("dim"),
@@ -126,7 +131,9 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("e").alias("min_el"),
         F.array_max("e").alias("max_el"),
         round_compat(mean, 6).alias("mean_el"),
-        F.slice(F.array_sort("e"), 1, 3).alias("smallest3"),
+        F.element_at(sorted_e, 1).alias("small1"),
+        F.element_at(sorted_e, 2).alias("small2"),
+        F.element_at(sorted_e, 3).alias("small3"),
     )
 
 

@@ -106,12 +106,25 @@ def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     None,  # Python-side stub decoder — driver does the rows-only check
-    "mapInPandas feature extraction over binary payloads (stub decode)",
+    "mapInPandas feature extraction over binary payloads (stub decode);"
+    " driver-facing shape is exploded (doc_id, n_bytes, feature_pos,"
+    " feature_val) so every column is scalar — the array-returning"
+    " library API is extract_features()",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_testdata(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(d))
+    feats = extract_features(attach_binary_payload(d))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("feature_pos", "feature_val"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("feature_pos").cast("int").alias("feature_pos"),
+        F.col("feature_val").cast("double").alias("feature_val"),
+    )
 
 
 @register(
@@ -143,13 +156,18 @@ def grouped_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _rt(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
     def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # Half-away-from-zero to match DuckDB's ROUND (pandas .round is
+        # half-to-even; a tie like 2.125 would diverge 2.12 vs 2.13).
+        scaled = pdf["value"] * 100
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
                 "visit_rank": range(1, len(pdf) + 1),
-                "value": (pdf["value"] * 100).round(0) / 100,
+                "value": np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / 100,
             }
         )
 

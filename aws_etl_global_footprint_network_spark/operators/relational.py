@@ -447,7 +447,10 @@ def set_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return a.exceptAll(b).distinct()
+    # subtract == SQL EXCEPT (distinct): drops a key present in both
+    # sides regardless of multiplicity. exceptAll().distinct() would
+    # wrongly keep a key whose left multiplicity exceeds the right's.
+    return a.distinct().subtract(b)
 
 
 # --------------------------------------------------------------------

@@ -26,9 +26,16 @@ def salted_join(
     is replicated n_salt times; the join runs on (key, salt), so one
     hot key spreads over n_salt shuffle partitions instead of one
     straggler task. Result is identical to ``left.join(right, key,
-    how)`` (pinned by test); cost is n_salt x the right side, so keep
-    the right side the smaller input.
+    how)`` for ``inner`` and ``left``/``left_outer`` ONLY (pinned by
+    test) — right/full outer would emit each unmatched right row
+    n_salt times (once per replica), so those are rejected. Cost is
+    n_salt x the right side, so keep the right side the smaller input.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full outer would duplicate unmatched right rows per salt"
+        )
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
     l = left.withColumn("_salt", salt)
     r = right.crossJoin(

@@ -31,43 +31,56 @@ def asof_join(
     as-of semantics, like ``ASOF JOIN ... ON r.ts <= l.ts``).
 
     Implementation: tag and union both sides, sort each key group by
-    (ts, side) with right rows first on ties, and carry right values
-    forward with ``last(ignorenulls)``. Exactly one shuffle, and skew
-    on the key is handled by AQE like any window. At 100 TB this
-    beats a per-key ``merge_asof`` (no Python, no per-group memory)
-    and beats an inequality join (which Catalyst would plan as a
-    broadcast nested loop).
+    (ts, side) with right rows first on ties, and carry the right row
+    forward with ``last(ignorenulls)`` over a STRUCT of the right
+    values — the struct is non-null whenever a right row exists, so a
+    right row whose value column is legitimately NULL is still the one
+    returned (matches DuckDB ASOF; a per-column last(ignorenulls)
+    would skip it). Duplicate right timestamps are tie-broken
+    deterministically by the value struct itself (max wins). Exactly
+    one shuffle, and skew on the key is handled by AQE like any
+    window. At 100 TB this beats a per-key ``merge_asof`` (no Python,
+    no per-group memory) and beats an inequality join (which Catalyst
+    would plan as a broadcast nested loop).
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    r_struct_type = T.StructType(
+        [T.StructField(v, right.schema[v].dataType) for v in right_values]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_values],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *on,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
-        *[F.col(v).alias(f"_r_{v}") for v in right_values],
+        F.struct(*[F.col(v).alias(v) for v in right_values]).alias("_r"),
     ).select(  # align column order with l
-        *lcols, "_asof_ts", "_asof_side", *[f"_r_{v}" for v in right_values]
+        *lcols, "_asof_ts", "_asof_side", "_r"
     )
+    # Order: right rows before left at equal ts (side 0 < 1); among
+    # equal right timestamps, ascending by the value struct so last()
+    # picks the max — a deterministic tie-break.
     w = (
         Window.partitionBy(*on)
-        .orderBy("_asof_ts", "_asof_side")
+        .orderBy("_asof_ts", "_asof_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(
         *lcols,
         "_asof_side",
-        *[
-            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v)
-            for v in right_values
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r_carried"),
     )
-    return carried.filter(F.col("_asof_side") == 1).drop("_asof_side")
+    return (
+        carried.filter(F.col("_asof_side") == 1)
+        .select(*lcols, *[F.col(f"_r_carried.{v}").alias(v) for v in right_values])
+    )
 
 
 @register(
@@ -194,7 +207,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            CAST(date_trunc('month', ts) AS DATE) AS month,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n, ROUND(SUM(value) * 100, 0) / 100 AS total_value
     FROM events
     GROUP BY GROUPING SETS ((date_trunc('day', ts)),
                             (date_trunc('month', ts)), ())
@@ -206,11 +219,13 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_rollup_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_testdata(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events_trmg")
+    # Scaled ROUND(x*100,0)/100 on BOTH sides: Spark's ROUND(x, 2)
+    # (BigDecimal HALF_UP) and DuckDB's disagree near .xx5 boundaries.
     return spark.sql(
         """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                CAST(date_trunc('month', ts) AS DATE) AS month,
-               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+               COUNT(*) AS n, ROUND(SUM(value) * 100, 0) / 100 AS total_value
         FROM events_trmg
         GROUP BY GROUPING SETS ((date_trunc('day', ts)),
                                 (date_trunc('month', ts)), ())

@@ -37,20 +37,32 @@ def test_approx_distinct_within_error(spark, sf_dir_mid):
 
 
 def test_multimodal_features_shape_and_determinism(spark, sf_dir):
+    # Driver-facing shape: exploded (doc_id, n_bytes, feature_pos,
+    # feature_val) — every column scalar so the hash gate can sort it.
     df1 = SPECS["multimodal_features"].builder(spark, sf_dir)
-    rows1 = {r.doc_id: (r.n_bytes, tuple(r.features)) for r in df1.collect()}
+    assert df1.columns == ["doc_id", "n_bytes", "feature_pos", "feature_val"]
+    rows1 = {(r.doc_id, r.feature_pos): (r.n_bytes, r.feature_val) for r in df1.collect()}
     docs = read_testdata(spark, sf_dir, "documents")
-    assert len(rows1) == docs.count()
     from aws_etl_global_footprint_network_spark.operators.multimodal import FEATURE_DIM
 
-    for doc_id, (n_bytes, feats) in rows1.items():
-        assert len(feats) == FEATURE_DIM and n_bytes > 0
+    assert len(rows1) == docs.count() * FEATURE_DIM
+    for (doc_id, pos), (n_bytes, val) in rows1.items():
+        assert 0 <= pos < FEATURE_DIM and n_bytes > 0 and val is not None
     # deterministic across runs (stub decode is pure)
     rows2 = {
-        r.doc_id: (r.n_bytes, tuple(r.features))
+        (r.doc_id, r.feature_pos): (r.n_bytes, r.feature_val)
         for r in SPECS["multimodal_features"].builder(spark, sf_dir).collect()
     }
     assert rows1 == rows2
+    # the array-returning library API keeps one row per doc
+    from aws_etl_global_footprint_network_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    lib = extract_features(attach_binary_payload(docs))
+    first = lib.limit(1).collect()[0]
+    assert len(first.features) == FEATURE_DIM
 
 
 def test_stateful_streaming_rows_shape(spark, sf_dir):

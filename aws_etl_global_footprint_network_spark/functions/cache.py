@@ -1,0 +1,51 @@
+"""Scoped persist lifecycle for query builders.
+
+Several operators persist intermediates that are read more than once
+within one query (LSH band tables, shingle sets). A bare
+``df.persist()`` leaks in a long-lived session: every re-invocation of
+the builder caches a fresh copy and nothing drops the old one.
+
+``CacheScope`` ties persisted DataFrames to a named scope (one per
+query). Re-entering a scope unpersists everything the previous
+generation cached, so repeated invocations of any registry query keep
+executor storage flat — at most one live generation per query name.
+The current generation stays cached after the builder returns (the
+caller still has to execute the lazy plan); it is released on the
+NEXT build or by an explicit :func:`release_all` (e.g. test teardown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: dict[str, "CacheScope"] = {}
+
+
+class CacheScope:
+    """Generation-scoped persist: ``CacheScope("q").persist(df)``."""
+
+    def __init__(self, name: str):
+        prev = _LIVE.pop(name, None)
+        if prev is not None:
+            prev.release()
+        _LIVE[name] = self
+        self.name = name
+        self._dfs: list[DataFrame] = []
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        self._dfs.append(df)
+        return df.persist()
+
+    def release(self) -> None:
+        for df in self._dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+        self._dfs.clear()
+
+
+def release_all() -> None:
+    """Unpersist every live scope (test teardown / session shutdown)."""
+    for name in list(_LIVE):
+        _LIVE.pop(name).release()

@@ -39,6 +39,7 @@ from aws_etl_global_footprint_network_spark.functions.text import (
     tokens_sql,
     word_shingles_sql,
 )
+from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
@@ -212,25 +213,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joined against the candidate ids — a broadcast, since
     candidates are tiny by LSH construction — before the pair-token
     join), never all-pairs. Set sizes ride along in the signature
-    aggregation (one groupBy computes both). The exploded shingle set
-    is persisted: it feeds the signature pass and both sides of the
-    verify join, the same intermediate a cluster job would checkpoint
-    to storage."""
-    tok = _shingle_sets(spark, sf_dir).persist()
+    aggregation (one groupBy computes both). Persisted intermediates
+    (shingle set, signatures, candidates) are scoped: re-invoking the
+    query unpersists the previous generation, so a long-lived session
+    stays at one cached copy (functions.cache.CacheScope). ``sig`` is
+    the persist point rather than ``bands``: it feeds the band
+    self-join AND both size lookups, so caching it avoids re-running
+    the signature aggregation in every broadcast job."""
+    scope = CacheScope("dedup_minhash_lsh")
+    tok = scope.persist(_shingle_sets(spark, sf_dir))
     # one groupBy yields the minhash signature AND the set size
     h = tok.select("doc_id", hash31("token").alias("h"))
-    sig = h.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
-            for i in range(MINHASH_K)
-        ],
-        F.count(F.lit(1)).alias("n"),
+    sig = scope.persist(
+        h.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
+                for i in range(MINHASH_K)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
     )
-    # persist: the band self-join reads this twice; without it each
-    # side re-runs the signature aggregation over the shingle set
-    bands = lsh_band_buckets(sig).persist()
+    bands = lsh_band_buckets(sig)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    cand = scope.persist(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -239,7 +244,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .persist()
     )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -365,11 +369,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard on a key-bounded subset. The unbounded
     version of this is exactly what MinHash LSH approximates — this is
     the ground-truth operator used to measure LSH recall in tests."""
-    sh = (
+    scope = CacheScope("dedup_ngram_jaccard")
+    sh = scope.persist(
         _shingle_sets(spark, sf_dir)
         .filter(F.col("doc_id") < 150)
         .withColumnRenamed("token", "shingle")
-        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y")

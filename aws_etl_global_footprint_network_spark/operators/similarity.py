@@ -29,6 +29,7 @@ from aws_etl_global_footprint_network_spark.functions.vectors import (
     norm,
     norm_sql,
 )
+from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
@@ -45,6 +46,11 @@ TOPK = 5
 N_QUERIES = 10
 PAIR_THRESHOLD = 0.45
 LSH_PAIR_THRESHOLD = 0.40
+# Key bound for the brute-force ground-truth pair op: like
+# dedup_ngram_jaccard's doc_id<150, this caps the deliberate all-pairs
+# join at ~bound^2/2 comparisons no matter the corpus size, so the one
+# quadratic operator in the repo can never be pointed at a full corpus.
+PAIR_ID_BOUND = 1000
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -124,7 +130,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                       {norm_sql('(embedding::DOUBLE[])')} AS nrm
-               FROM embeddings),
+               FROM embeddings WHERE vec_id < {PAIR_ID_BOUND}),
     scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              {dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
@@ -132,11 +138,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_a, vec_b, ROUND(cos, 6) AS score
     FROM scored WHERE cos >= {PAIR_THRESHOLD}
     """,
-    f"brute-force embedding near-dup pairs at cosine >= {PAIR_THRESHOLD}",
+    f"brute-force embedding near-dup pairs at cosine >= {PAIR_THRESHOLD}"
+    f" (ground-truth op, key-bounded to vec_id < {PAIR_ID_BOUND})",
     tags=("similarity", "dedup"),
 )
 def ann_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+    """Ground-truth near-dup pairs for LSH recall measurement. The
+    all-pairs inequality join is deliberate (it IS the ground truth)
+    and key-bounded by PAIR_ID_BOUND so the quadratic work is capped
+    regardless of corpus size; the production path is ann_lsh_pairs."""
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < PAIR_ID_BOUND
+    ).select(
         "vec_id",
         as_double_array("embedding").alias("e"),
         norm(as_double_array("embedding")).alias("nrm"),
@@ -231,11 +244,12 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # persist: the self-join below would otherwise recompute the
     # 32-plane projection once per side (measured 1.4s/side at sf0.1
-    # for an 8000-row relation)
-    bands = (
+    # for an 8000-row relation). Scoped so repeated invocations drop
+    # the previous generation (functions.cache.CacheScope).
+    scope = CacheScope("ann_lsh_pairs")
+    bands = scope.persist(
         bits.select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("vec_id", "bb.band", "bb.bucket")
-        .persist()
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -68,6 +68,59 @@ def test_q1_wholestage_codegen(spark, sf_dir):
     assert wholestage_codegen_spans(df) >= 1
 
 
+# Queries whose plan legitimately contains a cartesian/nested-loop
+# join, each with a boundedness justification:
+CARTESIAN_WHITELIST = {
+    # deliberate CROSS JOIN operator on 25x5 dimension rows
+    "nation_region_cross",
+    # scalar-subquery pattern: broadcast of a single aggregated row
+    "acctbal_vs_global_avg",
+    # ground-truth all-pairs op, key-bounded (PAIR_ID_BOUND)
+    "ann_threshold_pairs",
+    # broadcast of the tiny (n_labels) centroid table against the corpus
+    "ivf_assignments",
+    # broadcast of the bounded (N_QUERIES) query set, non-equi predicate
+    "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
+}
+
+
+def test_no_unbounded_cartesian_in_any_registered_query(spark, sf_dir):
+    """Repo-wide scale gate: no registered query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin unless whitelisted
+    above as a deliberately bounded ground-truth/broadcast pattern."""
+    offenders = {}
+    for name, spec in sorted(SPECS.items()):
+        if name in CARTESIAN_WHITELIST:
+            continue
+        df = spec.builder(spark, sf_dir)
+        plan = executed_plan(df)
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_whitelisted_cartesians_still_exist(spark, sf_dir):
+    """The whitelist must not go stale: the deliberate cross-join query
+    really does plan a cartesian/BNLJ (otherwise prune the list)."""
+    plan = executed_plan(SPECS["nation_region_cross"].builder(spark, sf_dir))
+    assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_spread_yields_multiple_tasks(spark, sf_dir):
+    """spread() exists to break the single-file-parquet = one-task trap
+    for compute-heavy stages; it must produce >1 partition."""
+    from aws_etl_global_footprint_network_spark.sources.readers import spread
+
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    assert d.rdd.getNumPartitions() > 1
+
+
 def test_partition_pruning_on_year_filter(spark, sf_dir, tmp_path):
     """A year-partitioned warehouse table must prune partitions for a
     year predicate (the 25x scan saving on the 25-year fact table)."""

@@ -176,6 +176,57 @@ def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_upsert_partition",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+             ROUND(o_totalprice * 100, 0) / 100 AS p
+      FROM orders),
+    my AS (SELECT MAX(yr) AS y FROM base)
+    SELECT o_orderkey, yr,
+           ROUND((CASE WHEN yr = (SELECT y FROM my)
+                       THEN ROUND((p + 1) * 100, 0) / 100
+                       ELSE p END) * 100, 0) / 100 AS o_totalprice
+    FROM base
+    """,
+    "partition-level incremental upsert: physical dynamic-partition"
+    " overwrite of the latest year, applied twice to prove idempotency;"
+    " oracle states the merged result declaratively",
+    tags=("merge", "etl"),
+)
+def incremental_upsert_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physically exercises operators.ingestion.upsert_partitions: full
+    load of orders partitioned by year, then a +1-price update for the
+    max year upserted TWICE (the second run must change nothing), then
+    the table read back. Only the max-year partition is rewritten —
+    the drawio event-driven per-year refresh. The single collect() is
+    a 1-row scalar (max year), the same bounded pattern as the
+    reference's verification queries."""
+    from aws_etl_global_footprint_network_spark.operators.ingestion import (
+        drop_table_and_location,
+        upsert_partitions,
+    )
+
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        round_compat("o_totalprice", 2).alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    table = "orders_upsert_demo"
+    drop_table_and_location(spark, table)
+    o.write.partitionBy("yr").format("parquet").saveAsTable(table)
+    max_yr = o.agg(F.max("yr")).collect()[0][0]
+    updates = o.filter(F.col("yr") == max_yr).withColumn(
+        "o_totalprice", round_compat(F.col("o_totalprice") + 1, 2)
+    )
+    upsert_partitions(updates, table, "yr")
+    upsert_partitions(updates, table, "yr")  # idempotent re-run
+    return spark.table(table).select(
+        "o_orderkey", "yr", round_compat("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@register(
     "events_json_path",
     """
     SELECT event_id,

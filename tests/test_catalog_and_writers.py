@@ -30,16 +30,41 @@ def test_create_insert_describe_alter_drop(spark, sf_dir):
     assert [tuple(r) for r in spark.table("ddl_demo").collect()] == [(3, "c", "U")]
 
     # D3: the typo-repair rename (RETUNR_TYPE -> RETURN_TYPE).
-    # v1 parquet tables reject ALTER ... RENAME COLUMN (DSv2/Delta
-    # catalogs support it); the engine's documented path is a
-    # read-time rename, which we pin here (SURVEY §2.2 D3).
+    # Raw Spark SQL on a v1 parquet table rejects it (DSv2/Delta
+    # catalogs support it natively) — pinned so we notice if a Spark
+    # upgrade closes the gap:
     with pytest.raises(Exception, match="RENAME COLUMN"):
         spark.sql("ALTER TABLE ddl_demo RENAME COLUMN RETUNR_TYPE TO RETURN_TYPE")
+    # The engine's SQL entry point executes it (native where the
+    # catalog allows, staged-rewrite fallback here):
+    from aws_etl_global_footprint_network_spark.sources.catalog import execute_sql
+
+    execute_sql(spark, "ALTER TABLE ddl_demo RENAME COLUMN RETUNR_TYPE TO RETURN_TYPE")
+    cols = spark.table("ddl_demo").columns
+    assert "RETURN_TYPE" in cols and "RETUNR_TYPE" not in cols
+    # data survives the rename
+    assert [tuple(r) for r in spark.table("ddl_demo").collect()] == [(3, "c", "U")]
+    # read-time rename stays the zero-cost query-side alternative
     renamed = spark.table("ddl_demo").withColumnRenamed(
-        "RETUNR_TYPE", "RETURN_TYPE"
+        "RETURN_TYPE", "RT2"
     )
-    assert "RETURN_TYPE" in renamed.columns
+    assert "RT2" in renamed.columns
     spark.sql("DROP TABLE ddl_demo")
+
+
+def test_rename_column_validation_and_passthrough(spark):
+    from aws_etl_global_footprint_network_spark.sources.catalog import execute_sql
+
+    spark.sql("DROP TABLE IF EXISTS ddl_val")
+    spark.sql("CREATE TABLE ddl_val (a INT, b STRING) USING parquet")
+    spark.sql("INSERT INTO ddl_val VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="not found"):
+        execute_sql(spark, "ALTER TABLE ddl_val RENAME COLUMN nope TO c")
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(spark, "ALTER TABLE ddl_val RENAME COLUMN a TO b")
+    # non-rename statements pass through untouched
+    assert execute_sql(spark, "SELECT 41 + 1 AS v").collect()[0].v == 42
+    spark.sql("DROP TABLE ddl_val")
 
 
 def test_create_or_replace_view_chain(spark, sf_dir):

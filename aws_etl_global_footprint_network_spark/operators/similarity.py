@@ -210,22 +210,10 @@ def _lsh_oracle() -> str:
     """
 
 
-@register(
-    "ann_lsh_pairs",
-    _lsh_oracle(),
-    f"sign-LSH ({LSH_BANDS} bands x {BITS_PER_BAND} bits) candidate pairs"
-    f" verified at cosine >= {LSH_PAIR_THRESHOLD}",
-    tags=("similarity", "lsh"),
-)
-def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: bucket join replaces the all-pairs
-    cross join. Candidates are verified with exact cosine, so
-    precision is 1.0 and only recall depends on band geometry."""
-    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        as_double_array("embedding").alias("e"),
-        norm(as_double_array("embedding")).alias("nrm"),
-    )
+def sign_band_table(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) rows from sign-random-projection: 32
+    hyperplane sign bits packed into LSH_BANDS bucket ids. Shared by
+    the query builder and bench.py's --recall measurement."""
     bit_cols = []
     for p in range(N_PLANES):
         plane = F.array(*[F.lit(x) for x in HYPERPLANES[p]])
@@ -242,25 +230,55 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_structs.append(
             F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
         )
-    # persist: the self-join below would otherwise recompute the
-    # 32-plane projection once per side (measured 1.4s/side at sf0.1
-    # for an 8000-row relation). Scoped so repeated invocations drop
-    # the previous generation (functions.cache.CacheScope).
-    scope = CacheScope("ann_lsh_pairs")
-    bands = scope.persist(
+    return (
         bits.select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("vec_id", "bb.band", "bb.bucket")
     )
+
+
+def band_candidate_pairs(bands: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Distinct candidate pairs from same-(band,bucket) co-occurrence —
+    the generic LSH banding join (used by both LSH families)."""
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
         .distinct()
+    )
+
+
+@register(
+    "ann_lsh_pairs",
+    _lsh_oracle(),
+    f"sign-LSH ({LSH_BANDS} bands x {BITS_PER_BAND} bits) candidate pairs"
+    f" verified at cosine >= {LSH_PAIR_THRESHOLD}",
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: bucket join replaces the all-pairs
+    cross join. Candidates are verified with exact cosine, so
+    precision is 1.0 and only recall depends on band geometry."""
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        as_double_array("embedding").alias("e"),
+        norm(as_double_array("embedding")).alias("nrm"),
+    )
+    # persist: the self-join would otherwise recompute the 32-plane
+    # projection once per side (measured 1.4s/side at sf0.1 for an
+    # 8000-row relation). Scoped so repeated invocations drop the
+    # previous generation (functions.cache.CacheScope).
+    scope = CacheScope("ann_lsh_pairs")
+    bands = scope.persist(sign_band_table(emb))
+    cand = band_candidate_pairs(bands).withColumnsRenamed(
+        {"vec_id_a": "vec_a", "vec_id_b": "vec_b"}
     )
     x = emb.select(
         F.col("vec_id").alias("xid"), F.col("e").alias("xe"),

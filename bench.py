@@ -9,6 +9,9 @@ Usage:
     python bench.py                  # headline set
     python bench.py --all            # every registered query
     python bench.py --explain NAME   # formatted plan for one query
+    python bench.py --recall         # measured LSH recall + candidate
+                                     # ratio vs exact ground truth for
+                                     # minhash and sign-LSH
 """
 
 from __future__ import annotations
@@ -64,21 +67,150 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def recall_mode(spark) -> None:
+    """Measured recall and candidate ratio for both LSH families vs
+    their exact ground truths, at $SPARK_GRAFT_SF_DIR. The numbers in
+    README's LSH sections are reproduced by this mode — nothing about
+    band geometry is asserted from comments alone."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.functions.vectors import (
+        as_double_array,
+        dot,
+        norm,
+    )
+    from aws_etl_global_footprint_network_spark.operators import dedup, similarity
+    from aws_etl_global_footprint_network_spark.sources.readers import (
+        read_testdata,
+        spread,
+    )
+
+    specs = load_all()
+    out: dict[str, dict] = {}
+
+    # ---- MinHash: ground truth = exact shingle Jaccard >= threshold
+    # over the FULL corpus (shingle equi-join — linear in shared
+    # shingles, not quadratic in docs).
+    tok = dedup._shingle_sets(spark, SF_DIR).persist()
+    n_docs = tok.select("doc_id").distinct().count()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = tok.alias("x"), tok.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.token") == F.col("y.token"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    n_true = (
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("a"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("b"))
+        .filter(jac >= dedup.JACCARD_THRESHOLD)
+        .count()
+    )
+    sig = dedup.minhash_signatures(tok)
+    cand = similarity.band_candidate_pairs(
+        dedup.lsh_band_buckets(sig), id_col="doc_id"
+    )
+    n_cand = cand.count()
+    n_found = specs["dedup_minhash_lsh"].builder(spark, SF_DIR).count()
+    tok.unpersist()
+    possible = n_docs * (n_docs - 1) // 2
+    out["minhash"] = {
+        "threshold": dedup.JACCARD_THRESHOLD,
+        "n_docs": n_docs,
+        "n_true_pairs": n_true,
+        "n_candidates": n_cand,
+        "n_found": n_found,
+        "recall": round(n_found / n_true, 4) if n_true else None,
+        "candidate_ratio": round(n_cand / possible, 6) if possible else None,
+    }
+
+    # ---- Sign-LSH: ground truth = brute-force cosine >= threshold
+    # over the full corpus (measurement-only quadratic pass).
+    emb = spread(read_testdata(spark, SF_DIR, "embeddings")).select(
+        "vec_id",
+        as_double_array("embedding").alias("e"),
+        norm(as_double_array("embedding")).alias("nrm"),
+    ).persist()
+    n_vecs = emb.count()
+    a = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    true_pairs = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select(cos.alias("score"))
+        .filter(F.col("score") >= similarity.LSH_PAIR_THRESHOLD)
+        .persist()
+    )
+    n_true_v = true_pairs.count()
+    bands = similarity.sign_band_table(emb)
+    n_cand_v = similarity.band_candidate_pairs(bands).count()
+    found_pairs = specs["ann_lsh_pairs"].builder(spark, SF_DIR).persist()
+    n_found_v = found_pairs.count()
+    # Recall per similarity tier: sign-LSH collision probability rises
+    # steeply with cosine ((1 - theta/pi)^bits per band), so a single
+    # recall number at the verify threshold understates how well the
+    # index catches the near-duplicates it exists for.
+    tiers = {}
+    for t in (0.4, 0.5, 0.6, 0.7, 0.8):
+        nt = true_pairs.filter(F.col("score") >= t).count()
+        nf = found_pairs.filter(F.col("score") >= t).count()
+        tiers[str(t)] = {
+            "n_true": nt,
+            "n_found": nf,
+            "recall": round(nf / nt, 4) if nt else None,
+        }
+    true_pairs.unpersist()
+    found_pairs.unpersist()
+    emb.unpersist()
+    possible_v = n_vecs * (n_vecs - 1) // 2
+    out["sign_lsh"] = {
+        "threshold": similarity.LSH_PAIR_THRESHOLD,
+        "n_vectors": n_vecs,
+        "n_true_pairs": n_true_v,
+        "n_candidates": n_cand_v,
+        "n_found": n_found_v,
+        "recall": round(n_found_v / n_true_v, 4) if n_true_v else None,
+        "recall_by_cosine_tier": tiers,
+        "candidate_ratio": round(n_cand_v / possible_v, 6) if possible_v else None,
+    }
+
+    print(json.dumps({"metric": "lsh_recall", "sf": _sf_from_dir(SF_DIR), **out}))
+
+
 def main() -> None:
     specs = load_all()
     names = list(specs) if "--all" in sys.argv else HEADLINE
     spark = get_spark(app_name="bench")
+
+    if "--recall" in sys.argv:
+        recall_mode(spark)
+        return
 
     if "--explain" in sys.argv:
         name = sys.argv[sys.argv.index("--explain") + 1]
         specs[name].builder(spark, SF_DIR).explain("formatted")
         return
 
-    # Warm the JVM/readers on the smallest SF so JIT/classloading time
-    # doesn't land in the first measured query.
+    # Warm every measured query once at the smallest SF: Spark
+    # compiles each unique whole-stage-codegen shape on first use
+    # (janino) and caches the generated class, so a cold first run
+    # conflates one-time compile latency with throughput (measured:
+    # dedup_minhash_lsh 7.5s cold vs 3.3s steady-state at sf0.1).
+    # DuckDB (the baseline) has no such first-query cost; warming at
+    # sf0.001 (~1/100 the data) keeps the comparison apples-to-apples
+    # while the timed sf0.1 runs still do all the real work.
     warm = os.path.join(os.path.dirname(os.path.normpath(SF_DIR)), "sf0.001")
-    if os.path.isdir(warm):
-        specs["q1_pricing_summary"].builder(spark, warm).count()
+    if os.path.isdir(warm) and warm != os.path.normpath(SF_DIR):
+        for name in names:
+            try:
+                specs[name].builder(spark, warm).count()
+            except Exception as exc:  # pragma: no cover - warmup is best-effort
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,221 @@
+"""Training-data preparation operators over ``documents`` ([EXT] —
+LLM-pipeline surface beyond the reference, per the build brief):
+TF-IDF term scoring, deterministic train/test splitting, and near-dup
+cluster resolution (connected components over verified pairs).
+
+Scale posture: TF-IDF is two shuffles (term-frequency groupBy +
+document-frequency groupBy) and one vocab join — no broadcast of the
+vocabulary, which at 100 TB does not fit a broadcast. The split is a
+map-only md5 bucket. Connected components is the standard Pregel-style
+min-label propagation: O(diameter) join+groupBy rounds over the edge
+list, with lineage cut per round (localCheckpoint locally; a real
+cluster job checkpoints to durable storage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.functions.hashing import md5_hash60, md5_hash60_sql
+from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
+
+TFIDF_TOP = 3
+TRAIN_PCT = 80
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             ROUND(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) * 1e6, 0) / 1e6
+               AS score
+      FROM tf t JOIN df d USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rank
+      FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+           CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TFIDF_TOP}
+    """,
+    f"TF-IDF top-{TFIDF_TOP} terms per document (smoothed idf);"
+    " ranking runs on the ROUNDED score so both engines order"
+    " identically despite last-ulp ln() differences",
+    tags=("text", "mlprep"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles (tf, df) + one token-keyed join; the corpus size N
+    enters as a broadcast 1-row aggregate, the same scalar-subquery
+    plan as acctbal_vs_global_avg. The vocabulary join is deliberately
+    NOT broadcast: at real scale the vocab is larger than a broadcast
+    budget, and Catalyst will still pick broadcast on its own below
+    the threshold."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token", "tf",
+            round_compat(F.col("tf") * idf, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+            "rank",
+        )
+    )
+
+
+@register(
+    "train_test_split_hash",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST({md5_hash60_sql("('split|' || doc_id::VARCHAR)")} % 100 AS INT)
+             AS bucket,
+           CASE WHEN {md5_hash60_sql("('split|' || doc_id::VARCHAR)")} % 100
+                     < {TRAIN_PCT}
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    f"deterministic {TRAIN_PCT}/{100 - TRAIN_PCT} train/test split via"
+    " salted md5 bucket — stable across runs, engines, and cluster"
+    " sizes (no RNG state)",
+    tags=("mlprep",),
+)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only: the split of a document is a pure function of its id,
+    so re-running the pipeline (or running it on a different cluster
+    layout) assigns every document to the same side — the property
+    sample()/rand() cannot give. The 'split|' salt decouples this
+    bucketing from any other md5 bucketing on the same key."""
+    d = read_testdata(spark, sf_dir, "documents")
+    bucket = md5_hash60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train").otherwise("test").alias("split"),
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    ``(u, v)`` -> ``(node, cluster_id)`` where cluster_id is the
+    smallest node id in the component.
+
+    Pregel-style: each round every node adopts the minimum label among
+    itself and its neighbours; converged when no label changes. Rounds
+    needed = graph diameter (near-dup clusters are shallow — pairs
+    chain through shared shingles — so this is small). Each round is
+    one join + one groupBy; ``localCheckpoint`` cuts the growing
+    lineage (on a cluster: ``checkpoint`` to durable storage). The
+    per-round convergence count is a driver-side scalar — one long per
+    round, the same bounded pattern as any Pregel superstep barrier."""
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _clusters_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.operators.dedup import _ngram_oracle
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_ngram_oracle()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        WHERE e.v <> r.u)
+    SELECT CAST(u AS BIGINT) AS doc_id,
+           CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u
+    """
+
+
+@register(
+    "dedup_clusters",
+    _clusters_oracle(),
+    "near-dup cluster resolution: connected components (min-label"
+    " propagation) over the verified n-gram Jaccard pairs; oracle is a"
+    " recursive-CTE transitive closure",
+    tags=("dedup", "mlprep", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after pair detection in every dedup pipeline: pairs
+    chain (A~B, B~C => {{A,B,C}}), and one representative per CLUSTER
+    must be kept, not one per pair. Runs on the same bounded
+    ground-truth pair set as dedup_ngram_jaccard; on the production
+    path the input is dedup_minhash_lsh's verified pairs — same edge
+    schema, same algorithm."""
+    from aws_etl_global_footprint_network_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return connected_components(pairs).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )

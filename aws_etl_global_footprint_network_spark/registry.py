@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     from aws_etl_global_footprint_network_spark.operators import (  # noqa: F401
         advanced,
         dedup,
+        ml_prep,
         multimodal,
         relational,
         relational2,

@@ -168,6 +168,166 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_stream(spark: SparkSession, raw: DataFrame, n_files: int = 4):
+    """Stage the source as n_files parquet files and return a stream
+    feeding ONE file per micro-batch — forces state to carry across
+    batches for any stateful operator under test."""
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="stream_staged_src_")
+    raw.repartition(n_files).write.mode("overwrite").parquet(staged)
+    return (
+        spark.readStream.schema(raw.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(staged)
+    )
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas (the 4.x arbitrary-state API) drives
+    its state server over protobuf; without google.protobuf in the
+    Python environment the driver worker crashes at init. Gate it."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def first_seen_transform_with_state(
+    spark: SparkSession, stream: DataFrame
+) -> DataFrame:
+    """First-seen dedup via ``transformWithStateInPandas`` — the
+    modern (Spark 4.x) StatefulProcessor API with a typed ValueState.
+    Semantics identical to ``streaming_first_seen_stateful`` below
+    (which runs on the older applyInPandasWithState API available in
+    this image); this is the code path a protobuf-equipped cluster
+    uses. Raises a clear error when the environment cannot run it —
+    gated, per the project's stub policy, rather than crashing inside
+    the streaming engine."""
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, which is"
+            " not installed in this environment; use"
+            " streaming_first_seen_stateful (applyInPandasWithState) instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("first_seen", "min_id bigint, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                min_id, n = self._state.get()
+            else:
+                min_id, n = None, 0
+            for pdf in rows:
+                n += len(pdf)
+                batch_min = int(pdf["event_id"].min())
+                min_id = batch_min if min_id is None else min(min_id, batch_min)
+            self._state.update((min_id, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "first_event_id": [min_id],
+                    "n_seen": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id", "event_type").transformWithStateInPandas(
+        FirstSeen(),
+        outputStructType=(
+            "user_id bigint, event_type string, first_event_id bigint, n_seen bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+@register(
+    "streaming_first_seen_stateful",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           COUNT(*) AS n_seen
+    FROM events GROUP BY user_id, event_type
+    """,
+    "streaming first-seen dedup per (user, event_type): custom state"
+    " across micro-batches; min-event-id semantics are arrival-order"
+    " independent, so a batch oracle hash-checks a genuinely stateful"
+    " streaming job",
+    tags=("streaming", "stateful", "dedup"),
+)
+def streaming_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of dedup_exact: per-key state holds
+    (min_event_id, n_seen) across micro-batches. Emitting the MIN
+    makes the final answer independent of arrival order — that is
+    what lets a deterministic batch oracle verify a stateful stream.
+    Runs on applyInPandasWithState (available here); the
+    transformWithStateInPandas variant of the same operator is
+    ``first_seen_transform_with_state`` (protobuf-gated)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    name = f"stream_firstseen_{uuid.uuid4().hex[:8]}"
+
+    def update(key, pdfs, state: GroupState):
+        min_id, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_min = int(pdf["event_id"].min())
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+        state.update((min_id, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "first_event_id": [min_id],
+                "n_seen": [n],
+            }
+        )
+
+    out = _staged_stream(spark, raw).groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_type string, first_event_id bigint, n_seen bigint"
+        ),
+        stateStructType="min_id bigint, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # A key emits once per micro-batch it appears in; the row with the
+    # largest n_seen carries the complete state.
+    from pyspark.sql import Window
+
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n_seen").desc(), F.col("first_event_id")
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", "first_event_id", "n_seen")
+    )
+
+
 @register(
     "streaming_user_totals_stateful",
     None,  # arbitrary-stateful op: rows-only driver check by design

@@ -75,6 +75,8 @@ CARTESIAN_WHITELIST = {
     "nation_region_cross",
     # scalar-subquery pattern: broadcast of a single aggregated row
     "acctbal_vs_global_avg",
+    # same pattern: corpus size N enters as a broadcast 1-row aggregate
+    "tfidf_top_terms",
     # ground-truth all-pairs op, key-bounded (PAIR_ID_BOUND)
     "ann_threshold_pairs",
     # broadcast of the tiny (n_labels) centroid table against the corpus

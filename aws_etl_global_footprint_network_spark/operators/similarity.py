@@ -406,3 +406,131 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_compat("d", 6).alias("sq_dist"),
         )
     )
+
+
+NPROBE = 2
+
+
+@register(
+    "ivf_topk_probe",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {norm_sql('(embedding::DOUBLE[])')} AS nrm
+               FROM embeddings),
+    ex AS (SELECT t.label, generate_subscripts(t.e, 1) AS pos,
+                  unnest(t.e) AS val
+           FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) t),
+    cent AS (
+      SELECT label, pos,
+             ROUND(AVG(val) * 1e{CENTROID_ROUND}, 0) / 1e{CENTROID_ROUND} AS cv
+      FROM ex GROUP BY label, pos),
+    carr AS (
+      SELECT label, list(cv ORDER BY pos) AS c FROM cent GROUP BY label),
+    dists AS (
+      SELECT v.vec_id, carr.label,
+             list_sum(list_transform(range(1, len(v.e)+1),
+                      i -> (v.e[i] - carr.c[i]) * (v.e[i] - carr.c[i]))) AS d
+      FROM v CROSS JOIN carr),
+    assigned AS (
+      SELECT vec_id, label AS assigned_label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+        FROM dists) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+        FROM dists WHERE vec_id < {N_QUERIES}) WHERE rn <= {NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND({dot_sql('q.e', 'x.e')} / (q.nrm * x.nrm), 6) AS score
+      FROM probes p
+      JOIN assigned a ON a.assigned_label = p.label
+      JOIN v q ON q.vec_id = p.query_id
+      JOIN v x ON x.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+    f"IVF probe search: each query scans only its {NPROBE} nearest"
+    " centroids' inverted lists — the complete train/assign/search"
+    " index path",
+    tags=("similarity", "ivf"),
+)
+def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF search path proper (train + assign exist as their own
+    operators): query -> nprobe nearest centroids -> exact cosine over
+    ONLY the vectors assigned to those lists -> top-k. Scale: corpus
+    vectors never meet queries outside their probed lists, so scanned
+    work is corpus/n_lists * nprobe per query — the inverted-file
+    contract. Centroids are tiny and broadcast twice (assignment,
+    probing); the candidate join is an equi-join on label. Approximate
+    by construction (a true neighbour outside the probed lists is
+    missed) — identical semantics declared in the oracle, so the hash
+    gate still verifies exactly."""
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        as_double_array("embedding").alias("e"),
+        norm(as_double_array("embedding")).alias("nrm"),
+    )
+    cent = ivf_label_centroids(spark, sf_dir)
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("c")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dists = emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", dist.alias("d"), "e", "nrm"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d", "label")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w_assign))
+        .filter("rn = 1")
+        .select("vec_id", F.col("label").alias("assigned_label"), "e", "nrm")
+    )
+    probes = (
+        dists.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "label",
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(probes), F.col("assigned_label") == F.col("label")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = dot("qe", "e") / (F.col("qnrm") * F.col("nrm"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        round_compat(cos, 6).alias("score"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+

@@ -120,6 +120,68 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize_stats",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    rng AS (
+      SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx,
+             (list_max(e) - list_min(e)) / 255.0 AS scale
+      FROM v),
+    err AS (
+      SELECT vec_id, mn, mx, scale,
+             list_transform(e,
+               x -> abs(x - (mn + round((x - mn) / scale) * scale))) AS errs
+      FROM rng WHERE scale > 0)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(mn * 1e6, 0) / 1e6 AS v_min,
+           ROUND(mx * 1e6, 0) / 1e6 AS v_max,
+           ROUND(scale * 1e8, 0) / 1e8 AS scale,
+           ROUND(list_max(errs) * 1e8, 0) / 1e8 AS max_abs_err,
+           ROUND(list_sum(errs) / len(errs) * 1e8, 0) / 1e8 AS mean_abs_err
+    FROM err
+    """,
+    "int8 scalar quantization stats per embedding (scale + max/mean"
+    " reconstruction error) — the storage-compression sizing pass for"
+    " an embedding corpus",
+    tags=("similarity", "mlprep"),
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric int8 quantization q = round((x-min)/scale): a 64-dim
+    float32 vector drops 4x to 64 bytes, which at 10^10 embeddings is
+    the difference between a corpus that fits the cluster and one that
+    doesn't. Map-only (one pass, no shuffle); the reconstruction-error
+    columns are what an index designer reads to pick int8 vs float16.
+    Integer-grid round() agrees between engines (both half-away from
+    zero for positive operands); fractional outputs use the scaled
+    round_compat form."""
+    from pyspark.sql import types as T  # noqa: F401
+
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    rng = emb.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("mn"),
+        F.array_max("e").alias("mx"),
+        ((F.array_max("e") - F.array_min("e")) / F.lit(255.0)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    dq = lambda x: F.col("mn") + F.round((x - F.col("mn")) / F.col("scale"), 0) * F.col("scale")  # noqa: E731
+    errs = F.transform("e", lambda x: F.abs(x - dq(x)))
+    withe = rng.select("vec_id", "mn", "mx", "scale", errs.alias("errs"))
+    return withe.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        round_compat("mn", 6).alias("v_min"),
+        round_compat("mx", 6).alias("v_max"),
+        round_compat("scale", 8).alias("scale"),
+        round_compat(F.array_max("errs"), 8).alias("max_abs_err"),
+        round_compat(
+            F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.size("errs"), 8
+        ).alias("mean_abs_err"),
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 15
 ) -> DataFrame:

@@ -1,0 +1,135 @@
+"""Behavioral analytics over ``events`` ([EXT]): ordered funnel and
+cohort retention — the two queries every product-analytics engine
+(and the reference's events surface) is ultimately asked for.
+
+Scale posture: both are built on a single hash partitioning by
+``user_id`` — the funnel chains window expressions over one shuffle
+(no re-sort: same partition key, no ordering requirement), retention
+is two aggregations joined on the same key. No driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    """
+    WITH u1 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    u2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN u1 ON u1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= u1.t1
+      GROUP BY e.user_id),
+    u3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN u2 ON u2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= u2.t2
+      GROUP BY e.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(u1.t1) AS BIGINT) AS n_view,
+           CAST(COUNT(u2.t2) AS BIGINT) AS n_view_click,
+           CAST(COUNT(u3.t3) AS BIGINT) AS n_view_click_purchase
+    FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+    """,
+    "ordered funnel view -> click -> purchase: users reaching each"
+    " stage IN ORDER (each step's timestamp must be at or after the"
+    " previous step's first occurrence)",
+    tags=("behavioral", "window"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained window expressions over ONE partitioning: t1 = first
+    view; t2 = first click at-or-after t1; t3 = first purchase
+    at-or-after t2. Each step references the previous step's window
+    result, so they live in consecutive selects — Catalyst keeps them
+    in one Window stage chain on the same hash partitioning (no
+    re-shuffle, no sort: unordered frames)."""
+    ev = read_testdata(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST((a.active_week - f.cohort_week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+    "cohort retention matrix: users grouped by first-seen week,"
+    " counted per weeks-since-cohort offset",
+    tags=("behavioral", "agg"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregations + one join, all partitioned by user_id; the
+    cohort table is small (one row per user) and joins back to the
+    distinct (user, week) activity — at 100 TB both sides are already
+    hashed by user_id from their groupBys, so the join is a cheap
+    co-partitioned merge under AQE."""
+    ev = read_testdata(spark, sf_dir, "events").select("user_id", "ts")
+    wk = F.date_trunc("week", "ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

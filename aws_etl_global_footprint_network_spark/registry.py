@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module for its registration side effects."""
     from aws_etl_global_footprint_network_spark.operators import (  # noqa: F401
         advanced,
+        behavioral,
         dedup,
         ml_prep,
         multimodal,

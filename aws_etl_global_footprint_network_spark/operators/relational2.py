@@ -217,3 +217,91 @@ def key_uniqueness_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(violations(li, ["l_orderkey", "l_linenumber"], "lineitem_pk"))
         .unionByName(violations(ev, ["user_id", "ts"], "events_user_ts"))
     )
+
+
+@register(
+    "referential_integrity_checks",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+         ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        AS orphan_orders,
+      (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+         ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+         ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        AS orphan_suppliers
+    """,
+    "referential-integrity audit across the star schema: orphaned"
+    " foreign keys per fact/dim edge (the post-load ETL gate)",
+    tags=("checks", "join"),
+)
+def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each FK edge is a LEFT ANTI join + count — at scale the dim
+    side broadcasts and each check is one map-side pass over the fact;
+    the three 1-row results cross-join (broadcast) into the single
+    audit row the reference's run_checks pattern expects."""
+    o = read_testdata(spark, sf_dir, "orders")
+    c = read_testdata(spark, sf_dir, "customer")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    s = read_testdata(spark, sf_dir, "supplier")
+    n = read_testdata(spark, sf_dir, "nation")
+
+    def orphans(fact: DataFrame, dim: DataFrame, fk: str, pk: str, name: str) -> DataFrame:
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        orphans(o, c, "o_custkey", "c_custkey", "orphan_orders")
+        .crossJoin(F.broadcast(orphans(li, o, "l_orderkey", "o_orderkey", "orphan_lineitems")))
+        .crossJoin(F.broadcast(orphans(s, n, "s_nationkey", "n_nationkey", "orphan_suppliers")))
+    )
+
+
+HIST_WIDTH = 50_000
+
+
+@register(
+    "order_value_histogram",
+    f"""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / {HIST_WIDTH}) AS INT) AS bucket,
+             o_totalprice FROM orders)
+    SELECT bucket,
+           CAST(bucket * {HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+           CAST((bucket + 1) * {HIST_WIDTH} AS DOUBLE) AS bucket_hi,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice) * 100, 0) / 100 AS min_val,
+           ROUND(MAX(o_totalprice) * 100, 0) / 100 AS max_val
+    FROM b GROUP BY bucket
+    """,
+    f"fixed-width value histogram of order totals (width {HIST_WIDTH})"
+    " — the distribution-profiling pass behind partition/skew sizing",
+    tags=("agg", "checks"),
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy on the derived bucket key: the same single-shuffle
+    shape at any scale, and the output is bounded by the value range,
+    not the row count — safe to collect, plot, or alert on."""
+    o = read_testdata(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("int")
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_compat(F.min("o_totalprice"), 2).alias("min_val"),
+            round_compat(F.max("o_totalprice"), 2).alias("max_val"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * HIST_WIDTH).alias("bucket_lo"),
+            ((F.col("bucket") + 1).cast("double") * HIST_WIDTH).alias("bucket_hi"),
+            "n",
+            "min_val",
+            "max_val",
+        )
+    )

@@ -329,6 +329,66 @@ def streaming_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_foreachbatch_upsert",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n,
+           ROUND(SUM(value) * 100, 0) / 100 AS total_value
+    FROM events GROUP BY 1
+    """,
+    "foreachBatch sink: streaming daily aggregation upserted per"
+    " micro-batch into a day-partitioned warehouse table via dynamic"
+    " partition overwrite; final table equals the batch aggregate",
+    tags=("streaming", "merge", "etl"),
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming sink pattern: a stateful streaming
+    aggregation in update mode emits, per micro-batch, the CUMULATIVE
+    totals of every day touched by that batch; foreachBatch upserts
+    exactly those day-partitions (operators.ingestion.upsert_partitions
+    — replaceWhere semantics). Later batches re-emit a day with its
+    new cumulative value and overwrite the same partition, so the
+    final table equals the batch aggregate regardless of how events
+    were split across micro-batches — which is what lets the DuckDB
+    oracle hash-check a streaming WRITE path end-to-end. No watermark
+    here (the staged files arrive in arbitrary order; production sets
+    one and accepts late-data finalisation)."""
+    import os
+
+    from aws_etl_global_footprint_network_spark.operators.ingestion import (
+        drop_table_and_location,
+        upsert_partitions,
+    )
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    table = "streaming_daily_upsert_sink"
+    drop_table_and_location(spark, table)
+
+    agg = (
+        normalize_nanos(_staged_stream(spark, raw))
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_partitions(batch_df, table, "day")
+
+    q = (
+        agg.writeStream.foreachBatch(upsert_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).select(
+        "day", "n", round_compat("total_value", 2).alias("total_value")
+    )
+
+
+@register(
     "streaming_user_totals_stateful",
     None,  # arbitrary-stateful op: rows-only driver check by design
     "applyInPandasWithState running per-user totals over the stream",

@@ -77,6 +77,8 @@ CARTESIAN_WHITELIST = {
     "acctbal_vs_global_avg",
     # same pattern: corpus size N enters as a broadcast 1-row aggregate
     "tfidf_top_terms",
+    # three 1-row audit aggregates cross-joined into the single audit row
+    "referential_integrity_checks",
     # ground-truth all-pairs op, key-bounded (PAIR_ID_BOUND)
     "ann_threshold_pairs",
     # broadcast of the tiny (n_labels) centroid table against the corpus

@@ -58,6 +58,26 @@ def test_asof_preserves_left_rowcount(spark, quotes_trades):
     assert asof_join(trades, quotes, ["sym"], "ts", "qts", ["price"]).count() == 4
 
 
+def test_asof_carries_legitimate_null_value(spark):
+    """A right row whose VALUE column is NULL must still be the row
+    returned when it is the latest at-or-before match — the struct
+    carry must not skip it in favour of an older non-NULL row (DuckDB
+    ASOF semantics; regression pin for the round-1 advice fix)."""
+    trades = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:20"))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:10"), None),  # latest match, NULL value
+        ],
+        "sym string, qts timestamp, price double",
+    )
+    out = asof_join(trades, quotes, ["sym"], "ts", "qts", ["price"]).collect()
+    assert len(out) == 1 and out[0].price is None
+
+
 def test_flagship_as_pure_sql_text(spark):
     """EP3: the engine must accept the workload as SQL text. Build the
     notebook's CTE chain in Spark SQL (with our %W expression inlined)

@@ -305,3 +305,81 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_val",
         )
     )
+
+
+@register(
+    "part_regex_funcs",
+    r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(p_name, '^a') THEN 1 ELSE 0 END AS starts_a,
+           CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red,
+           CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS INT)
+             AS n_words
+    FROM part WHERE p_partkey <= 200
+    """,
+    "regex scalar functions (extract/replace/match) + LIKE — patterns"
+    " restricted to the class-and-anchor subset where Java and RE2"
+    " dialects agree",
+    tags=("projection", "regex"),
+)
+def part_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex dialects (Java in Spark, RE2 in DuckDB) agree on character
+    classes, anchors, and literal alternation — the subset used here;
+    backrefs/lookaround would not port and are deliberately excluded
+    from the engine's compatibility surface."""
+    p = read_testdata(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("^a"), 1).otherwise(0).alias("starts_a"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("has_red"),
+        (F.length(F.regexp_replace("p_name", "[^ ]", "")) + 1)
+        .cast("int")
+        .alias("n_words"),
+    )
+
+
+@register(
+    "null_semantics_suite",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS v,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS w
+      FROM customer WHERE c_custkey <= 300)
+    SELECT c_custkey,
+           ROUND(COALESCE(v, w, 0.0) * 100, 0) / 100 AS first_non_null,
+           CASE WHEN v IS NOT DISTINCT FROM w THEN 1 ELSE 0 END AS null_safe_eq,
+           ROUND(NULLIF(COALESCE(v, 0.0), 0.0) * 100, 0) / 100 AS nullif_zero,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS v_is_null,
+           ROUND(IFNULL(v, -1.0) * 100, 0) / 100 AS v_or_neg1
+    FROM base
+    """,
+    "NULL-semantics suite: COALESCE / NULLIF / IFNULL / IS [NOT]"
+    " DISTINCT FROM (null-safe equality) / IS NULL",
+    tags=("projection", "nulls"),
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_testdata(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("v"),
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("w"),
+    )
+    return base.select(
+        "c_custkey",
+        round_compat(F.coalesce("v", "w", F.lit(0.0)), 2).alias("first_non_null"),
+        F.when(F.col("v").eqNullSafe(F.col("w")), 1).otherwise(0).alias("null_safe_eq"),
+        round_compat(F.nullif(F.coalesce("v", F.lit(0.0)), F.lit(0.0)), 2).alias(
+            "nullif_zero"
+        ),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("v_is_null"),
+        round_compat(F.ifnull("v", F.lit(-1.0)), 2).alias("v_or_neg1"),
+    )

@@ -45,3 +45,52 @@ def salted_join(
     )
     out = l.join(r, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+from pyspark.sql import SparkSession
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+
+@register(
+    "salted_join_revenue",
+    """
+    WITH fact AS (
+      SELECT CAST(l_orderkey % 5 AS BIGINT) AS hot_key,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem),
+    dim AS (
+      SELECT CAST(n_nationkey % 5 AS BIGINT) AS hot_key,
+             MIN(n_name) AS bucket_name
+      FROM nation GROUP BY 1)
+    SELECT d.bucket_name, COUNT(*) AS n,
+           ROUND(SUM(f.rev) * 100, 0) / 100 AS revenue
+    FROM fact f JOIN dim d USING (hot_key)
+    GROUP BY d.bucket_name
+    """,
+    "salted skew join, driver-checked: a 5-hot-key fact x dim join run"
+    " through salted_join; the oracle is the PLAIN join — pinning that"
+    " salting is semantically transparent",
+    tags=("join", "skew"),
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The worst-case shuffle-join shape at 100 TB: a fact keyed on a
+    handful of hot values (here l_orderkey % 5 — every row is a hot
+    key). salted_join spreads each hot key over n_salt sub-partitions
+    so no single task owns a key's full row set; the oracle runs the
+    unsalted join, so the hash gate proves the rewrite changes the
+    schedule, never the answer."""
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 5).cast("bigint").alias("hot_key"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    n = read_testdata(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") % 5).cast("bigint").alias("hot_key"), "n_name"
+    ).groupBy("hot_key").agg(F.min("n_name").alias("bucket_name"))
+    joined = salted_join(li, n, "hot_key", n_salt=8, how="inner")
+    return joined.groupBy("bucket_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_compat(F.sum("rev"), 2).alias("revenue"),
+    )

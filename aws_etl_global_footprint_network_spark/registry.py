@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational2,
         similarity,
         similarity_vectorized,
+        skew,
         temporal,
         text_analysis,
         windows_suite,

@@ -79,6 +79,8 @@ CARTESIAN_WHITELIST = {
     "tfidf_top_terms",
     # three 1-row audit aggregates cross-joined into the single audit row
     "referential_integrity_checks",
+    # deliberate broadcast salt-range replication (n_salt=8 rows)
+    "salted_join_revenue",
     # ground-truth all-pairs op, key-bounded (PAIR_ID_BOUND)
     "ann_threshold_pairs",
     # broadcast of the tiny (n_labels) centroid table against the corpus

@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         text_analysis,
         windows_suite,
     )
+    from aws_etl_global_footprint_network_spark.sources import calendar  # noqa: F401
     from aws_etl_global_footprint_network_spark.streaming import jobs  # noqa: F401
 
     return REGISTRY

@@ -51,3 +51,35 @@ def build_calendar(
             (monday1 <= F.lit(5)).alias("IS_WORKING_DAY"),
         )
     )
+
+
+from aws_etl_global_footprint_network_spark.registry import register
+
+
+@register(
+    "calendar_spine",
+    """
+    WITH d AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2025-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS DATE)
+    SELECT DATE,
+           CAST(isodow(DATE) AS BIGINT) AS DAY_OF_WEEK,
+           dayname(DATE) AS TEXT_DAY_OF_WEEK,
+           monthname(DATE) AS TEXT_MONTH_OF_YEAR,
+           FALSE AS IS_HOLIDAY,
+           isodow(DATE) <= 5 AS IS_WORKING_DAY
+    FROM d
+    """,
+    "distributed calendar-dimension generation (the reference's"
+    " calendar.csv content rules): date spine + Monday=1 weekday,"
+    " English day/month names, working-day flags",
+    tags=("source", "calendar"),
+)
+def calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_calendar exposed to the driver gate on a 2-year range;
+    sf_dir is unused (the spine is generated, not read — the one
+    source operator whose input is pure computation). spark.range
+    keeps generation distributed: the same plan makes a millennium
+    spine without a driver-side list."""
+    return build_calendar(spark, "2024-01-01", "2025-12-31")

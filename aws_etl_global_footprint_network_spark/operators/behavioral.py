@@ -133,3 +133,103 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "orders_monthly_growth",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             ROUND(SUM(o_totalprice) * 100, 0) / 100 AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           ROUND(LAG(revenue) OVER (ORDER BY month) * 100, 0) / 100
+             AS prev_revenue,
+           ROUND((revenue / LAG(revenue) OVER (ORDER BY month) - 1) * 1e6, 0)
+             / 1e6 AS growth
+    FROM monthly
+    """,
+    "month-over-month revenue growth: aggregate -> ordered lag window"
+    " over the aggregated series",
+    tags=("behavioral", "window", "agg"),
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an AGGREGATED series: the monthly table is tiny
+    (one row per month) so the unpartitioned ordered window is safe at
+    any source scale — the scale risk lives in the groupBy, which
+    shuffles normally. Growth divides rounded revenues (both engines
+    divide identical doubles), then rounds."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    o = read_testdata(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(round_compat(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        round_compat(prev, 2).alias("prev_revenue"),
+        round_compat(F.col("revenue") / prev - 1, 6).alias("growth"),
+    )
+
+
+@register(
+    "customer_rfm",
+    """
+    WITH maxd AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS d FROM orders),
+    base AS (
+      SELECT o.o_custkey AS c_custkey,
+             CAST(date_diff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                            (SELECT d FROM maxd)) AS INT) AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o.o_totalprice) * 100, 0) / 100 AS monetary
+      FROM orders o GROUP BY o.o_custkey)
+    SELECT c_custkey, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, c_custkey) AS INT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS INT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, c_custkey) AS INT) AS m_quartile
+    FROM base
+    """,
+    "RFM customer scoring: recency/frequency/monetary + quartile"
+    " buckets (deterministic tie-breaks so ntile matches exactly)",
+    tags=("behavioral", "window", "agg"),
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy on custkey then three ntile windows over the (much
+    smaller) per-customer table. Every ntile ORDER BY carries the key
+    as tie-break — without it, equal values straddling a quartile
+    boundary would bucket nondeterministically and break the hash
+    gate. The corpus max date enters as a broadcast 1-row aggregate."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    o = read_testdata(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_maxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            round_compat(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "c_custkey",
+            F.datediff("_maxd", "_last").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy("recency_days", "c_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+    )

@@ -77,6 +77,8 @@ CARTESIAN_WHITELIST = {
     "acctbal_vs_global_avg",
     # same pattern: corpus size N enters as a broadcast 1-row aggregate
     "tfidf_top_terms",
+    # same pattern: corpus max date enters as a broadcast 1-row aggregate
+    "customer_rfm",
     # three 1-row audit aggregates cross-joined into the single audit row
     "referential_integrity_checks",
     # deliberate broadcast salt-range replication (n_salt=8 rows)

@@ -281,3 +281,105 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )
+
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+PR_ROUND = 8
+
+
+def _pagerank_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.operators.dedup import _ngram_oracle
+
+    rounds = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""r{k} AS (
+      SELECT nd.node,
+             ROUND((0.15 / (SELECT c FROM n) + {PR_DAMP} * COALESCE(s.contrib, 0.0))
+                   * 1e{PR_ROUND}, 0) / 1e{PR_ROUND} AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT e.v AS node, SUM(p.r / d.deg) AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.u
+        JOIN deg d ON d.node = e.u
+        GROUP BY e.v) s ON s.node = nd.node)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS ({_ngram_oracle()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY u),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    r0 AS (SELECT node, ROUND(1.0 / (SELECT c FROM n) * 1e{PR_ROUND}, 0)
+                        / 1e{PR_ROUND} AS r FROM nodes),
+    {chain}
+    SELECT CAST(node AS BIGINT) AS doc_id, r AS pagerank FROM r{PR_ITERS}
+    """
+
+
+@register(
+    "pagerank_neardup_graph",
+    _pagerank_oracle(),
+    f"fixed-{PR_ITERS}-iteration PageRank over the verified near-dup"
+    " graph — the second iterative distributed algorithm, expressible"
+    " as chained CTEs in the oracle because the iteration count is"
+    " fixed",
+    tags=("mlprep", "iterative", "graph"),
+)
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration as repeated join+groupBy (each round: edges x
+    ranks join, per-target sum, damped update) — the Pregel shape
+    again, with per-round rounding on BOTH engines so their different
+    per-group summation orders cannot drift the hash. Fixed iteration
+    count keeps the oracle declarative; a production run iterates to
+    an epsilon with lineage checkpointing every few rounds, exactly
+    like connected_components."""
+    from aws_etl_global_footprint_network_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.agg(F.count(F.lit(1)).alias("c"))
+    r = (
+        nodes.crossJoin(F.broadcast(n))
+        .select("node", round_compat(F.lit(1.0) / F.col("c"), PR_ROUND).alias("r"))
+        .localCheckpoint()
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "u2"), F.col("u") == F.col("u2"))
+            .join(
+                deg.withColumnRenamed("node", "u3").withColumnRenamed("deg", "d"),
+                F.col("u") == F.col("u3"),
+            )
+            .groupBy(F.col("v").alias("cnode"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("contrib"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.cnode, "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                round_compat(
+                    F.lit(0.15) / F.col("c")
+                    + F.lit(PR_DAMP) * F.coalesce("contrib", F.lit(0.0)),
+                    PR_ROUND,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return r.select(
+        F.col("node").cast("bigint").alias("doc_id"), F.col("r").alias("pagerank")
+    )

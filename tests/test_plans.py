@@ -79,6 +79,8 @@ CARTESIAN_WHITELIST = {
     "tfidf_top_terms",
     # same pattern: corpus max date enters as a broadcast 1-row aggregate
     "customer_rfm",
+    # same pattern: node count enters as a broadcast 1-row aggregate per round
+    "pagerank_neardup_graph",
     # three 1-row audit aggregates cross-joined into the single audit row
     "referential_integrity_checks",
     # deliberate broadcast salt-range replication (n_salt=8 rows)

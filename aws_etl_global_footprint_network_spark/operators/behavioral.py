@@ -233,3 +233,68 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).cast("int").alias("f_quartile"),
         F.ntile(4).over(wm).cast("int").alias("m_quartile"),
     )
+
+
+@register(
+    "events_topk_per_day",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+             ROUND(SUM(value) * 100, 0) / 100 AS total
+      FROM events GROUP BY 1, 2)
+    SELECT day, user_id, total, rnk FROM (
+      SELECT day, user_id, total,
+             CAST(ROW_NUMBER() OVER (PARTITION BY day
+                   ORDER BY total DESC, user_id) AS INT) AS rnk
+      FROM daily) WHERE rnk <= 3
+    """,
+    "daily top-3 users by event value: aggregate then per-day ranking"
+    " window (the leaderboard shape)",
+    tags=("behavioral", "window", "agg"),
+)
+def events_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy shrinks events to (day, user) rows before the ranking
+    window, so the window sorts the aggregate, not the fact table —
+    the order-of-operations that matters at 100 TB. Ranking runs on
+    the ROUNDED total (engines' summation orders differ) with user_id
+    tie-break."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    ev = read_testdata(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).agg(round_compat(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("day").orderBy(F.col("total").desc(), "user_id")
+    return (
+        daily.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("day", "user_id", "total", "rnk")
+    )
+
+
+@register(
+    "supplier_balance_zscore",
+    """
+    SELECT s_suppkey, s_nationkey,
+           ROUND((s_acctbal - AVG(s_acctbal) OVER (PARTITION BY s_nationkey))
+                 / STDDEV_SAMP(s_acctbal) OVER (PARTITION BY s_nationkey)
+                 * 1e6, 0) / 1e6 AS zscore
+    FROM supplier
+    """,
+    "per-group z-score standardisation (windowed avg/stddev) — the"
+    " feature-normalisation pass of every ML prep pipeline",
+    tags=("mlprep", "window", "agg"),
+)
+def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregates instead of groupBy+join-back: one shuffle on
+    the group key, each row standardised against its partition's
+    moments in the same pass. Rounded at 1e-6 (stddev/avg summation
+    trees differ between engines)."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    s = read_testdata(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    z = (F.col("s_acctbal") - F.avg("s_acctbal").over(w)) / F.stddev_samp(
+        "s_acctbal"
+    ).over(w)
+    return s.select("s_suppkey", "s_nationkey", round_compat(z, 6).alias("zscore"))

@@ -320,17 +320,34 @@ def lineitem_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    None,  # engine-specific HLL sketches cannot hash-match an oracle
-    "approx_count_distinct (HLL) — rows-only driver check by design",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "approx_count_distinct (HLL) validated against exact distinct:"
+    " the sketch value itself is engine-specific, so the hashable"
+    " contract is the exact count plus a relative-error bound check",
     tags=("agg", "approx"),
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: HLL sketch merges are why this beats exact distinct at
-    100 TB — constant memory per partition, one shuffle of sketches."""
+    100 TB — constant memory per partition, one shuffle of sketches.
+    The exact COUNT(DISTINCT) here is the verification twin (it makes
+    the query hash-checkable against DuckDB); at 100 TB you would ship
+    only the sketch.  rsd=0.02 keeps the HLL well inside the 5% bound
+    asserted by ``approx_within_5pct``."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.count_distinct("l_partkey")
+            )
+            <= 0.05 * F.count_distinct("l_partkey")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -779,6 +796,102 @@ def compound_evolution_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_compat(
             cumulative_compound_return(F.col("value") / 1000, w), 6
         ).alias("compound_evolution"),
+    )
+
+
+@register(
+    "weekly_vs_window_equivalence",
+    """
+    WITH logs AS (
+      SELECT user_id, event_type, event_id, ts,
+             strftime(ts, '%Y-%W') AS year_week,
+             LN(1 + value / 1000) AS lr
+      FROM events
+    ), cum AS (
+      SELECT user_id, event_type, year_week,
+             SUM(lr) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS s,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type, year_week
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM logs
+    ), week_ends AS (
+      SELECT user_id, event_type, year_week, s,
+             LAG(s) OVER (PARTITION BY user_id, event_type
+                          ORDER BY year_week) AS prev_s
+      FROM cum WHERE rn = 1
+    ), grouped AS (
+      SELECT user_id, event_type, year_week, EXP(SUM(lr)) - 1 AS wc
+      FROM logs GROUP BY 1, 2, 3
+    )
+    SELECT CAST(g.user_id AS BIGINT) AS user_id, g.event_type, g.year_week,
+           ROUND(ABS(g.wc - (EXP(w.s - COALESCE(w.prev_s, 0)) - 1)), 6)
+             AS abs_delta
+    FROM grouped g
+    JOIN week_ends w
+      ON g.user_id = w.user_id AND g.event_type = w.event_type
+     AND g.year_week = w.year_week
+    """,
+    "pins the reference's claim that the grouped A4 compound equals the"
+    " cumulative W1 window compound differenced at week boundaries"
+    " (reference: mkt_returns/sql_test_mkt_returns.ipynb:723 vs :818);"
+    " expected output: abs_delta == 0.0 for every (user, type, week)",
+    tags=("agg", "window", "equivalence", "flagship"),
+)
+def weekly_vs_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computes the weekly compound return BOTH ways — grouped
+    EXP(SUM(LN(1+r)))-1 and the cumulative window form differenced at
+    week ends — and returns the per-group |delta|, rounded to 6 dp so
+    summation-order drift between the two formulations (and between
+    engines) collapses to exactly 0.0.
+
+    Scale: two window functions over the same (user_id, event_type)
+    partitioning — one Exchange reused across both — plus one grouped
+    aggregate and an equi-join on the grouped keys.
+    """
+    ev = _t(spark, sf_dir, "events")
+    logs = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        year_week(F.col("ts").cast("date")).alias("year_week"),
+        F.log(F.lit(1) + F.col("value") / 1000).alias("lr"),
+    )
+    w_cum = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("user_id", "event_type", "year_week").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cum = logs.select(
+        "user_id",
+        "event_type",
+        "year_week",
+        F.sum("lr").over(w_cum).alias("s"),
+        F.row_number().over(w_last).alias("rn"),
+    )
+    w_weeks = Window.partitionBy("user_id", "event_type").orderBy("year_week")
+    week_ends = (
+        cum.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "year_week",
+            "s",
+            F.lag("s").over(w_weeks).alias("prev_s"),
+        )
+    )
+    grouped = logs.groupBy("user_id", "event_type", "year_week").agg(
+        (F.exp(F.sum("lr")) - F.lit(1)).alias("wc")
+    )
+    windowed = F.exp(
+        F.col("s") - F.coalesce(F.col("prev_s"), F.lit(0.0))
+    ) - F.lit(1)
+    return grouped.join(
+        week_ends, ["user_id", "event_type", "year_week"]
+    ).select(
+        "user_id",
+        "event_type",
+        "year_week",
+        round_compat(F.abs(F.col("wc") - windowed), 6).alias("abs_delta"),
     )
 
 

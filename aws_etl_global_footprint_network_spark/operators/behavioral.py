@@ -277,7 +277,7 @@ def events_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT s_suppkey, s_nationkey,
            ROUND((s_acctbal - AVG(s_acctbal) OVER (PARTITION BY s_nationkey))
-                 / STDDEV_SAMP(s_acctbal) OVER (PARTITION BY s_nationkey)
+                 / NULLIF(STDDEV_SAMP(s_acctbal) OVER (PARTITION BY s_nationkey), 0)
                  * 1e6, 0) / 1e6 AS zscore
     FROM supplier
     """,
@@ -289,12 +289,15 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed aggregates instead of groupBy+join-back: one shuffle on
     the group key, each row standardised against its partition's
     moments in the same pass. Rounded at 1e-6 (stddev/avg summation
-    trees differ between engines)."""
+    trees differ between engines). The stddev is NULLIF-guarded on
+    both sides: a zero-variance group z-scores to NULL in both engines
+    instead of Spark-NULL-vs-DuckDB-Infinity divergence."""
     from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 
     s = read_testdata(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey")
-    z = (F.col("s_acctbal") - F.avg("s_acctbal").over(w)) / F.stddev_samp(
-        "s_acctbal"
-    ).over(w)
+    sd = F.stddev_samp("s_acctbal").over(w)
+    z = (F.col("s_acctbal") - F.avg("s_acctbal").over(w)) / F.when(
+        sd != 0, sd
+    )
     return s.select("s_suppkey", "s_nationkey", round_compat(z, 6).alias("zscore"))

@@ -183,20 +183,24 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 15
+    edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list
     ``(u, v)`` -> ``(node, cluster_id)`` where cluster_id is the
     smallest node id in the component.
 
     Pregel-style: each round every node adopts the minimum label among
-    itself and its neighbours; converged when no label changes. Rounds
-    needed = graph diameter (near-dup clusters are shallow — pairs
-    chain through shared shingles — so this is small). Each round is
-    one join + one groupBy; ``localCheckpoint`` cuts the growing
-    lineage (on a cluster: ``checkpoint`` to durable storage). The
-    per-round convergence count is a driver-side scalar — one long per
-    round, the same bounded pattern as any Pregel superstep barrier."""
+    itself, its neighbours, AND its current label's label (a
+    pointer-jumping shortcut that halves remaining path lengths, so
+    convergence is O(log diameter) rounds rather than O(diameter) —
+    a 1000-hop chain resolves in ~10 rounds). Runs to convergence
+    (no label changed); ``max_iter`` is a safety bound and exceeding
+    it RAISES rather than silently returning partially-merged (wrong)
+    clusters. Each round is two joins + one groupBy;
+    ``localCheckpoint`` cuts the growing lineage (on a cluster:
+    ``checkpoint`` to durable storage). The per-round convergence
+    count is a driver-side scalar — one long per round, the same
+    bounded pattern as any Pregel superstep barrier."""
     sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -212,12 +216,26 @@ def connected_components(
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(
+            neigh_min, labels.node == neigh_min.node2, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jump: adopt the (possibly smaller) label of the node
+        # our label points at.  Labels are always node ids, so the
+        # lookup is a self-join on the same label table.
+        lbl = stepped.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
         new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.node2, "left")
+            stepped.join(lbl, stepped.label == lbl.l_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    F.col("label"), F.coalesce("l_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -230,8 +248,10 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("cluster_id"))
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
 
 
 def _clusters_oracle() -> str:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 _RENAME_COLUMN = re.compile(
@@ -48,12 +49,62 @@ def execute_sql(spark: SparkSession, statement: str) -> DataFrame:
     return spark.sql(statement)
 
 
+_RESERVED_PROP_PREFIXES = ("option.", "spark.sql.", "transient_lastDdlTime")
+
+
+def _table_provider(spark: SparkSession, table: str) -> str:
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if (r.col_name or "").strip() == "Provider":
+            return (r.data_type or "parquet").strip()
+    return "parquet"
+
+
+def _partition_columns(spark: SparkSession, table: str) -> list[str]:
+    return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+
+
+def _table_properties(spark: SparkSession, table: str) -> dict[str, str]:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {
+        r.key: r.value
+        for r in rows
+        if not any(r.key.startswith(p) for p in _RESERVED_PROP_PREFIXES)
+    }
+
+
+def _is_unsupported_rename(e: AnalysisException) -> bool:
+    """Only the 'v1 tables cannot RENAME COLUMN' rejection may trigger
+    the rewrite fallback; any other analysis error propagates."""
+    cond = ""
+    for attr in ("getCondition", "getErrorClass"):
+        getter = getattr(e, attr, None)
+        if getter is not None:
+            try:
+                cond = getter() or ""
+            except Exception:
+                cond = ""
+            if cond:
+                break
+    text = f"{cond} {e}".upper()
+    return "UNSUPPORTED" in text or "ONLY SUPPORTED WITH V2" in text
+
+
 def rename_column(
     spark: SparkSession, table: str, old: str, new: str
 ) -> DataFrame:
     """``ALTER TABLE table RENAME COLUMN old TO new`` that executes on
     any managed table: native (metadata-only) where the catalog
-    supports it, staged rewrite otherwise."""
+    supports it, staged rewrite otherwise.
+
+    The rewrite preserves the table's provider (format), partition
+    columns (renamed along with the data column when the partition key
+    itself is renamed) and non-reserved TBLPROPERTIES.  It is staged:
+    the renamed copy is fully written to ``<table>__rename_staging``
+    BEFORE the original is dropped, so no failure mode loses data.
+    The one non-atomic window (between DROP and the staging->original
+    table rename) is recoverable — on failure the data lives complete
+    in the staging table and this function raises with the exact
+    recovery statement."""
     cols = spark.table(table).columns
     if old not in cols:
         raise ValueError(f"column {old!r} not found in {table} (has {cols})")
@@ -61,11 +112,37 @@ def rename_column(
         raise ValueError(f"column {new!r} already exists in {table}")
     try:
         return spark.sql(f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}")
-    except Exception:
-        pass  # v1 table — staged rewrite below
+    except AnalysisException as e:
+        if not _is_unsupported_rename(e):
+            raise
+        # v1 table — staged rewrite below
+    provider = _table_provider(spark, table)
+    pcols = [new if c == old else c for c in _partition_columns(spark, table)]
+    props = _table_properties(spark, table)
     staging = f"{table}__rename_staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    spark.table(table).withColumnRenamed(old, new).write.saveAsTable(staging)
+    writer = spark.table(table).withColumnRenamed(old, new).write.format(provider)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.saveAsTable(staging)
+    if props:
+        kv = ", ".join(
+            "'{}'='{}'".format(k.replace("'", "\\'"), v.replace("'", "\\'"))
+            for k, v in props.items()
+        )
+        spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ({kv})")
     spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    try:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    except Exception as e:
+        raise RuntimeError(
+            f"rename_column left {table!r} dropped with its full data in"
+            f" {staging!r}; recover with: ALTER TABLE {staging} RENAME TO"
+            f" {table}"
+        ) from e
+    if pcols:
+        # table-level RENAME TO moves the data directory but the
+        # per-partition catalog locations still point at the staging
+        # path — re-discover them from the moved directory
+        spark.sql(f"MSCK REPAIR TABLE {table}")
     return spark.table(table).limit(0)

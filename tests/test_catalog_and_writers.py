@@ -67,6 +67,51 @@ def test_rename_column_validation_and_passthrough(spark):
     spark.sql("DROP TABLE ddl_val")
 
 
+def test_rename_preserves_partitioning_format_and_props(spark):
+    """The staged-rewrite fallback must replay the table's provider,
+    partition columns (including when the partition key itself is the
+    renamed column) and non-reserved TBLPROPERTIES, and must propagate
+    non-'unsupported' analysis errors instead of rewriting."""
+    from aws_etl_global_footprint_network_spark.sources.catalog import (
+        execute_sql,
+        rename_column,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS ddl_part")
+    spark.sql(
+        "CREATE TABLE ddl_part (k INT, v STRING, yr INT) USING parquet "
+        "PARTITIONED BY (yr) TBLPROPERTIES ('x.team'='etl')"
+    )
+    spark.sql("INSERT INTO ddl_part VALUES (1, 'a', 2024), (2, 'b', 2025)")
+
+    # rename a data column: partitioning + props survive
+    execute_sql(spark, "ALTER TABLE ddl_part RENAME COLUMN v TO val")
+    parts = [c.name for c in spark.catalog.listColumns("ddl_part") if c.isPartition]
+    assert parts == ["yr"]
+    props = {
+        r.key: r.value
+        for r in spark.sql("SHOW TBLPROPERTIES ddl_part").collect()
+    }
+    assert props.get("x.team") == "etl"
+    for r in spark.sql("DESCRIBE TABLE EXTENDED ddl_part").collect():
+        if (r.col_name or "").strip() == "Provider":
+            assert r.data_type.strip().lower() == "parquet"
+
+    # rename the partition column itself: key follows the rename
+    execute_sql(spark, "ALTER TABLE ddl_part RENAME COLUMN yr TO year")
+    parts = [c.name for c in spark.catalog.listColumns("ddl_part") if c.isPartition]
+    assert parts == ["year"]
+    assert sorted(tuple(r) for r in spark.table("ddl_part").collect()) == [
+        (1, "a", 2024),
+        (2, "b", 2025),
+    ]
+
+    # a non-'unsupported' analysis error (missing table) propagates
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found"):
+        rename_column(spark, "ddl_no_such_table", "a", "b")
+    spark.sql("DROP TABLE ddl_part")
+
+
 def test_create_or_replace_view_chain(spark, sf_dir):
     """D4: views are macros — re-resolved per query, replaceable
     (reference: mkt_returns/sql_test_mkt_returns.ipynb:671, 772)."""

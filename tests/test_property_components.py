@@ -47,3 +47,25 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r.node: r.cluster_id for r in connected_components(df).collect()}
     assert got == _union_find(edges)
+
+
+def test_long_chain_converges(spark):
+    """Regression: a chain whose diameter exceeds the old fixed round
+    budget must still fully converge (pointer jumping makes this
+    O(log n) rounds), never silently return partial labels."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_nonconvergence_raises(spark):
+    """max_iter is a safety bound: exceeding it raises instead of
+    returning wrong clusters."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)

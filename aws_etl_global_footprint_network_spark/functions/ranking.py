@@ -1,0 +1,86 @@
+"""Distributed exact ranking primitives.
+
+``NTILE(n) OVER (ORDER BY ...)`` with no PARTITION BY moves the whole
+relation through a single task (Spark logs "No Partition Defined for
+Window operation"), which is a hard bottleneck once the relation is
+billions of rows.  :func:`distributed_ntile` computes the *identical*
+bucket assignment scale-safely with the classic distributed-rank
+recipe:
+
+1. ``repartitionByRange`` on the full ordering key — every partition
+   holds a contiguous slice of the total order, partition ids ascend
+   with it (Spark's RangePartitioner samples with a deterministic
+   per-partition seed, so the assignment is reproducible).
+2. ``row_number`` windowed *per range partition* (partitionBy the
+   partition id — parallel, never a global sort).
+3. A tiny per-partition row-count aggregate (≤ shuffle-partitions
+   rows) is collected and turned into literal cumulative offsets;
+   ``global row number = offset[pid] + local row number``.
+4. The NTILE bucket is pure arithmetic on (global rn, total rows),
+   using the SQL-standard split: the first ``total % n`` buckets get
+   ``total // n + 1`` rows, the rest ``total // n`` — bit-identical
+   to both Spark's and DuckDB's ``NTILE``.
+
+The ordering must be TOTAL (callers append a unique tie-break column),
+otherwise rows straddling a range boundary could land
+nondeterministically — the same caveat the single-task form has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+_PID = "__ntile_pid"
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_buckets: int,
+    out_col: str,
+    scope: CacheScope,
+) -> DataFrame:
+    """Append ``out_col`` = exact NTILE(n_buckets) over the total order
+    ``order_cols``, without a single-partition window.
+
+    The range-partitioned frame is persisted in ``scope`` because the
+    per-partition counts job and the caller's main job must see the
+    same partition assignment (and would otherwise scan twice).
+    """
+    ranged = scope.persist(
+        df.repartitionByRange(*order_cols).withColumn(_PID, F.spark_partition_id())
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy(F.col(_PID).alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:  # empty input: keep the schema, no rows to bucket
+        return ranged.withColumn(out_col, F.lit(None).cast("int")).drop(_PID)
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    local_rn = F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
+    rn = F.element_at(off_map, F.col(_PID)) + local_rn
+    base, rem = divmod(total, n_buckets)
+    boundary = rem * (base + 1)
+    # First `rem` buckets take base+1 rows each; the rest take base.
+    # When total < n_buckets, boundary == total and only the first
+    # branch fires (row i -> bucket i, the standard NTILE edge case);
+    # max(base, 1) keeps the unused branch free of division by zero.
+    bucket = F.when(
+        rn <= F.lit(boundary), F.floor((rn - F.lit(1)) / F.lit(base + 1)) + 1
+    ).otherwise(
+        F.lit(rem) + F.floor((rn - F.lit(boundary) - 1) / F.lit(max(base, 1))) + 1
+    )
+    return ranged.withColumn(out_col, bucket.cast("int")).drop(_PID)

@@ -197,12 +197,20 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("behavioral", "window", "agg"),
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One groupBy on custkey then three ntile windows over the (much
-    smaller) per-customer table. Every ntile ORDER BY carries the key
-    as tie-break — without it, equal values straddling a quartile
-    boundary would bucket nondeterministically and break the hash
-    gate. The corpus max date enters as a broadcast 1-row aggregate."""
+    """One groupBy on custkey, then three exact quartile assignments
+    via :func:`distributed_ntile` — range-repartition + per-partition
+    rank + broadcast offsets — instead of ``ntile() OVER (ORDER BY
+    ...)`` global windows, which funnel the whole per-customer table
+    through one task (the round-2 scale-killer finding). Every
+    ordering carries the key as tie-break — without it, equal values
+    straddling a quartile boundary would bucket nondeterministically
+    and break the hash gate. The corpus max date enters as a broadcast
+    1-row aggregate."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_ntile,
+    )
 
     o = read_testdata(spark, sf_dir, "orders")
     maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_maxd"))
@@ -221,17 +229,27 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = Window.orderBy("recency_days", "c_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
-    return base.select(
+    scope = CacheScope("customer_rfm")
+    out = distributed_ntile(
+        base, [F.col("recency_days").asc(), F.col("c_custkey").asc()],
+        4, "r_quartile", scope,
+    )
+    out = distributed_ntile(
+        out, [F.col("frequency").desc(), F.col("c_custkey").asc()],
+        4, "f_quartile", scope,
+    )
+    out = distributed_ntile(
+        out, [F.col("monetary").desc(), F.col("c_custkey").asc()],
+        4, "m_quartile", scope,
+    )
+    return out.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 

@@ -28,6 +28,55 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
+def _top_level_args(s: str) -> list[str]:
+    args: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window specs with an empty PARTITION BY — the single-task global
+    sort that cannot scale past one executor core.
+
+    Parses every ``windowspecdefinition(...)`` in the optimized plan:
+    its arguments are partition columns, then ordering expressions
+    (carrying ``ASC``/``DESC``), then the frame. A spec whose FIRST
+    top-level argument is already an ordering (or the frame itself)
+    has no partitioning."""
+    plan = optimized_plan(df)
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        body = plan[m.end() : i - 1]
+        args = _top_level_args(body)
+        first = args[0] if args else ""
+        if (
+            first.startswith("specifiedwindowframe")
+            or " ASC" in first
+            or " DESC" in first
+        ):
+            hits.append(body)
+    return hits
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen stages — wider/fewer is better.
 

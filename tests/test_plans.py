@@ -123,6 +123,45 @@ def test_whitelisted_cartesians_still_exist(spark, sf_dir):
     assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+# Queries whose plan legitimately contains a window with an empty
+# PARTITION BY (single-task global sort), each with a boundedness
+# justification:
+GLOBAL_WINDOW_WHITELIST = {
+    # lag over the per-month aggregate — calendar-bounded (one row per
+    # month, ~hundreds of rows regardless of fact-table size)
+    "orders_monthly_growth",
+}
+
+
+def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
+    """Repo-wide scale gate: a Window with no PARTITION BY funnels the
+    whole relation through one task. Only calendar-bounded aggregates
+    may do it (whitelist above). customer_rfm's quartiles went through
+    here in round 2 — now distributed via functions.ranking."""
+    from aws_etl_global_footprint_network_spark.plans.explain import (
+        unpartitioned_windows,
+    )
+
+    offenders = {}
+    for name, spec in sorted(SPECS.items()):
+        if name in GLOBAL_WINDOW_WHITELIST:
+            continue
+        w = unpartitioned_windows(spec.builder(spark, sf_dir))
+        if w:
+            offenders[name] = w[0][:120]
+    assert not offenders, offenders
+
+
+def test_global_window_whitelist_not_stale(spark, sf_dir):
+    from aws_etl_global_footprint_network_spark.plans.explain import (
+        unpartitioned_windows,
+    )
+
+    assert unpartitioned_windows(
+        SPECS["orders_monthly_growth"].builder(spark, sf_dir)
+    )
+
+
 def test_spread_yields_multiple_tasks(spark, sf_dir):
     """spread() exists to break the single-file-parquet = one-task trap
     for compute-heavy stages; it must produce >1 partition."""

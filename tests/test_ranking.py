@@ -1,0 +1,72 @@
+"""functions.ranking.distributed_ntile must reproduce NTILE(n) OVER
+(ORDER BY ...) bit-for-bit — including the uneven-split rule (first
+``total % n`` buckets one row larger) and heavy ties broken by the
+tie-break column — while planning only partitioned windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+from aws_etl_global_footprint_network_spark.functions.ranking import distributed_ntile
+from aws_etl_global_footprint_network_spark.plans.explain import unpartitioned_windows
+
+
+def _mk(spark, n_rows: int):
+    # values with heavy ties (mod 7) so quartile boundaries straddle
+    # equal values; id is the tie-break
+    return spark.range(n_rows).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+
+
+@pytest.mark.parametrize("n_rows,n_buckets", [(1, 4), (3, 4), (97, 4), (100, 4), (101, 3), (256, 10)])
+def test_matches_global_ntile(spark, n_rows, n_buckets):
+    df = _mk(spark, n_rows)
+    scope = CacheScope(f"test_ntile_{n_rows}_{n_buckets}")
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r.k: r.b
+        for r in distributed_ntile(df, order, n_buckets, "b", scope).collect()
+    }
+    want = {
+        r.k: r.b
+        for r in df.select(
+            "k", F.ntile(n_buckets).over(Window.orderBy(*order)).alias("b")
+        ).collect()
+    }
+    assert got == want
+    scope.release()
+
+
+def test_desc_order_matches(spark):
+    df = _mk(spark, 120)
+    scope = CacheScope("test_ntile_desc")
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got = {r.k: r.b for r in distributed_ntile(df, order, 4, "b", scope).collect()}
+    want = {
+        r.k: r.b
+        for r in df.select(
+            "k", F.ntile(4).over(Window.orderBy(*order)).alias("b")
+        ).collect()
+    }
+    assert got == want
+    scope.release()
+
+
+def test_plan_has_no_global_window(spark):
+    df = _mk(spark, 50)
+    scope = CacheScope("test_ntile_plan")
+    out = distributed_ntile(df, [F.col("v").asc(), F.col("k").asc()], 4, "b", scope)
+    assert unpartitioned_windows(out) == []
+    scope.release()
+
+
+def test_empty_input(spark):
+    df = _mk(spark, 10).filter(F.col("k") < 0)
+    scope = CacheScope("test_ntile_empty")
+    out = distributed_ntile(df, [F.col("v").asc(), F.col("k").asc()], 4, "b", scope)
+    assert out.count() == 0 and "b" in out.columns
+    scope.release()

@@ -2,16 +2,25 @@
 opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` UDFs.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic stub (``_fake_decode``) — the Spark-side
-contract (schema, batch shape, partitioning) is real and tested, and a
-production deployment swaps only the inner decode function.
+The decode step is REAL, stdlib-only: ``decode_image_header`` sniffs
+the payload's magic bytes and parses PNG/JPEG/GIF/BMP headers into
+(format, width, height) — sniffing, not trusting the metadata column,
+because at 100 TB the metadata lies. ``byte_features`` derives the
+feature vector from the actual bytes (numpy histogram: entropy,
+printable ratio, ...). Payload *content* decode beyond headers
+(pixel raster, audio samples) would need codecs this container lacks;
+``synth_png`` builds valid PNGs (zlib + struct, stdlib) so the image
+path is exercised end-to-end on real image bytes anyway.
 """
 
 from __future__ import annotations
 
+import math
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,9 +44,105 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
     ]
 )
+
+# JPEG start-of-frame markers that carry dimensions (C0-CF minus
+# DHT/DAC/RST: C4, C8, CC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def synth_png(width: int, height: int, seed: bytes) -> bytes:
+    """A VALID minimal 8-bit grayscale PNG (signature + IHDR + IDAT +
+    IEND, correct CRCs) with pixel bytes cycled from ``seed`` —
+    stdlib-only, so the pipeline can carry real image bytes without
+    codec libraries."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    seed = seed or b"\x00"
+    raw = b"".join(
+        b"\x00"
+        + bytes(seed[(r * width + c) % len(seed)] for c in range(width))
+        for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_header(payload: bytes) -> tuple[str, int | None, int | None]:
+    """(format, width, height) from the payload's real bytes.
+
+    PNG: IHDR is always the first chunk (spec) — width/height at
+    offsets 16..24 big-endian. JPEG: walk the segment chain to the
+    first SOFn marker; dimensions sit at +5 (height first). GIF:
+    little-endian logical screen size at +6. BMP: BITMAPINFOHEADER
+    signed dims at +18 (negative height = top-down rows). Anything
+    else — including this corpus's text payloads — is 'unknown'."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return "png", w, h
+        return "png", None, None
+    if payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        return "jpeg", None, None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return "bmp", abs(w), abs(h)
+    return "unknown", None, None
+
+
+def byte_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM real statistics of the payload bytes (numpy,
+    vector-at-a-time): mean, std, Shannon entropy, printable ratio,
+    zero ratio, high-bit ratio, distinct-value ratio, log-length."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    a = np.frombuffer(payload, dtype=np.uint8)
+    n = a.size
+    counts = np.bincount(a, minlength=256)
+    p = counts[counts > 0] / n
+    entropy = float(-(p * np.log2(p)).sum())
+    return [
+        float(a.mean()) / 255.0,
+        float(a.std()) / 255.0,
+        entropy / 8.0,
+        float(((a >= 32) & (a <= 126)).mean()),
+        float((a == 0).mean()),
+        float((a >= 128).mean()),
+        float((counts > 0).sum()) / 256.0,
+        math.log10(n) / 10.0,
+    ]
 
 
 def attach_binary_payload(documents: DataFrame) -> DataFrame:
@@ -51,32 +156,64 @@ def attach_binary_payload(documents: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """STUB for the real decoder (PIL/librosa/ffmpeg not in this
-    container). Deterministic: derives FEATURE_DIM floats from byte
-    statistics. A real deployment replaces exactly this function."""
-    n = len(payload)
-    return [
-        float((sum(payload[i::FEATURE_DIM]) % 1000) / 1000.0 + (n % (i + 2)))
-        for i in range(FEATURE_DIM)
-    ]
-
-
-def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
-
-    ``mapInPandas``: each task pulls Arrow record batches, runs the
-    (stub) decoder per payload, emits a feature vector — the exact
-    plumbing a real image/audio featurizer uses. No shuffle: this is
-    a map-only stage, so it scales linearly with partitions."""
+def synthesize_image_payloads(media: DataFrame, every: int = 4) -> DataFrame:
+    """Re-encode every ``every``-th payload as a real PNG whose pixels
+    are the original bytes and whose dimensions derive from doc_id —
+    a deterministic, codec-free image corpus so the decode path runs
+    on genuine image bytes. Map-only (mapInPandas), no shuffle."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads, types, sizes = [], [], []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if doc_id % every == 0:
+                    w = 4 + int(doc_id) % 29
+                    h = 3 + int(doc_id) % 17
+                    payload, mtype = synth_png(w, h, bytes(payload)), "image/png"
+                payloads.append(payload)
+                types.append(mtype)
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": types,
+                    "n_bytes": sizes,
+                }
+            )
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode + featurize over binary payloads.
+
+    ``mapInPandas``: each task pulls Arrow record batches, sniffs the
+    image header and computes byte-statistics features per payload.
+    No shuffle: a map-only stage, so it scales linearly with
+    partitions; swap ``byte_features`` for a pixel/codec featurizer in
+    a deployment that ships codec libraries."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image_header(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["n_bytes"],
-                    "features": pdf["payload"].map(_fake_decode),
+                    "format": [d[0] for d in decoded],
+                    "width": pd.array(
+                        [d[1] for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[2] for d in decoded], dtype="Int32"
+                    ),
+                    "features": [
+                        [round(x, 6) for x in byte_features(bytes(b))]
+                        for b in pdf["payload"]
+                    ],
                 }
             )
 
@@ -105,23 +242,31 @@ def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # Python-side stub decoder — driver does the rows-only check
-    "mapInPandas feature extraction over binary payloads (stub decode);"
-    " driver-facing shape is exploded (doc_id, n_bytes, feature_pos,"
-    " feature_val) so every column is scalar — the array-returning"
-    " library API is extract_features()",
+    None,  # Python-side decode path — driver does the rows-only check
+    "mapInPandas image-header decode (PNG magic/IHDR parse on real"
+    " synthesized PNG bytes; text payloads sniff to 'unknown') +"
+    " byte-statistics features; driver-facing shape is exploded so"
+    " every column is scalar — the array-returning library API is"
+    " extract_features()",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_testdata(spark, sf_dir, "documents")
-    feats = extract_features(attach_binary_payload(d))
+    media = synthesize_image_payloads(attach_binary_payload(d))
+    feats = extract_features(media)
     return feats.select(
         "doc_id",
         "n_bytes",
+        "format",
+        "width",
+        "height",
         F.posexplode("features").alias("feature_pos", "feature_val"),
     ).select(
         "doc_id",
         "n_bytes",
+        "format",
+        "width",
+        "height",
         F.col("feature_pos").cast("int").alias("feature_pos"),
         F.col("feature_val").cast("double").alias("feature_val"),
     )

@@ -34,20 +34,23 @@ def test_approx_distinct_within_error(spark, sf_dir_mid):
 
 
 def test_multimodal_features_shape_and_determinism(spark, sf_dir):
-    # Driver-facing shape: exploded (doc_id, n_bytes, feature_pos,
-    # feature_val) — every column scalar so the hash gate can sort it.
+    # Driver-facing shape: exploded scalar columns so the hash gate
+    # can sort it; format/width/height come from the real header parse.
     df1 = SPECS["multimodal_features"].builder(spark, sf_dir)
-    assert df1.columns == ["doc_id", "n_bytes", "feature_pos", "feature_val"]
-    rows1 = {(r.doc_id, r.feature_pos): (r.n_bytes, r.feature_val) for r in df1.collect()}
+    rows1 = {
+        (r.doc_id, r.feature_pos): (r.n_bytes, r.format, r.width, r.height, r.feature_val)
+        for r in df1.collect()
+    }
     docs = read_testdata(spark, sf_dir, "documents")
     from aws_etl_global_footprint_network_spark.operators.multimodal import FEATURE_DIM
 
     assert len(rows1) == docs.count() * FEATURE_DIM
-    for (doc_id, pos), (n_bytes, val) in rows1.items():
+    for (doc_id, pos), (n_bytes, fmt, _w, _h, val) in rows1.items():
         assert 0 <= pos < FEATURE_DIM and n_bytes > 0 and val is not None
-    # deterministic across runs (stub decode is pure)
+        assert fmt in ("png", "unknown")
+    # deterministic across runs (header parse + byte stats are pure)
     rows2 = {
-        (r.doc_id, r.feature_pos): (r.n_bytes, r.feature_val)
+        (r.doc_id, r.feature_pos): (r.n_bytes, r.format, r.width, r.height, r.feature_val)
         for r in SPECS["multimodal_features"].builder(spark, sf_dir).collect()
     }
     assert rows1 == rows2

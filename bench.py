@@ -130,33 +130,45 @@ def recall_mode(spark) -> None:
     }
 
     # ---- Sign-LSH: ground truth = brute-force cosine >= threshold
-    # over the full corpus (measurement-only quadratic pass).
-    emb = spread(read_testdata(spark, SF_DIR, "embeddings")).select(
-        "vec_id",
-        as_double_array("embedding").alias("e"),
-        norm(as_double_array("embedding")).alias("nrm"),
-    ).persist()
+    # over the twin-AUGMENTED corpus (measurement-only quadratic pass).
+    # The organic corpus is isotropic noise with no pairs in the
+    # near-dup regime, so recall is evaluated on the planted twins —
+    # the organic max cosine is reported alongside as evidence.
+    emb = similarity.augmented_embeddings(spark, SF_DIR).persist()
     n_vecs = emb.count()
     a = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    true_pairs = (
+    all_pairs = (
         a.join(b, F.col("va") < F.col("vb"))
-        .select(cos.alias("score"))
-        .filter(F.col("score") >= similarity.LSH_PAIR_THRESHOLD)
+        .select("va", "vb", cos.alias("score"))
         .persist()
     )
+    organic_max = (
+        all_pairs.filter(F.col("vb") < similarity.TWIN_OFFSET)
+        .agg(F.max("score"))
+        .collect()[0][0]
+    )
+    true_pairs = all_pairs.filter(
+        F.col("score") >= similarity.LSH_PAIR_THRESHOLD
+    ).persist()
     n_true_v = true_pairs.count()
+    n_true_planted = true_pairs.filter(
+        F.col("vb") - F.col("va") == similarity.TWIN_OFFSET
+    ).count()
     bands = similarity.sign_band_table(emb)
     n_cand_v = similarity.band_candidate_pairs(bands).count()
     found_pairs = specs["ann_lsh_pairs"].builder(spark, SF_DIR).persist()
     n_found_v = found_pairs.count()
+    n_found_planted = found_pairs.filter(
+        F.col("vec_b") - F.col("vec_a") == similarity.TWIN_OFFSET
+    ).count()
     # Recall per similarity tier: sign-LSH collision probability rises
     # steeply with cosine ((1 - theta/pi)^bits per band), so a single
     # recall number at the verify threshold understates how well the
-    # index catches the near-duplicates it exists for.
+    # index catches the nearest duplicates.
     tiers = {}
-    for t in (0.4, 0.5, 0.6, 0.7, 0.8):
+    for t in (0.85, 0.88, 0.9, 0.92, 0.95):
         nt = true_pairs.filter(F.col("score") >= t).count()
         nf = found_pairs.filter(F.col("score") >= t).count()
         tiers[str(t)] = {
@@ -164,17 +176,23 @@ def recall_mode(spark) -> None:
             "n_found": nf,
             "recall": round(nf / nt, 4) if nt else None,
         }
+    all_pairs.unpersist()
     true_pairs.unpersist()
     found_pairs.unpersist()
     emb.unpersist()
     possible_v = n_vecs * (n_vecs - 1) // 2
     out["sign_lsh"] = {
         "threshold": similarity.LSH_PAIR_THRESHOLD,
-        "n_vectors": n_vecs,
+        "n_vectors_augmented": n_vecs,
+        "organic_max_cosine": round(organic_max, 4) if organic_max else None,
         "n_true_pairs": n_true_v,
+        "n_true_planted": n_true_planted,
         "n_candidates": n_cand_v,
         "n_found": n_found_v,
         "recall": round(n_found_v / n_true_v, 4) if n_true_v else None,
+        "planted_recall": (
+            round(n_found_planted / n_true_planted, 4) if n_true_planted else None
+        ),
         "recall_by_cosine_tier": tiers,
         "candidate_ratio": round(n_cand_v / possible_v, 6) if possible_v else None,
     }

@@ -48,6 +48,15 @@ def get_spark(
         # Dimension tables (region/nation/calendar) must broadcast, never
         # shuffle the fact side. 64 MB covers every dim we have.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local mode runs driver and executors in one JVM; the 1g
+        # default heap cannot hold broadcast builds once the corpus
+        # grows past the driver-test scale (first hit at the sf1
+        # bench). Only effective at JVM launch — reused sessions keep
+        # their original heap.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # Timestamps: parquet test data is UTC-naive; DuckDB (the
         # correctness oracle) is UTC-naive. Pin the session so oracle
         # comparison is bit-stable.

@@ -266,22 +266,17 @@ def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double_array("embedding").alias("e")
     )
-
-    def scale(i):
-        u = (
-            md5_hash60(
-                F.concat(
-                    F.lit("tw|"),
-                    F.col("vec_id").cast("string"),
-                    F.lit("|"),
-                    i.cast("string"),
-                )
-            )
-            % 2001
-            - 1000
-        ) / 1000.0
-        return 1.0 + TWIN_EPS * u
-
+    # One F.expr string instead of a 64-element Column tree: building
+    # the per-coordinate md5 expression with Column operators costs
+    # thousands of py4j round-trips (~2 s of driver time PER BUILD,
+    # measured); a SQL string parses JVM-side in one call. Semantics
+    # are identical to md5_hash60 (functions.hashing).
+    twin_e = (
+        "transform(e, (x, i) -> x * (1.0D + {eps}D * (((CAST(conv("
+        "substring(md5(concat('tw|', CAST(vec_id AS STRING), '|',"
+        " CAST(i + 1 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001)"
+        " - 1000) / 1000.0D)))"
+    ).format(eps=TWIN_EPS)
     # Two-step select: Spark's implicit lateral-column-alias resolution
     # (3.4+) would otherwise bind the lambda's vec_id to the
     # `vec_id + TWIN_OFFSET AS vec_id` alias in the same select list,
@@ -289,37 +284,49 @@ def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hazard — its oracle splits the CTE the same way).
     twins = (
         emb.filter(F.col("vec_id") % TWIN_EVERY == 0)
-        .select(
-            "vec_id", F.transform("e", lambda x, i: x * scale(i + 1)).alias("e")
-        )
+        .select("vec_id", F.expr(twin_e).alias("e"))
         .select((F.col("vec_id") + TWIN_OFFSET).alias("vec_id"), "e")
     )
     return emb.unionByName(twins).select("vec_id", "e", norm("e").alias("nrm"))
 
 
 def sign_band_table(emb: DataFrame) -> DataFrame:
-    """(vec_id, band, bucket) rows from sign-random-projection: 32
-    hyperplane sign bits packed into LSH_BANDS bucket ids. Shared by
-    the query builder and bench.py's --recall measurement."""
-    bit_cols = []
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(x) for x in HYPERPLANES[p]])
-        bit = F.when(dot("e", plane) > 0, 1).otherwise(0)
-        bit_cols.append(bit.alias(f"bit{p}"))
-    bits = emb.select("vec_id", "e", *bit_cols)
-    band_structs = []
-    for b in range(LSH_BANDS):
-        bucket = F.lit(0).cast("bigint")
-        for j in range(BITS_PER_BAND):
-            bucket = bucket + F.shiftleft(
-                F.col(f"bit{b * BITS_PER_BAND + j}").cast("bigint"), j
-            )
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+    """(vec_id, band, bucket) rows from sign-random-projection:
+    N_PLANES hyperplane sign bits packed into LSH_BANDS bucket ids.
+    Shared by the query builder and bench.py's --recall measurement.
+
+    All expressions are generated as SQL text and parsed JVM-side:
+    the equivalent Column-operator tree (N_PLANES x DIM literals) cost
+    ~5 s of py4j round-trips per build (measured at 88 planes), pure
+    driver overhead that no codegen cache can amortise."""
+
+    def plane_dot(p: int) -> str:
+        lits = ", ".join(f"{x!r}D" for x in HYPERPLANES[p])
+        return (
+            f"aggregate(zip_with(e, array({lits}), (x, y) -> x * y),"
+            " 0.0D, (acc, v) -> acc + v)"
         )
-    return (
-        bits.select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("vec_id", "bb.band", "bb.bucket")
+
+    bits = emb.selectExpr(
+        "vec_id",
+        *[
+            f"CASE WHEN {plane_dot(p)} > 0 THEN 1 ELSE 0 END AS bit{p}"
+            for p in range(N_PLANES)
+        ],
+    )
+
+    def bucket(b: int) -> str:
+        return " + ".join(
+            f"shiftleft(CAST(bit{b * BITS_PER_BAND + j} AS BIGINT), {j})"
+            for j in range(BITS_PER_BAND)
+        )
+
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {bucket(b)})"
+        for b in range(LSH_BANDS)
+    )
+    return bits.selectExpr("vec_id", f"explode(array({structs})) AS bb").select(
+        "vec_id", "bb.band", "bb.bucket"
     )
 
 

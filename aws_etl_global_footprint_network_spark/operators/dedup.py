@@ -396,3 +396,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= NGRAM_THRESHOLD)
         .select("doc_a", "doc_b", round_compat(jac, 6).alias("jaccard"))
     )
+
+
+def _embedding_dedup_oracle() -> str:
+    # Reuses the full sign-LSH pair oracle as a subquery; DuckDB allows
+    # a WITH inside a derived table.
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        _lsh_oracle,
+    )
+
+    return f"""
+    SELECT vec_b AS dropped_id,
+           MIN(vec_a) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_partners,
+           MAX(score) AS best_score
+    FROM ({_lsh_oracle()}) p
+    GROUP BY vec_b
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    _embedding_dedup_oracle(),
+    "embedding-cosine near-dup dedup: sign-LSH candidate pairs verified"
+    " at the near-dup cosine threshold, then a keep/drop decision —"
+    " every vector that matches a lower-id vector is dropped in favor"
+    " of its lowest-id partner (the canonical keeper)",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth dedup family: near-duplicate detection by embedding
+    cosine rather than lexical overlap. Candidates come from the
+    banded sign-LSH index (operators.similarity) — never all-pairs —
+    and the keep/drop policy is the standard lowest-id-canonical
+    rule: a vector is dropped iff it is the higher id in at least one
+    verified pair. One extra groupBy on top of the verified pairs, so
+    the scale posture is exactly ann_lsh_pairs'."""
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        ann_lsh_pairs,
+    )
+
+    pairs = ann_lsh_pairs(spark, sf_dir)
+    return pairs.groupBy(F.col("vec_b").alias("dropped_id")).agg(
+        F.min("vec_a").alias("canonical_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_partners"),
+        F.max("score").alias("best_score"),
+    )

@@ -123,6 +123,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         ml_prep,
         multimodal,
+        multimodal_codecs,
         relational,
         relational2,
         similarity,

@@ -156,3 +156,51 @@ def token_count_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("total_tokens"),
         round_compat(F.avg("n"), 4).alias("avg_tokens"),
     )
+
+
+# GPT-2-style byte-pair-encoding pre-tokenizer pattern, restricted to
+# the RE2/Java-common subset (the original's trailing-whitespace
+# lookahead `\s+(?!\S)` is dropped — RE2 has no lookahead): English
+# contraction suffixes, space-prefixed letter runs, space-prefixed
+# digit runs, space-prefixed punctuation runs, whitespace runs.
+# Verified to split identically in Spark (Java regex) and DuckDB (RE2)
+# on contraction/digit/punctuation/whitespace fixtures
+# (tests/test_text_bpe.py).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+    WITH base AS (
+      SELECT source, lang,
+             regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')
+               AS t
+      FROM documents)
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(list_filter(t, x -> trim(x) = ''))) AS BIGINT)
+             AS ws_only_tokens,
+           ROUND(AVG(len(t)), 4) AS avg_bpe_tokens
+    FROM base GROUP BY source, lang
+    """,
+    "BPE-ish token accounting per (source, lang): GPT-2-style regex"
+    " pre-tokenization (contractions / letter runs / digit runs /"
+    " punctuation / whitespace) in the RE2-and-Java-agreeing subset —"
+    " the budget a subword tokenizer would actually see, vs the"
+    " whitespace counts of token_count_per_source",
+    tags=("text", "agg"),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side regex extraction + one groupBy — JVM codegen all the
+    way (regexp_extract_all is a built-in), no Python in the loop."""
+    d = read_testdata(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    base = d.select("source", "lang", t.alias("t"))
+    ws_only = F.size(F.filter("t", lambda x: F.trim(x) == ""))
+    return base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("t")).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(ws_only).cast("bigint").alias("ws_only_tokens"),
+        round_compat(F.avg(F.size("t")), 4).alias("avg_bpe_tokens"),
+    )

@@ -464,3 +464,76 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
             round_compat("total_value", 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           c.event_id AS click_event_id,
+           CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    "stream-stream inner join: view events joined to the same user's"
+    " clicks within 30 minutes, both sides watermarked (bounded join"
+    " state); oracle is the equivalent batch time-range join",
+    tags=("streaming", "join"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution join every event pipeline runs, as a true
+    stream-stream join: two file streams (views, clicks), each
+    watermarked, joined on user with an event-time range predicate.
+    The watermark plus the time bound is what lets Spark expire join
+    state — without them, stream-stream join state grows forever; with
+    them, each side retains only (watermark + 30 min) of events, which
+    is the property that makes this runnable on an unbounded feed.
+    AvailableNow + memory sink here; the same code targets Kafka."""
+    import os
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    src = _as_stream_dir(os.path.join(sf_dir, "events.parquet"))
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        stream = (
+            spark.readStream.schema(raw.schema).format("parquet").load(src)
+        )
+        return (
+            normalize_nanos(stream)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_event"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 day")
+        )
+
+    joined = side("view", "v").join(
+        side("click", "c"),
+        F.expr(
+            "c_user = v_user AND c_ts >= v_ts"
+            " AND c_ts <= v_ts + interval 30 minutes"
+        ),
+    )
+    out = joined.select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_event").alias("view_event_id"),
+        F.col("c_event").alias("click_event_id"),
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

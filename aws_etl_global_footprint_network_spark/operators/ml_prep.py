@@ -403,3 +403,103 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         F.col("node").cast("bigint").alias("doc_id"), F.col("r").alias("pagerank")
     )
+
+
+# Corpus-pipeline policy constants (the composed query below).
+PIPE_MIN_TOKENS = 20
+PIPE_LANGS = ("de", "en", "es", "fr")
+
+
+def _corpus_pipeline_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.operators.dedup import (
+        _minhash_oracle,
+    )
+
+    langs = ", ".join(f"'{l}'" for l in PIPE_LANGS)
+    split_bucket = md5_hash60_sql(
+        "('split|' || doc_id::VARCHAR)"
+    )
+    return f"""
+    WITH quality AS (
+      SELECT doc_id, lang, source, text,
+             len({tokens_sql('text')}) AS n_tokens
+      FROM documents
+      WHERE len({tokens_sql('text')}) >= {PIPE_MIN_TOKENS}
+        AND lang IN ({langs})),
+    exact AS (
+      SELECT q.* FROM quality q
+      JOIN (SELECT md5(text) AS sig, MIN(doc_id) AS keeper
+            FROM quality GROUP BY md5(text)) k
+        ON md5(q.text) = k.sig AND q.doc_id = k.keeper),
+    neardup AS (
+      SELECT DISTINCT p.doc_b FROM ({_minhash_oracle()}) p
+      WHERE p.doc_a IN (SELECT doc_id FROM exact)),
+    survivors AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM neardup))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN {split_bucket} % 100 < {TRAIN_PCT}
+                THEN 'train' ELSE 'test' END AS split
+    FROM survivors
+    """
+
+
+@register(
+    "training_corpus_pipeline",
+    _corpus_pipeline_oracle(),
+    "the composed end-to-end prep pipeline: quality gate (min token"
+    " count) -> language filter -> exact dedup (min-id per content"
+    " hash) -> near-dup drop (MinHash-LSH pairs whose lower id"
+    " survived) -> deterministic train/test split — one declarative"
+    " plan, every stage reusing the standalone operators' semantics",
+    tags=("mlprep", "dedup", "text"),
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a user actually runs before training: the whole prep
+    funnel as ONE Catalyst plan (filters push into the scan; the
+    dedup joins reuse the banded LSH machinery, never all-pairs).
+    Near-dup policy is one-pass lowest-id-canonical: a doc is dropped
+    iff a verified pair links it to a lower-id doc that survived the
+    exact-dedup stage — identical, order-independent semantics in
+    both engines (transitive closure is dedup_clusters' job)."""
+    from aws_etl_global_footprint_network_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    d = read_testdata(spark, sf_dir, "documents")
+    quality = (
+        d.withColumn("n_tokens", F.size(tokens("text")))
+        .filter(
+            (F.col("n_tokens") >= PIPE_MIN_TOKENS)
+            & F.col("lang").isin(*PIPE_LANGS)
+        )
+    )
+    keepers = quality.groupBy(F.md5("text").alias("sig")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    exact = quality.join(
+        keepers,
+        (F.md5(quality["text"]) == keepers["sig"])
+        & (quality["doc_id"] == keepers["keeper"]),
+        "inner",
+    ).select("doc_id", "lang", "source", "n_tokens")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    dropped = (
+        pairs.join(
+            exact.select(F.col("doc_id").alias("doc_a")), "doc_a", "leftsemi"
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact.join(dropped, "doc_id", "left_anti")
+    bucket = (
+        md5_hash60(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return survivors.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.when(bucket < TRAIN_PCT, "train").otherwise("test").alias("split"),
+    )

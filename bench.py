@@ -12,6 +12,12 @@ Usage:
     python bench.py --recall         # measured LSH recall + candidate
                                      # ratio vs exact ground truth for
                                      # minhash and sign-LSH
+    python bench.py --duck           # the baseline: DuckDB running the
+                                     # same headline queries' oracle
+                                     # SQL on the same parquet (the
+                                     # reference delegates execution
+                                     # to DuckDB, so this IS its
+                                     # single-node throughput)
 """
 
 from __future__ import annotations
@@ -56,6 +62,13 @@ HEADLINE = [
     "doc_fingerprint",
     "token_count_per_source",
     "streaming_daily_counts",
+    "streaming_stream_stream_join",
+    "dedup_embedding_cosine",
+    "image_resize_thumbs",
+    "audio_wav_features",
+    "video_frame_sample",
+    "bpe_token_stats",
+    "training_corpus_pipeline",
 ]
 
 
@@ -200,9 +213,45 @@ def recall_mode(spark) -> None:
     print(json.dumps({"metric": "lsh_recall", "sf": _sf_from_dir(SF_DIR), **out}))
 
 
+def duck_mode(specs, names) -> None:
+    """Time DuckDB running the oracle SQL of every oracle-paired
+    headline query on the same parquet — the reference's engine on the
+    reference's semantics, measured by the same wall clock. No Spark
+    session is started."""
+    from tests.oracle_harness import duck_connection
+
+    con = duck_connection(SF_DIR)
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = specs[name]
+        if spec.oracle is None:
+            continue
+        t0 = time.perf_counter()
+        rows = con.sql(spec.oracle).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# duckdb {name}: {timings[name]:.3f}s ({len(rows)} rows)",
+              file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
 def main() -> None:
     specs = load_all()
     names = list(specs) if "--all" in sys.argv else HEADLINE
+
+    if "--duck" in sys.argv:
+        duck_mode(specs, names)
+        return
+
     spark = get_spark(app_name="bench")
 
     if "--recall" in sys.argv:

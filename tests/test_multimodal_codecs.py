@@ -140,3 +140,58 @@ def test_decoder_rejects_non_png():
         decode_png_gray(b"not a png at all")
     with pytest.raises(ValueError):
         demux_frames(b"XXXX\x00\x00")
+
+
+# ---- property tests: round-trips on arbitrary content ----------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    data=st.binary(min_size=1, max_size=24 * 24),
+)
+def test_property_png_encode_decode_round_trip(w, h, data):
+    raster = bytes((data * ((w * h) // len(data) + 1))[: w * h])
+    dw, dh, decoded = decode_png_gray(encode_png_gray(w, h, raster))
+    assert (dw, dh, bytes(decoded)) == (w, h, raster)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rate=st.integers(1, 192_000),
+    samples=st.lists(
+        st.integers(-32768, 32767), min_size=0, max_size=200
+    ),
+)
+def test_property_wav_round_trip(rate, samples):
+    import numpy as np
+
+    arr = np.array(samples, dtype=np.int16)
+    payload = synth_wav(rate, arr)
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getframerate() == rate
+        assert w.getnframes() == len(samples)
+        back = np.frombuffer(w.readframes(len(samples)), dtype="<i2")
+    assert (back == arr).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    tw=st.integers(1, 16),
+    th=st.integers(1, 16),
+    data=st.binary(min_size=1, max_size=64),
+)
+def test_property_resize_nn_matches_floor_mapping(w, h, tw, th, data):
+    raster = bytes((data * (w * h // len(data) + 1))[: w * h])
+    out = resize_nn(raster, w, h, tw, th)
+    expected = bytes(
+        raster[(r * h // th) * w + (c * w // tw)]
+        for r in range(th)
+        for c in range(tw)
+    )
+    assert bytes(out) == expected

@@ -383,3 +383,39 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("v_is_null"),
         round_compat(F.ifnull("v", F.lit(-1.0)), 2).alias("v_or_neg1"),
     )
+
+
+@register(
+    "approx_percentile_prices",
+    """
+    SELECT p_brand,
+           ROUND(quantile_cont(p_retailprice, 0.5), 2) AS exact_median,
+           ROUND(quantile_cont(p_retailprice, 0.9), 2) AS exact_p90,
+           TRUE AS approx_within_2pct
+    FROM part GROUP BY p_brand
+    """,
+    "approx_percentile (t-digest-style sketch) validated against the"
+    " exact continuous quantile: the sketch value is engine-specific,"
+    " so the hashable contract is the exact quantile plus a"
+    " relative-error bound check — same pattern as"
+    " approx_distinct_parts",
+    tags=("agg", "approx"),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: like HLL for distinct counts, the percentile sketch is
+    why this works at 100 TB — bounded memory per partition and one
+    sketch merge, where exact percentile needs a full sort. The exact
+    quantile here is the verification twin; ``approx_within_2pct``
+    pins the sketch to it (accuracy=10000 is far tighter than 2% on
+    these group sizes)."""
+    p = read_testdata(spark, sf_dir, "part")
+    exact_med = F.expr("percentile(p_retailprice, 0.5)")
+    exact_p90 = F.expr("percentile(p_retailprice, 0.9)")
+    approx_med = F.expr("approx_percentile(p_retailprice, 0.5, 10000)")
+    return p.groupBy("p_brand").agg(
+        round_compat(exact_med, 2).alias("exact_median"),
+        round_compat(exact_p90, 2).alias("exact_p90"),
+        (F.abs(approx_med - exact_med) <= 0.02 * exact_med).alias(
+            "approx_within_2pct"
+        ),
+    )

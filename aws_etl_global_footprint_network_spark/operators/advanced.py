@@ -299,3 +299,69 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
     )
+
+
+@register(
+    "merge_rowlevel_cow",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+             ROUND(o_totalprice * 100, 0) / 100 AS p
+      FROM orders),
+    ty AS (SELECT MAX(yr) - 1 AS y FROM base),
+    upd AS (
+      SELECT o_orderkey, yr, ROUND((p + 5) * 100, 0) / 100 AS p
+      FROM base, ty WHERE yr = y AND o_orderkey % 10 = 0),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, yr, 99.99 AS p
+      FROM base, ty WHERE yr = y AND o_orderkey % 100 = 0),
+    tgt AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+    SELECT o_orderkey, yr, p AS o_totalprice FROM tgt
+    UNION ALL SELECT o_orderkey, yr, p FROM upd
+    UNION ALL SELECT o_orderkey, yr, p FROM ins
+    """,
+    "row-level copy-on-write MERGE: update every 10th order of the"
+    " second-newest year, insert new keys, preserve unmatched rows in"
+    " the rewritten partition; applied twice (idempotent); only the"
+    " touched partition's files are rewritten",
+    tags=("merge", "etl"),
+)
+def merge_rowlevel_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physically exercises operators.ingestion.merge_rowlevel: full
+    load of orders partitioned by year, then one update batch (updates
+    + inserts into the second-newest year) merged TWICE — the second
+    run must rewrite identical bytes. Distinct from
+    incremental_upsert_partition (which replaces whole partitions):
+    here unmatched rows inside the touched partition survive, which is
+    the row-level MERGE contract."""
+    from aws_etl_global_footprint_network_spark.operators.ingestion import (
+        drop_table_and_location,
+        merge_rowlevel,
+    )
+
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        round_compat("o_totalprice", 2).alias("o_totalprice"),
+    )
+    table = "orders_merge_cow_demo"
+    drop_table_and_location(spark, table)
+    o.write.partitionBy("yr").format("parquet").saveAsTable(table)
+    target_yr = o.agg(F.max("yr") - 1).collect()[0][0]
+    in_year = o.filter(F.col("yr") == target_yr)
+    updates = in_year.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", round_compat(F.col("o_totalprice") + 5, 2)
+    )
+    inserts = in_year.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "yr",
+        F.lit(99.99).alias("o_totalprice"),
+    )
+    batch = updates.unionByName(inserts)
+    merge_rowlevel(batch, table, "o_orderkey", "yr")
+    merge_rowlevel(batch, table, "o_orderkey", "yr")  # idempotent re-run
+    return spark.table(table).select(
+        "o_orderkey", "yr", round_compat("o_totalprice", 2).alias("o_totalprice")
+    )

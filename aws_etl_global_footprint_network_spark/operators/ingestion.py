@@ -165,3 +165,34 @@ def run_pipeline(
         return None
     load_warehouse(df, table)
     return run_checks(spark, table)
+
+
+def merge_rowlevel(
+    updates: DataFrame, table: str, key_col: str, partition_col: str
+) -> None:
+    """Row-level copy-on-write MERGE (upsert) without a transactional
+    format: the Delta/Iceberg ``MERGE INTO`` contract re-expressed as
+    pure Spark over a partitioned parquet table.
+
+    Semantics: rows of ``updates`` whose key exists in the target
+    replace that row; new keys are inserted; every other target row —
+    including unmatched rows in the partitions being rewritten — is
+    preserved. Physically, only partitions containing updated keys
+    are rewritten (merged content via anti-join + union, then dynamic
+    partition overwrite through :func:`upsert_partitions`); untouched
+    partitions keep their files. Re-running the same updates rewrites
+    identical bytes — idempotent.
+
+    The one ``collect()`` is the touched-partition list — bounded by
+    the update batch's partition spread, never by table size (the
+    same file-pruning decision Delta makes from its transaction log).
+    """
+    spark = updates.sparkSession
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    target = spark.table(table).filter(F.col(partition_col).isin(touched))
+    merged = target.join(
+        updates.select(key_col), key_col, "left_anti"
+    ).unionByName(updates)
+    upsert_partitions(merged, table, partition_col)

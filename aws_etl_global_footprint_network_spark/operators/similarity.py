@@ -569,7 +569,16 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing); the candidate join is an equi-join on label. Approximate
     by construction (a true neighbour outside the probed lists is
     missed) — identical semantics declared in the oracle, so the hash
-    gate still verifies exactly."""
+    gate still verifies exactly. Recall rises with nprobe (the IVF
+    cost/recall dial — measured by ``bench.py --recall``'s sweep, 1.0
+    at nprobe = n_lists); ``ivf_probe_topk`` exposes the dial."""
+    return ivf_probe_topk(spark, sf_dir, NPROBE)
+
+
+def ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """ivf_topk_probe's plan with the nprobe dial exposed."""
     emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
         "vec_id",
         as_double_array("embedding").alias("e"),
@@ -602,7 +611,7 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         dists.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select(
             F.col("vec_id").alias("query_id"),
             "label",

@@ -537,3 +537,124 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_id, event_type,
+           ROUND(value * 100, 0) / 100 AS value
+    FROM events
+    """,
+    "dropDuplicatesWithinWatermark over a doubled source (the same"
+    " file delivered twice — the at-least-once ingestion failure"
+    " mode); the stream must emit each event exactly once, so the"
+    " oracle is the plain table",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once on top of at-least-once delivery: the drop zone
+    receives the same file twice (re-delivery / retry), and
+    ``dropDuplicatesWithinWatermark`` suppresses the replays by key
+    while state for keys older than the watermark is reclaimed — the
+    bounded-memory streaming dedup contract (unbounded
+    dropDuplicates state would OOM an unbounded feed)."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="stream_dup_src_")
+    os.symlink(src, os.path.join(d, "delivery_1.parquet"))
+    os.symlink(src, os.path.join(d, "delivery_2.parquet"))
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(d)
+    out = (
+        normalize_nanos(stream)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "event_type",
+            round_compat("value", 2).alias("value"),
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT MAX(ts) FROM events)
+    """,
+    "session_window aggregation as a STREAM (watermarked, append"
+    " mode): gap-merged sessions finalise and emit only when the"
+    " watermark passes their end, so sessions still open at"
+    " end-of-input stay in state — the oracle states exactly that"
+    " (batch gap-merge, minus sessions whose end exceeds the final"
+    " watermark = max event time)",
+    tags=("streaming", "sessionize", "window"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merging session windows are the hardest streaming window type
+    (two sessions can coalesce when a late event bridges their gap);
+    watermark + append mode emits each session exactly once, when no
+    bridging event can still arrive. A zero-delay watermark finalises
+    everything the Dataflow model allows: every session except those
+    whose (last event + gap) end extends past the final watermark —
+    i.e. sessions still open when the input ends, which a correct
+    streaming engine must NOT emit. The oracle encodes exactly that
+    boundary, so the row-for-row equality proves both the gap-merge
+    and the finalisation semantics."""
+    import os
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            normalize_nanos(stream)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    return run_available_now(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        raw.schema,
+        transform,
+        name,
+        output_mode="append",
+    )

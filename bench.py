@@ -210,6 +210,44 @@ def recall_mode(spark) -> None:
         "candidate_ratio": round(n_cand_v / possible_v, 6) if possible_v else None,
     }
 
+    # ---- IVF probe search: recall@k vs the exact brute-force top-k
+    # for the same query set — the standard ANN-benchmark metric. A
+    # probe miss happens when a true neighbour's inverted list is not
+    # among the query's nprobe nearest centroids.
+    exact = (
+        specs["ann_cosine_topk"]
+        .builder(spark, SF_DIR)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.count()
+    n_lists = (
+        read_testdata(spark, SF_DIR, "embeddings")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    sweep = {}
+    for nprobe in (1, 2, 4, 8, n_lists):
+        probed = similarity.ivf_probe_topk(spark, SF_DIR, nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        n_hit = exact.join(
+            probed, ["query_id", "neighbor_id"], "inner"
+        ).count()
+        sweep[str(nprobe)] = (
+            round(n_hit / n_exact, 4) if n_exact else None
+        )
+    exact.unpersist()
+    out["ivf_probe"] = {
+        "k": similarity.TOPK,
+        "n_lists": n_lists,
+        "n_queries": similarity.N_QUERIES,
+        "n_exact_neighbors": n_exact,
+        "registered_nprobe": similarity.NPROBE,
+        "recall_at_k_by_nprobe": sweep,
+    }
+
     print(json.dumps({"metric": "lsh_recall", "sf": _sf_from_dir(SF_DIR), **out}))
 
 

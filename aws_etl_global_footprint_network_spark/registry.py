@@ -93,6 +93,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_token_stats",
     "streaming_stream_stream_join",
     "training_corpus_pipeline",
+    "approx_percentile_prices",
+    "merge_rowlevel_cow",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
     # -- core regression set (rotated: r2-green unchanged queries ceded
     #    their slots to the new operators above; they keep local
     #    oracle-parity coverage) -----------------------------------------
@@ -100,11 +104,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "compound_evolution_by_user",
     "weekly_vs_window_equivalence",
     "q1_pricing_summary",
-    "regional_supplier_revenue",
-    "top_orders_by_revenue",
-    "events_year_week",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
     "pagerank_neardup_graph",
     "customer_rfm",

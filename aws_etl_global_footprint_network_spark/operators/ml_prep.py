@@ -503,3 +503,77 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.when(bucket < TRAIN_PCT, "train").otherwise("test").alias("split"),
     )
+
+
+def _contamination_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.operators.dedup import (
+        _minhash_oracle,
+    )
+
+    bucket_a = md5_hash60_sql("('split|' || doc_a::VARCHAR)")
+    bucket_b = md5_hash60_sql("('split|' || doc_b::VARCHAR)")
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    labeled AS (
+      SELECT doc_a, doc_b, jaccard,
+             CASE WHEN {bucket_a} % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'test' END AS split_a,
+             CASE WHEN {bucket_b} % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'test' END AS split_b
+      FROM pairs)
+    SELECT CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END
+             AS train_doc,
+           CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END
+             AS test_doc,
+           jaccard
+    FROM labeled WHERE split_a <> split_b
+    """
+
+
+@register(
+    "split_contamination_check",
+    _contamination_oracle(),
+    "train/test contamination audit: near-duplicate pairs (MinHash-LSH"
+    " verified) that CROSS the split boundary — each row is a test"
+    " document whose near-twin leaked into train; the decontamination"
+    " query every eval pipeline runs before trusting its numbers",
+    tags=("mlprep", "dedup", "checks"),
+)
+def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of two deterministic primitives: the banded
+    MinHash-LSH near-dup pairs and the salted-md5 split assignment —
+    so the contamination verdict is reproducible across engines and
+    cluster layouts (no RNG anywhere). One extra map over the pair
+    set; scale posture identical to dedup_minhash_lsh."""
+    from aws_etl_global_footprint_network_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+
+    def bucket(col: str):
+        return (
+            md5_hash60(F.concat(F.lit("split|"), F.col(col).cast("string")))
+            % 100
+        )
+
+    labeled = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.when(bucket("doc_a") < TRAIN_PCT, "train").otherwise("test").alias(
+            "split_a"
+        ),
+        F.when(bucket("doc_b") < TRAIN_PCT, "train").otherwise("test").alias(
+            "split_b"
+        ),
+    ).filter(F.col("split_a") != F.col("split_b"))
+    return labeled.select(
+        F.when(F.col("split_a") == "train", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("train_doc"),
+        F.when(F.col("split_a") == "train", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("test_doc"),
+        "jaccard",
+    )

@@ -1,0 +1,464 @@
+"""Training-corpus preparation operators ([EXT] — beyond the
+reference's surface, per SURVEY §0): repetition-based quality filters,
+GPT-style sequence packing, temperature-based domain mixing, exact
+stratified sampling, deterministic global shuffle, and PII redaction.
+
+These are the operators a large-scale LLM-pretraining data pipeline
+runs after dedup (``operators/dedup.py``) and before tokenisation:
+Gopher-style repetition filters decide what to keep, domain mixing
+decides how much of each source, the shuffle/packing pair decides the
+order and physical layout the trainer reads.
+
+Everything is built-in column expressions and window functions — no
+Python in the hot path; the per-document n-gram mode computations are
+O(tokens²) per document (documents are KB-sized) but map-side and
+embarrassingly parallel, so at 100 TB the cost rides the scan.
+
+Cross-engine determinism notes:
+- All hashing is md5-derived (``functions/hashing.py``) — identical in
+  Spark and the DuckDB oracle.
+- The temperature weight uses sqrt (tau = 0.5) rather than pow():
+  IEEE 754 requires sqrt to be correctly rounded, so both engines get
+  bit-identical weights; pow() is libm-dependent.
+- Integer offsets/chunk ids are exact in both engines (bigint
+  arithmetic, floor division on values far below 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.functions.hashing import (
+    md5_hash60,
+    md5_hash60_sql,
+)
+from aws_etl_global_footprint_network_spark.functions.text import (
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import (
+    read_testdata,
+    spread,
+)
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 uses
+# 0.18 / 0.16 for top 2-/3-gram fraction on web text; the synthetic
+# corpus here has a ~30-word vocabulary, so the keep flag is
+# data-dependent but the rule shape is the real one).
+TOP_BIGRAM_MAX = 0.18
+TOP_TRIGRAM_MAX = 0.16
+TOP_TOKEN_MAX = 0.20
+
+# Sequence packing: trainer context length in (whitespace) tokens and
+# number of physical shards. At 100 TB the shard count is the writer
+# parallelism — thousands; 8 keeps sf0.001 shards non-trivial.
+SEQ_LEN = 256
+PACK_SHARDS = 8
+
+# Global shuffle fan-out.
+SHUFFLE_SHARDS = 16
+
+# Domain mixing: temperature tau = 0.5 (weight = count^tau = sqrt) and
+# the fraction of the corpus the mixed sample should keep.
+MIX_BUDGET_FRAC = 0.5
+
+# Exact stratified sampling: per-(source, lang) cap.
+STRATUM_K = 20
+
+# 2^60 as a double — divisor turning md5_hash60 into U[0,1).
+_H60_SCALE = float(1 << 60)
+
+
+def _mode_count(arr):
+    """Count of the most frequent element of an array column (0 for
+    empty). O(distinct * n) per row — document-bounded, map-side."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def _mode_count_sql(arr: str) -> str:
+    return (
+        f"coalesce(list_max(list_transform(list_distinct({arr}),"
+        f" x -> len(list_filter({arr}, y -> y = x)))), 0)"
+    )
+
+
+@register(
+    "repetition_filters",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, {tokens_sql('text')} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source, t,
+             {word_shingles_sql('t', 2)} AS b,
+             {word_shingles_sql('t', 3)} AS tri
+      FROM base WHERE len(t) >= 3)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(len(t) AS INT) AS n_tokens,
+           ROUND({_mode_count_sql('t')} * 1.0 / len(t), 6) AS top_token_frac,
+           ROUND({_mode_count_sql('b')} * 1.0 / len(b), 6) AS top_bigram_frac,
+           ROUND({_mode_count_sql('tri')} * 1.0 / len(tri), 6)
+             AS top_trigram_frac,
+           ({_mode_count_sql('t')} * 1.0 / len(t) <= {TOP_TOKEN_MAX}
+            AND {_mode_count_sql('b')} * 1.0 / len(b) <= {TOP_BIGRAM_MAX}
+            AND {_mode_count_sql('tri')} * 1.0 / len(tri) <= {TOP_TRIGRAM_MAX})
+             AS keep
+    FROM grams
+    """,
+    "Gopher-style repetition quality filters: top 1-/2-/3-gram"
+    " fraction per document with a keep flag — the repetition half of"
+    " the Rae et al. quality rules (the length/symbol half is"
+    " text_quality_stats)",
+    tags=("text", "mlprep", "filter"),
+)
+def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    base = d.select("doc_id", "source", tokens("text").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    g = base.select(
+        "doc_id",
+        "source",
+        "t",
+        word_shingles("t", 2).alias("b"),
+        word_shingles("t", 3).alias("tri"),
+    )
+    tok_frac = _mode_count(F.col("t")) / F.size("t")
+    bi_frac = _mode_count(F.col("b")) / F.size("b")
+    tri_frac = _mode_count(F.col("tri")) / F.size("tri")
+    return g.select(
+        "doc_id",
+        "source",
+        F.size("t").cast("int").alias("n_tokens"),
+        round_compat(tok_frac, 6).alias("top_token_frac"),
+        round_compat(bi_frac, 6).alias("top_bigram_frac"),
+        round_compat(tri_frac, 6).alias("top_trigram_frac"),
+        (
+            (tok_frac <= TOP_TOKEN_MAX)
+            & (bi_frac <= TOP_BIGRAM_MAX)
+            & (tri_frac <= TOP_TRIGRAM_MAX)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS n_tokens,
+             {md5_hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, n_tokens, h, h % {PACK_SHARDS} AS shard FROM toks
+      WHERE n_tokens > 0),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM sharded)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           start_offset // {SEQ_LEN} AS start_chunk,
+           (start_offset + n_tokens - 1) // {SEQ_LEN} AS end_chunk
+    FROM packed
+    """,
+    "GPT-style sequence packing: documents are concatenated in"
+    " deterministic (md5) order within each shard and chunked at a"
+    f" fixed context length ({SEQ_LEN} tokens) — each document's"
+    " byte-exact chunk span (start_offset, start/end chunk ids) is"
+    " emitted so the tokenised corpus can be laid out without a"
+    " second pass",
+    tags=("mlprep", "window"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-side concat-and-chunk layout (as in GPT-2/3
+    pretraining): one window sum per shard gives every document its
+    global token offset, from which its chunk span is arithmetic.
+    One shuffle (by shard); shard count = writer parallelism at
+    scale. Offsets stay far below 2^53, so the floor-division is
+    exact in both engines."""
+    d = read_testdata(spark, sf_dir, "documents")
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    toks = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("int").alias("n_tokens"),
+        h.alias("h"),
+    ).filter(F.col("n_tokens") > 0)
+    sharded = toks.withColumn("shard", F.col("h") % PACK_SHARDS)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sharded.withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    )
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / SEQ_LEN).cast("bigint").alias("start_chunk"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / SEQ_LEN)
+        .cast("bigint")
+        .alias("end_chunk"),
+    )
+
+
+@register(
+    "domain_mix_sampling",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             {md5_hash60_sql("CAST(doc_id AS VARCHAR)")} / {_H60_SCALE} AS u
+      FROM documents),
+    counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM per_doc GROUP BY source),
+    weighted AS (
+      SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM counts),
+    fracs AS (
+      SELECT source, n_docs, w,
+             w / SUM(w) OVER () AS p,
+             LEAST(1.0, (SELECT SUM(n_docs) FROM counts) * {MIX_BUDGET_FRAC}
+                        * (w / SUM(w) OVER ()) / n_docs) AS sample_frac
+      FROM weighted)
+    SELECT f.source, CAST(f.n_docs AS BIGINT) AS n_docs,
+           ROUND(f.p, 6) AS mix_weight,
+           ROUND(f.sample_frac, 6) AS sample_frac,
+           CAST(COUNT(*) FILTER (WHERE d.u < f.sample_frac) AS BIGINT)
+             AS sampled_docs
+    FROM fracs f JOIN per_doc d USING (source)
+    GROUP BY f.source, f.n_docs, f.p, f.sample_frac
+    """,
+    "temperature-based domain mixing (tau = 0.5): per-source sampling"
+    " fractions proportional to sqrt(count), normalised to a fixed"
+    f" corpus budget ({MIX_BUDGET_FRAC:.0%}), with the deterministic"
+    " md5-uniform sample drawn and counted — the source-rebalancing"
+    " step of every pretraining mix",
+    tags=("mlprep", "agg", "sampling"),
+)
+def domain_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt as the temperature weight (tau = 0.5) because IEEE 754
+    sqrt is correctly rounded — bit-identical across engines, where
+    pow() is libm-dependent. The per-source table is tiny: the
+    weight normalisation is a broadcast-size aggregate, and the
+    sample itself is a map-side hash threshold (no shuffle of the
+    corpus)."""
+    d = read_testdata(spark, sf_dir, "documents")
+    u = md5_hash60(F.col("doc_id").cast("string")) / F.lit(_H60_SCALE)
+    per_doc = d.select("source", u.alias("u"))
+    counts = per_doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    total_docs = F.sum("n_docs").over(Window.partitionBy())
+    total_w = F.sum("w").over(Window.partitionBy())
+    fracs = weighted.select(
+        "source",
+        "n_docs",
+        (F.col("w") / total_w).alias("p"),
+        F.least(
+            F.lit(1.0),
+            total_docs * F.lit(MIX_BUDGET_FRAC) * (F.col("w") / total_w) / F.col("n_docs"),
+        ).alias("sample_frac"),
+    )
+    joined = per_doc.join(F.broadcast(fracs), "source")
+    return joined.groupBy("source", "n_docs", "p", "sample_frac").agg(
+        F.sum(F.when(F.col("u") < F.col("sample_frac"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_docs")
+    ).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        round_compat("p", 6).alias("mix_weight"),
+        round_compat("sample_frac", 6).alias("sample_frac"),
+        "sampled_docs",
+    )
+
+
+@register(
+    "stratified_sample_exact",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY {md5_hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS rk
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {STRATUM_K}
+    """,
+    f"exact stratified sampling: deterministic top-{STRATUM_K} per"
+    " (source, lang) stratum by md5 order — exact per-stratum counts"
+    " (unlike fraction-based sampling), the eval-set carve-out"
+    " pattern",
+    tags=("mlprep", "window", "sampling"),
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k per stratum, deterministically: rank by md5 within
+    each (source, lang) and keep rk <= k. One shuffle on the stratum
+    key; the rank window never sees more than one stratum, so no
+    global ordering bottleneck at scale."""
+    d = read_testdata(spark, sf_dir, "documents")
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source", "lang").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "source", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= STRATUM_K)
+        .select("doc_id", "source", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@register(
+    "global_shuffle_shards",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             {md5_hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, h, h % {SHUFFLE_SHARDS} AS shard FROM hashed)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos,
+           CAST((ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)
+                * {SHUFFLE_SHARDS} + shard AS BIGINT) AS global_pos
+    FROM sharded
+    """,
+    "deterministic global shuffle for training order: md5-derived"
+    f" shard (x{SHUFFLE_SHARDS}) + within-shard position, plus the"
+    " round-robin interleaved global position a data loader would"
+    " read — reproducible epoch ordering without a global sort",
+    tags=("mlprep", "window", "sampling"),
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard scale-out shuffle: a global ORDER BY md5 would
+    funnel the corpus through one range partitioner; sharding by
+    h % S then ranking within shards keeps every window bounded and
+    the interleaved global_pos still visits documents in md5-random
+    order (loader reads round-robin across shards)."""
+    d = read_testdata(spark, sf_dir, "documents")
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    sharded = d.select("doc_id", h.alias("h")).withColumn(
+        "shard", F.col("h") % SHUFFLE_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = (F.row_number().over(w) - 1).cast("bigint")
+    return sharded.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        pos.alias("pos"),
+        (pos * SHUFFLE_SHARDS + F.col("shard")).cast("bigint").alias("global_pos"),
+    )
+
+
+# PII patterns restricted to the RE2-and-Java-agreeing subset (no
+# lookaround, no backreferences). The synthetic corpus carries no
+# organic PII, so deterministic addresses are planted (doc_id-derived,
+# built identically in both engines — same methodology as the sign-LSH
+# planted twins): every 7th document gains an email, every 11th an
+# IPv4.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+               AS text
+      FROM documents),
+    scanned AS (
+      SELECT doc_id, source, text,
+             len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+             regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{IPV4_RE}', '<IP>', 'g') AS clean
+      FROM planted)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips,
+           CAST(length(text) AS INT) AS raw_len,
+           CAST(length(clean) AS INT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM scanned WHERE n_emails > 0 OR n_ips > 0
+    """,
+    "PII detection + redaction: email / IPv4 regex scan (RE2-and-"
+    "Java-agreeing patterns), counts and the md5 of the redacted text"
+    " per affected document — deterministic planted addresses stand"
+    " in for organic PII in the synthetic corpus",
+    tags=("text", "mlprep", "filter"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only: regex extraction and replacement are JVM built-ins
+    inside codegen; emitting md5(clean) pins the full redacted text
+    against the oracle without hashing megabytes through the compare
+    harness."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 250).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    scanned = planted.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(IPV4_RE), 0)).alias("n_ips"),
+        clean.alias("clean"),
+    )
+    return scanned.filter((F.col("n_emails") > 0) | (F.col("n_ips") > 0)).select(
+        "doc_id",
+        "source",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_ips").cast("int").alias("n_ips"),
+        F.length("text").cast("int").alias("raw_len"),
+        F.length("clean").cast("int").alias("clean_len"),
+        F.md5("clean").alias("clean_md5"),
+    )

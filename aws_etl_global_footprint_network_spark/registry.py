@@ -123,6 +123,7 @@ def load_all() -> dict[str, QuerySpec]:
     from aws_etl_global_footprint_network_spark.operators import (  # noqa: F401
         advanced,
         behavioral,
+        corpus_prep,
         dedup,
         ml_prep,
         multimodal,

@@ -130,6 +130,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # lag over the per-month aggregate — calendar-bounded (one row per
     # month, ~hundreds of rows regardless of fact-table size)
     "orders_monthly_growth",
+    # weight normalisation over the per-source aggregate — bounded by
+    # the number of corpus sources (single digits), never the corpus
+    "domain_mix_sampling",
 }
 
 

@@ -125,6 +125,7 @@ def load_all() -> dict[str, QuerySpec]:
         behavioral,
         corpus_prep,
         dedup,
+        layout,
         ml_prep,
         multimodal,
         multimodal_codecs,

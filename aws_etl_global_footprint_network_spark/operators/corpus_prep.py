@@ -462,3 +462,63 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").cast("int").alias("clean_len"),
         F.md5("clean").alias("clean_md5"),
     )
+
+
+# Unigram LM quality threshold: ln p with a ~30-word vocabulary sits
+# around ln(1/30) = -3.4 for typical docs; docs dominated by rare
+# tokens score lower.
+LM_KEEP_THRESHOLD = -4.5
+
+
+@register(
+    "unigram_lm_score",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents),
+    vocab AS (
+      SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok),
+    total AS (SELECT COUNT(*) AS t FROM ex),
+    scored AS (
+      SELECT e.doc_id, COUNT(*) AS n_tokens,
+             AVG(ln(v.c)) - ANY_VALUE(ln(total.t)) AS lp
+      FROM ex e JOIN vocab v USING (tok) CROSS JOIN total
+      GROUP BY e.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(lp, 6) AS avg_logprob,
+           lp >= {LM_KEEP_THRESHOLD} AS keep
+    FROM scored
+    """,
+    "unigram LM quality score (CCNet-style): corpus-trained token"
+    " probabilities, per-document mean log-probability and a keep"
+    " flag — documents of rare/garbage tokens score low. Uses"
+    " avg(ln c) - ln(total) == avg(ln(c/total)), so the corpus total"
+    " enters once as a scalar",
+    tags=("text", "mlprep", "filter"),
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score in one plan: the vocabulary is a token-keyed
+    aggregate JOINED back to the exploded corpus (not broadcast —
+    at 100 TB the vocabulary is huge; the join shuffles on token,
+    bounded by vocabulary skew which AQE splits). The corpus total
+    is one scalar collect. Mean of ln(count) per doc is rounded at
+    1e-6 (summation order differs across engines)."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    ex = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = ex.count()
+    scored = (
+        ex.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            (F.avg(F.log("c")) - F.lit(float(__import__("math").log(total))))
+            .alias("lp"),
+        )
+    )
+    return scored.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        round_compat("lp", 6).alias("avg_logprob"),
+        (F.col("lp") >= LM_KEEP_THRESHOLD).alias("keep"),
+    )

@@ -638,3 +638,125 @@ def ivf_probe_topk(
     )
 
 
+
+
+# --------------------------------------------------------------------
+# k-means (Lloyd) refinement of the IVF coarse quantizer
+# --------------------------------------------------------------------
+
+KMEANS_ROUNDS = 2
+
+
+def _kmeans_oracle() -> str:
+    """Chained-CTE oracle for KMEANS_ROUNDS Lloyd iterations: label
+    centroids as init, per-round assign (argmin sq-dist, label
+    tie-break) then grouped-mean update rounded at CENTROID_ROUND —
+    the same fixed-iteration + per-round-rounding contract as the
+    PageRank oracle."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),",
+        "exv AS (SELECT vec_id, generate_subscripts(e, 1) AS pos,"
+        " unnest(e) AS val FROM v),",
+        "ex0 AS (SELECT t.label, generate_subscripts(t.e, 1) AS pos,"
+        " unnest(t.e) AS val FROM (SELECT label, embedding::DOUBLE[] AS e"
+        " FROM embeddings) t),",
+        f"cent0 AS (SELECT label, pos, ROUND(AVG(val) * 1e{CENTROID_ROUND}, 0)"
+        f" / 1e{CENTROID_ROUND} AS cv FROM ex0 GROUP BY label, pos),",
+    ]
+    r = 0
+    for r in range(KMEANS_ROUNDS):
+        parts += [
+            f"carr{r} AS (SELECT label, list(cv ORDER BY pos) AS c"
+            f" FROM cent{r} GROUP BY label),",
+            f"asg{r} AS (SELECT vec_id, label FROM ("
+            f" SELECT v.vec_id, carr{r}.label,"
+            f" ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY"
+            f" list_sum(list_transform(range(1, len(v.e)+1),"
+            f" i -> (v.e[i] - carr{r}.c[i]) * (v.e[i] - carr{r}.c[i]))),"
+            f" carr{r}.label) AS rn"
+            f" FROM v CROSS JOIN carr{r}) WHERE rn = 1),",
+            f"cent{r + 1} AS (SELECT a.label, x.pos,"
+            f" ROUND(AVG(x.val) * 1e{CENTROID_ROUND}, 0) / 1e{CENTROID_ROUND}"
+            f" AS cv FROM asg{r} a JOIN exv x USING (vec_id)"
+            f" GROUP BY a.label, x.pos),",
+        ]
+    final = r + 1
+    parts += [
+        f"sizes AS (SELECT label, COUNT(*) AS n_members FROM asg{r}"
+        f" GROUP BY label)",
+        f"SELECT CAST(c.label AS INT) AS cluster, CAST(c.pos AS INT) AS pos,"
+        f" c.cv AS centroid_val, CAST(s.n_members AS BIGINT) AS n_members"
+        f" FROM cent{final} c JOIN sizes s USING (label)",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "ivf_kmeans_train",
+    _kmeans_oracle(),
+    f"k-means training of the IVF quantizer: {KMEANS_ROUNDS} Lloyd"
+    " rounds (assign to nearest centroid, recompute means) from the"
+    " label-centroid init, with per-round rounding keeping both"
+    " engines on identical centroids — final centroids + cluster"
+    " sizes",
+    tags=("similarity", "ivf", "iterative"),
+)
+def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd iteration exactly as MLlib's KMeans runs it:
+    centroids live in a K x dim table broadcast to every task, the
+    assignment is a map-only argmin over the broadcast, and the
+    update is one (cluster, pos) groupBy of partial sums — per round
+    one broadcast + one shuffle, no driver-side vector math. Empty
+    clusters drop out in both engines (grouped mean over no rows).
+    Rounding each round's centroids (CENTROID_ROUND) pins the
+    fixed point bit-identically across engines."""
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    exv = emb.select(
+        "vec_id", F.posexplode("e").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = ivf_label_centroids(spark, sf_dir).select(
+        "label", "pos", F.col("centroid_val").alias("cv")
+    )
+    scope = CacheScope("ivf_kmeans_train")
+    emb = scope.persist(emb)
+    exv = scope.persist(exv)
+    asg = None
+    for _ in range(KMEANS_ROUNDS):
+        carr = cent.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("c")
+        )
+        d = F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        scored = emb.crossJoin(F.broadcast(carr)).select(
+            "vec_id", "label", d.alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "label")
+        asg = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("vec_id", "label")
+        )
+        # cut the per-round lineage growth (same reason as PageRank)
+        cent = (
+            asg.join(exv, "vec_id")
+            .groupBy("label", "pos")
+            .agg(round_compat(F.avg("val"), CENTROID_ROUND).alias("cv"))
+            .localCheckpoint()
+        )
+    sizes = asg.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return cent.join(sizes, "label").select(
+        F.col("label").cast("int").alias("cluster"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("cv").alias("centroid_val"),
+        "n_members",
+    )

@@ -116,3 +116,23 @@ def test_domain_mix_weights_normalised(spark, sf_dir):
     for r in rows:
         assert 0 <= r.sampled_docs <= r.n_docs
         assert 0 < r.sample_frac <= 1.0
+
+
+def test_unigram_lm_score_sane(spark, sf_dir):
+    from aws_etl_global_footprint_network_spark.operators.corpus_prep import (
+        LM_KEEP_THRESHOLD,
+        unigram_lm_score,
+    )
+
+    rows = unigram_lm_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_logprob < 0  # probabilities < 1
+        assert r.n_tokens > 0
+        assert r.keep == (r.avg_logprob >= LM_KEEP_THRESHOLD) or abs(
+            r.avg_logprob - LM_KEEP_THRESHOLD
+        ) < 1e-5
+    # a corpus-trained unigram LM over a ~30-word vocab: typical doc
+    # sits near ln(1/vocab); nothing should be wildly off that scale
+    med = sorted(r.avg_logprob for r in rows)[len(rows) // 2]
+    assert -8 < med < -1, med

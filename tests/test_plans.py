@@ -85,6 +85,8 @@ CARTESIAN_WHITELIST = {
     "referential_integrity_checks",
     # deliberate broadcast salt-range replication (n_salt=8 rows)
     "salted_join_revenue",
+    # broadcast of the K-row centroid table per Lloyd round
+    "ivf_kmeans_train",
     # ground-truth all-pairs op, key-bounded (PAIR_ID_BOUND)
     "ann_threshold_pairs",
     # broadcast of the tiny (n_labels) centroid table against the corpus

@@ -66,3 +66,46 @@ def test_twin_cosine_concentrates_near_design_point(spark, sf_dir):
     )
     assert 0.9 < stats.av < 0.95, stats
     assert stats.mn > 0.8 and stats.mx < 1.0, stats
+
+
+def test_kmeans_refinement_does_not_increase_sse(spark, sf_dir):
+    """Lloyd iterations monotonically non-increase within-cluster SSE;
+    after KMEANS_ROUNDS rounds from the label-centroid init, total SSE
+    under (final centroids, nearest assignment) must be <= the init's
+    nearest-assignment SSE."""
+    import numpy as np
+
+    from aws_etl_global_footprint_network_spark.functions.vectors import (
+        as_double_array,
+    )
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        ivf_kmeans_train,
+        ivf_label_centroids,
+    )
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    emb = (
+        read_testdata(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array("embedding").alias("e"))
+        .collect()
+    )
+    X = np.array([r.e for r in emb])
+
+    def sse(centroid_rows, cid_col):
+        byc: dict[int, dict[int, float]] = {}
+        for r in centroid_rows:
+            byc.setdefault(getattr(r, cid_col), {})[r.pos] = r[2]
+        C = np.array(
+            [[v for _, v in sorted(d.items())] for _, d in sorted(byc.items())]
+        )
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    init = ivf_label_centroids(spark, sf_dir).collect()
+    final = ivf_kmeans_train(spark, sf_dir).collect()
+    n = read_testdata(spark, sf_dir, "embeddings").count()
+    sizes: dict[int, int] = {}
+    for r in final:
+        sizes[r.cluster] = r.n_members
+    assert sum(sizes.values()) == n
+    assert sse(final, "cluster") <= sse(init, "label") * (1 + 1e-9)

@@ -522,3 +522,66 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_compat("lp", 6).alias("avg_logprob"),
         (F.col("lp") >= LM_KEEP_THRESHOLD).alias("keep"),
     )
+
+
+# Sliding-window chunking (RAG / embedding prep): window of CHUNK_W
+# tokens advancing by CHUNK_STRIDE (overlap = CHUNK_W - CHUNK_STRIDE).
+CHUNK_W = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "chunk_sliding_windows",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    sized AS (
+      SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, n, t,
+             unnest(range(0, (greatest(n - {CHUNK_W}, 0) + {CHUNK_STRIDE} - 1)
+                             // {CHUNK_STRIDE} + 1)) AS chunk_id
+      FROM sized)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                               chunk_id * {CHUNK_STRIDE} + {CHUNK_W}))
+                AS INT) AS chunk_len,
+           md5(array_to_string(
+                 list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                            chunk_id * {CHUNK_STRIDE} + {CHUNK_W}), ' '))
+             AS chunk_md5
+    FROM chunks
+    """,
+    f"sliding-window chunking for retrieval/embedding prep: {CHUNK_W}"
+    f"-token windows, stride {CHUNK_STRIDE} (overlap"
+    f" {CHUNK_W - CHUNK_STRIDE}), each chunk's exact text pinned by"
+    " md5 — the chunker every RAG ingestion pipeline runs",
+    tags=("text", "mlprep", "reshape"),
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side explode: sequence(0, n_chunks-1) -> slice — the output
+    is ~n/stride rows per document with no shuffle at all; chunk text
+    is pinned via md5 rather than shipping the strings through the
+    compare harness."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    n = F.size("t")
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - CHUNK_W, F.lit(0)) + CHUNK_STRIDE - 1) / CHUNK_STRIDE
+        ).cast("int")
+        + 1
+    )
+    chunks = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    sl = F.slice("t", F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_W)
+    return chunks.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(sl).cast("int").alias("chunk_len"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )

@@ -136,3 +136,40 @@ def test_unigram_lm_score_sane(spark, sf_dir):
     # sits near ln(1/vocab); nothing should be wildly off that scale
     med = sorted(r.avg_logprob for r in rows)[len(rows) // 2]
     assert -8 < med < -1, med
+
+
+def test_chunk_sliding_windows_cover_and_overlap(spark, sf_dir):
+    """Chunks are dense per doc, tile the token stream with the
+    configured stride, and the last chunk reaches the end."""
+    import re as _re
+
+    from aws_etl_global_footprint_network_spark.operators.corpus_prep import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        chunk_sliding_windows,
+    )
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    docs = {
+        r.doc_id: [
+            t
+            for t in _re.split(r"[^a-z0-9]+", r.text.lower())
+            if t
+        ]
+        for r in read_testdata(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in chunk_sliding_windows(spark, sf_dir).collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_len
+    for doc_id, toks in docs.items():
+        n = len(toks)
+        if n == 0:
+            assert doc_id not in by_doc
+            continue
+        chunks = by_doc[doc_id]
+        k = (max(n - CHUNK_W, 0) + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        assert sorted(chunks) == list(range(k))
+        for cid, clen in chunks.items():
+            assert clen == min(CHUNK_W, n - cid * CHUNK_STRIDE)
+        # last chunk reaches the final token
+        assert (k - 1) * CHUNK_STRIDE + chunks[k - 1] == n

@@ -69,6 +69,12 @@ HEADLINE = [
     "video_frame_sample",
     "bpe_token_stats",
     "training_corpus_pipeline",
+    # round-3 corpus-prep/layout additions
+    "repetition_filters",
+    "unigram_lm_score",
+    "chunk_sliding_windows",
+    "ivf_kmeans_train",
+    "zorder_layout",
 ]
 
 

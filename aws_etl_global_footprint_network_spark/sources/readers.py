@@ -51,9 +51,16 @@ def read_testdata_raw(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
 
 
 def normalize_nanos(df: DataFrame) -> DataFrame:
-    """Convert nanosAsLong-read nanosecond columns to microsecond
-    timestamps (integer division — same truncation DuckDB applies when
-    it reads TIMESTAMP_NS into its microsecond TIMESTAMP)."""
+    """Normalise timestamp columns to TIMESTAMP (LTZ, session tz UTC).
+
+    Two driver-data generations exist: TIMESTAMP(NANOS) parquet (read
+    as bigint under nanosAsLong — integer-divide to micros, the same
+    truncation DuckDB applies), and TIMESTAMP(MICROS) without a
+    timezone (read as TIMESTAMP_NTZ in Spark 4). Both are mapped to
+    the instant type: watermarks, ``unix_micros`` and interval
+    arithmetic require TIMESTAMP, and with the session timezone pinned
+    to UTC (ensure_session_confs) the wall-clock values are identical
+    to what the UTC-naive DuckDB oracle computes."""
     from pyspark.sql import functions as F
 
     out = df
@@ -62,6 +69,8 @@ def normalize_nanos(df: DataFrame) -> DataFrame:
             out = out.withColumn(
                 name, F.timestamp_micros(F.expr(f"{name} DIV 1000"))
             )
+        elif dtype == "timestamp_ntz":
+            out = out.withColumn(name, F.col(name).cast("timestamp"))
     return out
 
 

@@ -323,25 +323,33 @@ def main() -> None:
             except Exception as exc:  # pragma: no cover - warmup is best-effort
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # One failing query must not void the whole bench (a schema drift
+    # in regenerated test data once cost an entire round's numbers):
+    # record the error per query and keep timing the rest.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        n = specs[name].builder(spark, SF_DIR).count()
+        try:
+            n = specs[name].builder(spark, SF_DIR).count()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if errors:
+        line["errors"] = errors
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

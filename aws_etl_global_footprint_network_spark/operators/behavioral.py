@@ -319,3 +319,50 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd != 0, sd
     )
     return s.select("s_suppkey", "s_nationkey", round_compat(z, 6).alias("zscore"))
+
+
+# Exponential time-decay: half-life in days for recency-weighted value.
+DECAY_HALF_LIFE_DAYS = 7
+
+
+@register(
+    "decayed_user_value",
+    f"""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value * EXP(-LN(2.0)
+                 * ((epoch_us(anchor.mx) - epoch_us(ts)) / 1e6 / 86400.0)
+                 / {DECAY_HALF_LIFE_DAYS})) * 1e4, 0) / 1e4
+             AS decayed_value
+    FROM events CROSS JOIN anchor
+    GROUP BY user_id
+    """,
+    f"recency-weighted user value: exponential decay with a"
+    f" {DECAY_HALF_LIFE_DAYS}-day half-life anchored at the corpus max"
+    " timestamp — the feature-store scoring pass behind churn/LTV"
+    " features",
+    tags=("mlprep", "agg", "temporal"),
+)
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decay anchor is a scalar subquery — Catalyst executes it as
+    its own tiny job and folds the result into the map-side weight
+    expression, so the scoring pass is map + one groupBy shuffle with
+    no driver round-trip. EXP/LN arithmetic is written identically on
+    both sides (libm doubles agree bit-for-bit; only the grouped SUM's
+    order differs, hence the 1e-4 rounding)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_decay")
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value * EXP(-LN(2.0D)
+                     * ((unix_micros((SELECT MAX(ts) FROM events_decay))
+                         - unix_micros(ts)) / 1e6 / 86400.0D)
+                     / {DECAY_HALF_LIFE_DAYS})) * 1e4, 0) / 1e4
+                 AS decayed_value
+        FROM events_decay
+        GROUP BY user_id
+        """
+    )

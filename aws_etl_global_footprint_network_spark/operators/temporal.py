@@ -202,6 +202,72 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Resample grid: one point every RESAMPLE_HOURS, per user, from the
+# user's first day (midnight) to their last event.
+RESAMPLE_HOURS = 6
+
+
+@register(
+    "events_resample_ffill",
+    f"""
+    WITH spans AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1
+      FROM events GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL {RESAMPLE_HOURS} HOUR))
+               AS grid_ts
+      FROM spans),
+    obs AS (SELECT user_id, ts, event_id, value FROM events)
+    SELECT s.user_id, s.grid_ts,
+           o.event_id AS src_event_id,
+           ROUND(o.value * 100, 0) / 100 AS filled_value
+    FROM spine s ASOF LEFT JOIN obs o
+      ON s.user_id = o.user_id AND o.ts <= s.grid_ts
+    """,
+    f"time-series resample to a {RESAMPLE_HOURS}-hour grid with"
+    " forward-fill: per-user spine (generate_series) as-of joined to"
+    " the observations — gap filling for feature stores / downsampled"
+    " dashboards (oracle: DuckDB native ASOF against its own"
+    " generate_series spine)",
+    tags=("temporal", "asof", "resample"),
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + forward-fill as a composition of existing primitives:
+    the spine is sequence()/explode off a per-user (min, max) aggregate
+    (map-side expansion, grid size bounded by span/step per user), and
+    the fill is the repo's as-of join (one shuffle on user). Grid
+    points before a user's first event keep NULLs — the ffill boundary
+    contract. At 100 TB the spine is generated, never materialised to
+    storage, and the as-of shuffle is the only data movement."""
+    ev = read_testdata(spark, sf_dir, "events")
+    obs = ev.select("user_id", "ts", "event_id", "value")
+    spans = obs.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr(f"INTERVAL {RESAMPLE_HOURS} HOURS"))
+        ).alias("grid_ts"),
+    )
+    filled = asof_join(
+        spine,
+        obs.select("user_id", "ts", "event_id", "value"),
+        on=["user_id"],
+        left_ts="grid_ts",
+        right_ts="ts",
+        right_values=["event_id", "value"],
+    )
+    return filled.select(
+        "user_id",
+        "grid_ts",
+        F.col("event_id").alias("src_event_id"),
+        round_compat("value", 2).alias("filled_value"),
+    )
+
+
 @register(
     "time_rollup_multi_grain",
     """

@@ -204,3 +204,88 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ws_only).cast("bigint").alias("ws_only_tokens"),
         round_compat(F.avg(F.size("t")), 4).alias("avg_bpe_tokens"),
     )
+
+
+# PMI collocations: minimum bigram count to score (rare pairs have
+# unstable PMI and would dominate the ranking with noise).
+PMI_MIN_PAIR = 5
+
+
+@register(
+    "token_pmi_bigrams",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    uni AS (
+      SELECT unnest(t) AS tok FROM base),
+    ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS t_uni FROM uni),
+    bg AS (
+      SELECT unnest({{shingles}}) AS bigram
+      FROM (SELECT {tokens_sql('text')} AS t FROM documents)),
+    bcnt AS (SELECT bigram, COUNT(*) AS c_pair FROM bg GROUP BY bigram),
+    btot AS (SELECT COUNT(*) AS t_bi FROM bg),
+    scored AS (
+      SELECT b.bigram, b.c_pair, ua.c AS c_a, ub.c AS c_b,
+             ln(b.c_pair * 1.0 / btot.t_bi)
+               - ln(ua.c * 1.0 / tot.t_uni)
+               - ln(ub.c * 1.0 / tot.t_uni) AS pmi
+      FROM bcnt b
+      JOIN ucnt ua ON ua.tok = string_split(b.bigram, ' ')[1]
+      JOIN ucnt ub ON ub.tok = string_split(b.bigram, ' ')[2]
+      CROSS JOIN tot CROSS JOIN btot
+      WHERE b.c_pair >= {PMI_MIN_PAIR})
+    SELECT bigram, CAST(c_pair AS BIGINT) AS c_pair,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           ROUND(pmi * 1e6, 0) / 1e6 AS pmi
+    FROM scored
+    """.format(shingles="list_transform(range(1, greatest(len(t) - 1, 0) + 1),"
+               " i -> t[i] || ' ' || t[i+1])"),
+    f"pointwise-mutual-information collocation mining: corpus bigram"
+    f" counts vs unigram marginals, scored for pairs seen >="
+    f" {PMI_MIN_PAIR} times — the phrase-detection pass (word2vec-style"
+    " phrase merging) of a text prep pipeline",
+    tags=("text", "mlprep", "agg"),
+)
+def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI = ln p(ab) - ln p(a) - ln p(b), with unigram marginals
+    joined back onto the bigram table (two shuffles on token — the
+    vocabulary is never broadcast; at 100 TB it is huge and skew-split
+    by AQE). The corpus totals enter as two scalar counts. The three
+    ln() terms are written in the same order on both sides, so only
+    the counts (integers, exact) differ-proof the arithmetic; rounded
+    at 1e-6 anyway for the division."""
+    from aws_etl_global_footprint_network_spark.functions.text import word_shingles
+
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("t"))
+    uni = base.select(F.explode("t").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    t_uni = uni.count()
+    bg = base.select(F.explode(word_shingles("t", 2)).alias("bigram"))
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_pair"))
+    t_bi = bg.count()
+    b = bcnt.filter(F.col("c_pair") >= PMI_MIN_PAIR).select(
+        "bigram",
+        "c_pair",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("tok_a"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("tok_b"),
+    )
+    ua = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    pmi = (
+        F.log(F.col("c_pair") * 1.0 / t_bi)
+        - F.log(F.col("c_a") * 1.0 / t_uni)
+        - F.log(F.col("c_b") * 1.0 / t_uni)
+    )
+    return (
+        b.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .select(
+            "bigram",
+            F.col("c_pair").cast("bigint").alias("c_pair"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            round_compat(pmi, 6).alias("pmi"),
+        )
+    )

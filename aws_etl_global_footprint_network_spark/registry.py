@@ -132,6 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         similarity,
+        similarity_pq,
         similarity_vectorized,
         skew,
         temporal,

@@ -49,67 +49,71 @@ def register(
 
 # External correctness harnesses sample the FIRST 50 registry entries in
 # iteration order, so ordering is part of the contract.  DRIVER_WINDOW pins
-# those 50 slots explicitly: the full ANN/IVF/as-of/text/windows/streaming
-# surface (which had only local oracle-parity coverage through round 2) plus
-# a core-regression set (flagship compound queries, dedup family, the
-# operators changed this round).  Everything else keeps local coverage via
-# tests/test_oracle_parity.py, which sweeps ALL registered queries.
+# those 50 slots explicitly.  Round-4 composition: (a) the six queries whose
+# round-3 rows ERRORED on the TIMESTAMP_NTZ test-data regeneration (fixed in
+# sources.readers.normalize_nanos — they must show green externally), (b)
+# the eleven round-3 additions never externally sampled, (c) the nine
+# operators new this round, (d) rotation by oldest external evidence
+# (round-1-only first, then round-2-only), (e) three flagship regressions.
+# Everything else keeps local coverage via tests/test_oracle_parity.py,
+# which sweeps ALL registered queries.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never externally sampled before round 3 --------------------------
-    "date_functions_suite",
-    "lineitem_unpivot",
-    "key_uniqueness_checks",
-    "referential_integrity_checks",
-    "order_value_histogram",
-    "part_regex_funcs",
-    "null_semantics_suite",
-    "ann_cosine_topk",
-    "ann_threshold_pairs",
-    "ann_lsh_pairs",
-    "ivf_label_centroids",
-    "ivf_assignments",
-    "ivf_topk_probe",
-    "ann_cosine_topk_vectorized",
-    "salted_join_revenue",
+    # -- round-3 external rows ERRORED (NTZ), fixed this round ------------
     "asof_last_purchase",
-    "lineitem_ship_window_range",
-    "session_window_native",
-    "time_rollup_multi_grain",
-    "text_quality_stats",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "token_count_per_source",
-    "window_analytic_suite",
     "streaming_daily_counts",
     "streaming_sliding_counts",
-    "streaming_first_seen_stateful",
-    "streaming_foreachbatch_upsert",
-    "streaming_user_totals_stateful",
-    # -- new this round (first external rows) ----------------------------
-    "dedup_embedding_cosine",
-    "image_resize_thumbs",
-    "audio_wav_features",
-    "video_frame_sample",
-    "bpe_token_stats",
     "streaming_stream_stream_join",
-    "training_corpus_pipeline",
-    "approx_percentile_prices",
-    "merge_rowlevel_cow",
     "streaming_dedup_watermark",
     "streaming_session_window",
-    # -- core regression set (rotated: r2-green unchanged queries ceded
-    #    their slots to the new operators above; they keep local
-    #    oracle-parity coverage) -----------------------------------------
+    # -- never externally sampled (added late in round 3) -----------------
+    "repetition_filters",
+    "sequence_packing",
+    "domain_mix_sampling",
+    "stratified_sample_exact",
+    "global_shuffle_shards",
+    "pii_redaction",
+    "unigram_lm_score",
+    "chunk_sliding_windows",
+    "ivf_kmeans_train",
+    "zorder_layout",
+    "split_contamination_check",
+    # -- new this round (first external rows) -----------------------------
+    "pq_train_codebooks",
+    "pq_codes",
+    "pq_adc_topk",
+    "pq_adc_rerank_topk",
+    "dup_ngram_spans",
+    "dsir_importance_weight",
+    "events_resample_ffill",
+    "decayed_user_value",
+    "token_pmi_bigrams",
+    # -- rotation: external evidence only from round 1 --------------------
+    "acctbal_case_buckets",
+    "part_string_funcs",
+    "events_json_extract",
+    "events_daily_agg",
+    "events_year_week",
+    "nation_check_avg",
+    "user_event_pivot",
+    "top_tokens_exploded",
+    "price_quantity_correlation",
+    "supplier_names_agg",
+    "median_order_value",
+    # -- rotation: external evidence only from round 2 --------------------
+    "calendar_spine",
+    "incremental_upsert_partition",
+    "events_funnel",
+    "retention_cohorts",
+    "orders_monthly_growth",
+    "events_topk_per_day",
+    "supplier_balance_zscore",
+    "tfidf_top_terms",
+    "train_test_split_hash",
+    "embedding_quantize_stats",
+    # -- flagship regression ----------------------------------------------
     "weekly_compound_by_user",
-    "compound_evolution_by_user",
-    "weekly_vs_window_equivalence",
     "q1_pricing_summary",
     "dedup_minhash_lsh",
-    "dedup_clusters",
-    "pagerank_neardup_graph",
-    "customer_rfm",
-    "approx_distinct_parts",
-    "multimodal_features",
 )
 
 

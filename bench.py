@@ -75,6 +75,13 @@ HEADLINE = [
     "chunk_sliding_windows",
     "ivf_kmeans_train",
     "zorder_layout",
+    # round-4 additions
+    "pq_adc_rerank_topk",
+    "dup_ngram_spans",
+    "dsir_importance_weight",
+    "token_pmi_bigrams",
+    "events_resample_ffill",
+    "decayed_user_value",
 ]
 
 

@@ -442,3 +442,133 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_partners"),
         F.max("score").alias("best_score"),
     )
+
+
+# --------------------------------------------------------------------
+# Containment (asymmetric near-dup)
+# --------------------------------------------------------------------
+
+# Max-containment threshold: |A ∩ B| / min(|A|, |B|). A small document
+# wholly embedded in a larger one has low Jaccard (the union is big)
+# but containment ~1 — the boilerplate-inclusion case Jaccard-only
+# dedup misses (Broder's containment measure).
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def _containment_oracle() -> str:
+    perms = ", ".join(
+        f"MIN({minhash_perm_sql('h', i)}) AS m{i}" for i in range(MINHASH_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{b * MINHASH_ROWS_PER_BAND} * {P31}::BIGINT "
+        f"+ m{b * MINHASH_ROWS_PER_BAND + 1} AS bucket FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct({word_shingles_sql('t', 3)})) AS token
+      FROM base),
+    h AS (SELECT doc_id, {hash31_sql('token')} AS h FROM tok),
+    sig AS (SELECT doc_id, {perms} FROM h GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN tok x ON x.doc_id = c.doc_a
+      JOIN tok y ON y.doc_id = c.doc_b AND y.token = x.token
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+           ROUND(i.i * 1.0 / (sa.n + sb.n - i.i) * 1e6, 0) / 1e6 AS jaccard,
+           ROUND(i.i * 1.0 / LEAST(sa.n, sb.n) * 1e6, 0) / 1e6 AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_containment_pairs",
+    _containment_oracle(),
+    f"asymmetric near-dup pairs at max-containment >="
+    f" {CONTAINMENT_THRESHOLD} (|A∩B| / min set size) over the MinHash"
+    " band candidates — catches a short document embedded in a longer"
+    " one, which Jaccard-threshold dedup misses",
+    tags=("dedup", "lsh"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same banded candidate generation and exact-verify shape as
+    ``dedup_minhash_lsh`` (one signature groupBy carrying set sizes,
+    candidates only from (band, bucket) collisions, verify pruned to
+    candidate docs), but verified on max-containment: the denominator
+    is the SMALLER set, so boilerplate inclusion scores ~1 even when
+    the union dwarfs the intersection. Candidates still come from
+    Jaccard-tuned minhash bands — the documented recall boundary: a
+    tiny-in-huge pair whose signatures never collide is missed; a
+    dedicated containment index would band the small side's
+    signature only."""
+    scope = CacheScope("dedup_containment_pairs")
+    tok = scope.persist(_shingle_sets(spark, sf_dir))
+    h = tok.select("doc_id", hash31("token").alias("h"))
+    sig = scope.persist(
+        h.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
+                for i in range(MINHASH_K)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    bands = lsh_band_buckets(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = scope.persist(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    tokc = tok.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    x = tokc.alias("x")
+    y = tokc.alias("y")
+    inter = (
+        F.broadcast(cand)
+        .join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.token") == F.col("x.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sig.select("doc_id", "n")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    cont = F.col("i") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            round_compat(jac, 6).alias("jaccard"),
+            round_compat(cont, 6).alias("containment"),
+        )
+    )

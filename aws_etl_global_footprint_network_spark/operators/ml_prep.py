@@ -577,3 +577,51 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("test_doc"),
         "jaccard",
     )
+
+
+# Smoothed target (mean) encoding: the Bayesian-average shrinkage
+# every tabular-ML pipeline applies to high-cardinality categoricals.
+TARGET_ENC_SMOOTHING = 10
+
+
+@register(
+    "target_encode_priority",
+    f"""
+    WITH g AS (SELECT AVG(o_totalprice) AS gm FROM orders),
+    cat AS (
+      SELECT o_orderpriority, COUNT(*) AS n, AVG(o_totalprice) AS cat_mean
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           ROUND(cat_mean * 1e4, 0) / 1e4 AS cat_mean,
+           ROUND((n * cat_mean + {TARGET_ENC_SMOOTHING} * g.gm)
+                 / (n + {TARGET_ENC_SMOOTHING}) * 1e4, 0) / 1e4 AS encoded
+    FROM cat CROSS JOIN g
+    """,
+    "smoothed target encoding of order priority against order value:"
+    f" Bayesian shrinkage toward the global mean (m={TARGET_ENC_SMOOTHING})"
+    " — the mean-encoding feature transform for high-cardinality"
+    " categoricals",
+    tags=("mlprep", "agg"),
+)
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy over the fact table plus a 1-row global-mean
+    aggregate broadcast into the shrinkage expression — at 100 TB the
+    encoder table (one row per category) is the broadcastable output
+    a feature store persists. Means are rounded at 1e-4 on both sides
+    (engine summation orders differ)."""
+    o = read_testdata(spark, sf_dir, "orders")
+    gm = o.agg(F.avg("o_totalprice").alias("gm"))
+    cat = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("o_totalprice").alias("cat_mean"),
+    )
+    enc = (F.col("n") * F.col("cat_mean") + TARGET_ENC_SMOOTHING * F.col("gm")) / (
+        F.col("n") + TARGET_ENC_SMOOTHING
+    )
+    return cat.crossJoin(F.broadcast(gm)).select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        round_compat("cat_mean", 4).alias("cat_mean"),
+        round_compat(enc, 4).alias("encoded"),
+    )

@@ -95,6 +95,8 @@ CARTESIAN_WHITELIST = {
     # broadcast of the bounded (N_QUERIES) query set, non-equi predicate
     "ann_cosine_topk",
     "ann_cosine_topk_vectorized",
+    # scalar-subquery pattern: broadcast 1-row global-mean aggregate
+    "target_encode_priority",
 }
 
 

@@ -436,3 +436,180 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_compat("d", 6).alias("l2_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Composed IVFADC: coarse-quantizer pruning + ADC scoring + re-rank
+# --------------------------------------------------------------------
+
+# nprobe for the composed search: 4 of the 10 label-lists (the IVF
+# dial measured 0.68 recall@5 alone at nprobe=4; the ADC shortlist +
+# exact re-rank recovers most of what survives the probe).
+IVFADC_NPROBE = 4
+
+
+def _ivf_cent_sql() -> str:
+    """Label-centroid CTEs (the IVF coarse quantizer — same
+    construction as operators.similarity's IVF oracle)."""
+    return """
+    exc AS (SELECT t.label, generate_subscripts(t.e, 1) AS pos,
+                   unnest(t.e) AS val
+            FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) t),
+    cent AS (SELECT label, pos,
+                    ROUND(AVG(val) * 1e6, 0) / 1e6 AS cv
+             FROM exc GROUP BY label, pos),
+    carr AS (SELECT label, list(cv ORDER BY pos) AS c FROM cent
+             GROUP BY label),
+    cdist AS (SELECT v.vec_id, carr.label,
+                     list_sum(list_transform(range(1, len(v.e) + 1),
+                         i -> (v.e[i] - carr.c[i]) * (v.e[i] - carr.c[i])))
+                       AS d
+              FROM v CROSS JOIN carr),
+    assigned AS (SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+        FROM cdist) WHERE rn = 1)"""
+
+
+@register(
+    "ivfadc_rerank_topk",
+    f"""
+    WITH {_pq_prefix_sql()},
+    {_ivf_cent_sql()},
+    probes AS (SELECT vec_id AS query_id, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+        FROM cdist WHERE vec_id < {N_QUERIES}) WHERE rn <= {IVFADC_NPROBE}),
+    lut AS (SELECT q.vec_id AS query_id, q.m, cb1.code,
+                   {_sq_sql('q.sv', 'cb1.c')} AS pd
+            FROM subv q JOIN cb1 USING (m) WHERE q.vec_id < {N_QUERIES}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN assigned a ON a.label = p.label
+             WHERE a.vec_id <> p.query_id),
+    adc AS (SELECT c.query_id, c.neighbor_id,
+                   ROUND(SUM(l.pd) * 1e6, 0) / 1e6 AS adc_dist
+            FROM cand c
+            JOIN codesr cr ON cr.vec_id = c.neighbor_id
+            JOIN lut l ON l.query_id = c.query_id
+                      AND l.m = cr.m AND l.code = cr.code
+            GROUP BY c.query_id, c.neighbor_id),
+    short AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {RERANK_R}),
+    rr AS (SELECT s.query_id, s.neighbor_id,
+                  list_sum(list_transform(range(1, {DIM} + 1),
+                      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS d
+           FROM short s JOIN v q ON q.vec_id = s.query_id
+                        JOIN v x ON x.vec_id = s.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, d,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY d, neighbor_id) AS rank
+               FROM rr)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank,
+           ROUND(d * 1e6, 0) / 1e6 AS l2_dist
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+    f"composed IVFADC search: IVF coarse quantizer prunes to"
+    f" {IVFADC_NPROBE} of the inverted lists, ADC scores only those"
+    " lists' codes, exact re-rank on the shortlist — the production"
+    " billion-vector search pipeline (FAISS IVFADC+refine) as one"
+    " Catalyst plan",
+    tags=("similarity", "pq", "ivf"),
+)
+def ivfadc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full composed ANN stack, each stage bounding the next:
+    per query, the coarse quantizer selects IVFADC_NPROBE inverted
+    lists (corpus/n_lists × nprobe vectors survive), ADC scores only
+    those survivors' 8-byte codes against the broadcast LUT, and the
+    exact re-rank touches RERANK_R original vectors. At 100 TB this
+    is the only registered search whose per-query cost is sublinear
+    in BOTH scanned vectors (IVF pruning) and bytes per vector (PQ
+    codes) — scanned work ≈ (N/n_lists)·nprobe·M lookups + R exact
+    distances. Every stage is an equi-join on (label) or
+    (subspace, code) against broadcast tables."""
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        ivf_label_centroids,
+    )
+
+    subv = _subvectors(spark, sf_dir)
+    scope = CacheScope("ivfadc_rerank_topk")
+    subv = scope.persist(subv)
+    cb1, _ = _trained_codebook(subv)
+    codes = scope.persist(_assign(subv, cb1).select("vec_id", "m", "code"))
+
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    cent = ivf_label_centroids(spark, sf_dir).select(
+        "label", "pos", F.col("centroid_val").alias("cv")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s.cv,
+        ).alias("c")
+    )
+    cdist = emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("d"),
+    )
+    w_c = Window.partitionBy("vec_id").orderBy("d", "label")
+    assigned = (
+        cdist.withColumn("rn", F.row_number().over(w_c))
+        .filter("rn = 1")
+        .select("vec_id", "label")
+    )
+    probes = (
+        cdist.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") <= IVFADC_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "label")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    lut = (
+        subv.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(cb1, "m")
+        .select("query_id", "m", "code", _sq("sv", "c").alias("pd"))
+    )
+    adc = (
+        cand.join(codes, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(round_compat(F.sum("pd"), 6).alias("adc_dist"))
+    )
+    w_s = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") <= RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    x = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("xe"))
+    rr = short.join(q, "query_id").join(x, "neighbor_id").select(
+        "query_id", "neighbor_id", _sq("qe", "xe").alias("d")
+    )
+    w_r = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return (
+        rr.withColumn("rank", F.row_number().over(w_r).cast("int"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            "rank",
+            round_compat("d", 6).alias("l2_dist"),
+        )
+    )

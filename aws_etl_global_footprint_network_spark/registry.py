@@ -52,7 +52,7 @@ def register(
 # those 50 slots explicitly.  Round-4 composition: (a) the six queries whose
 # round-3 rows ERRORED on the TIMESTAMP_NTZ test-data regeneration (fixed in
 # sources.readers.normalize_nanos — they must show green externally), (b)
-# the eleven round-3 additions never externally sampled, (c) the nine
+# the eleven round-3 additions never externally sampled, (c) the
 # operators new this round, (d) rotation by oldest external evidence
 # (round-1-only first, then round-2-only), (e) three flagship regressions.
 # Everything else keeps local coverage via tests/test_oracle_parity.py,
@@ -107,9 +107,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_monthly_growth",
     "events_topk_per_day",
     "supplier_balance_zscore",
-    "tfidf_top_terms",
-    "train_test_split_hash",
-    "embedding_quantize_stats",
+    "ivfadc_rerank_topk",
+    "dedup_containment_pairs",
+    "target_encode_priority",
     # -- flagship regression ----------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",

@@ -261,6 +261,52 @@ def recall_mode(spark) -> None:
         "recall_at_k_by_nprobe": sweep,
     }
 
+    # ---- PQ: recall@k of pure-ADC and ADC+exact-rerank search vs the
+    # exact L2 top-k for the same query set (ADC approximates L2, so
+    # the L2 baseline is the apples-to-apples ground truth; the cosine
+    # baseline is reported too).
+    from aws_etl_global_footprint_network_spark.operators import similarity_pq as pq
+
+    emb_pq = read_testdata(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    qs = emb_pq.filter(F.col("vec_id") < pq.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    l2d = F.aggregate(
+        F.zip_with("qe", "e", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a2, x2: a2 + x2,
+    )
+    scored_pq = emb_pq.join(
+        F.broadcast(qs), F.col("query_id") != F.col("vec_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), l2d.alias("d"))
+    from pyspark.sql import Window as _W
+
+    w_pq = _W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact_l2 = {
+        (r.query_id, r.neighbor_id)
+        for r in scored_pq.withColumn("rn", F.row_number().over(w_pq))
+        .filter(f"rn <= {pq.TOPK}")
+        .collect()
+    }
+    adc_set = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["pq_adc_topk"].builder(spark, SF_DIR).collect()
+    }
+    rr_set = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["pq_adc_rerank_topk"].builder(spark, SF_DIR).collect()
+    }
+    out["pq"] = {
+        "geometry": f"{pq.M}x{pq.SUBDIM}-dim, {pq.K} codes"
+        f" ({pq.M * pq.CODE_BITS} bits/vector)",
+        "k": pq.TOPK,
+        "rerank_shortlist": pq.RERANK_R,
+        "recall_adc": round(len(adc_set & exact_l2) / len(exact_l2), 4),
+        "recall_adc_rerank": round(len(rr_set & exact_l2) / len(exact_l2), 4),
+    }
+
     print(json.dumps({"metric": "lsh_recall", "sf": _sf_from_dir(SF_DIR), **out}))
 
 

@@ -92,6 +92,7 @@ CARTESIAN_WHITELIST = {
     # broadcast of the tiny (n_labels) centroid table against the corpus
     "ivf_assignments",
     "ivf_topk_probe",
+    "ivfadc_rerank_topk",
     # broadcast of the bounded (N_QUERIES) query set, non-equi predicate
     "ann_cosine_topk",
     "ann_cosine_topk_vectorized",

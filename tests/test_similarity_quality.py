@@ -216,3 +216,46 @@ def test_pq_rerank_recall_vs_exact(spark, sf_dir):
     assert exact and rr
     recall = len(exact & rr) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_ivfadc_recall_floor(spark, sf_dir):
+    """Composed IVFADC+rerank recall is bounded by the IVF probe stage
+    (a true neighbour outside the probed lists is unrecoverable); the
+    floor pins the composition doing better than either naive bound
+    failing (measured 0.58 at sf0.1, nprobe=4, isotropic corpus)."""
+    from aws_etl_global_footprint_network_spark.functions.vectors import (
+        as_double_array,
+    )
+    from aws_etl_global_footprint_network_spark.operators import similarity_pq as pq
+    from aws_etl_global_footprint_network_spark.registry import load_all
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < pq.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    d = F.aggregate(
+        F.zip_with("qe", "e", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), d.alias("d"))
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(f"rn <= {pq.TOPK}")
+        .collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in load_all()["ivfadc_rerank_topk"].builder(spark, sf_dir).collect()
+    }
+    assert exact and got
+    assert len(exact & got) / len(exact) >= 0.3

@@ -106,7 +106,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "retention_cohorts",
     "orders_monthly_growth",
     "events_topk_per_day",
-    "supplier_balance_zscore",
+    "vocab_coverage",
     "ivfadc_rerank_topk",
     "dedup_containment_pairs",
     "target_encode_priority",

@@ -806,3 +806,84 @@ def dsir_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_compat("r", 6).alias("avg_log_ratio"),
         (F.col("r") > 0).alias("is_targetlike"),
     )
+
+
+def _gate_oracle() -> str:
+    """Compose the registered gate oracles as CTE bodies (each is a
+    self-contained SELECT over the ``documents`` view, so embedding
+    them keeps this oracle definitionally in sync with the individual
+    gates)."""
+    from aws_etl_global_footprint_network_spark.registry import REGISTRY
+
+    rep = REGISTRY["repetition_filters"].oracle
+    lm = REGISTRY["unigram_lm_score"].oracle
+    span = REGISTRY["dup_ngram_spans"].oracle
+    dsir = REGISTRY["dsir_importance_weight"].oracle
+    return f"""
+    WITH rep AS ({rep}),
+    lm AS ({lm}),
+    span AS ({span}),
+    dsir AS ({dsir})
+    SELECT CAST(lm.doc_id AS BIGINT) AS doc_id,
+           COALESCE(rep.keep, FALSE) AS repetition_keep,
+           lm.keep AS lm_keep,
+           COALESCE(span.keep, TRUE) AS dup_span_keep,
+           COALESCE(dsir.is_targetlike, FALSE) AS dsir_targetlike,
+           (COALESCE(rep.keep, FALSE) AND lm.keep
+            AND COALESCE(span.keep, TRUE)) AS keep
+    FROM lm
+    LEFT JOIN rep USING (doc_id)
+    LEFT JOIN span USING (doc_id)
+    LEFT JOIN dsir USING (doc_id)
+    """
+
+
+@register(
+    "corpus_quality_gates",
+    _gate_oracle(),
+    "unified per-document quality-gate table: repetition, unigram-LM"
+    " and duplicated-span gates joined into one keep/drop decision"
+    " (plus the DSIR target-domain flag as a sampling signal) — the"
+    " decision table a corpus-curation run materialises before"
+    " dropping anything",
+    tags=("text", "mlprep", "filter", "pipeline"),
+)
+def corpus_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the individual gate operators' DataFrames — Catalyst
+    sees ONE plan, so the documents scan and tokenisation are shared
+    via the gates' own persisted intermediates, and each gate's
+    semantics stay defined in exactly one place. Join semantics:
+    unigram-LM covers every tokenisable document (the base);
+    repetition is NULL for docs under 3 tokens (too short = drop);
+    dup-span is NULL for docs under 8 tokens (no span evidence =
+    keep). DSIR rides as a flag, not a gate — domain selection is a
+    sampling weight, not a quality drop."""
+    lm = unigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("lm_keep")
+    )
+    rep = repetition_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    span = dup_ngram_spans(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("span_keep")
+    )
+    dsir = dsir_importance_weight(spark, sf_dir).select(
+        "doc_id", F.col("is_targetlike").alias("dsir_flag")
+    )
+    return (
+        lm.join(rep, "doc_id", "left")
+        .join(span, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.coalesce("rep_keep", F.lit(False)).alias("repetition_keep"),
+            F.col("lm_keep"),
+            F.coalesce("span_keep", F.lit(True)).alias("dup_span_keep"),
+            F.coalesce("dsir_flag", F.lit(False)).alias("dsir_targetlike"),
+            (
+                F.coalesce("rep_keep", F.lit(False))
+                & F.col("lm_keep")
+                & F.coalesce("span_keep", F.lit(True))
+            ).alias("keep"),
+        )
+    )

@@ -29,6 +29,34 @@ from aws_etl_global_footprint_network_spark.sources.readers import (
 )
 
 
+# Stateful-stream shuffle (= state store) partition count for the
+# local test volumes. Every state partition carries fixed per-batch
+# cost (store open/commit/snapshot), so 32 stores over 60 k rows is
+# pure overhead — measured 8.5 s -> 3.2 s on the stream-stream join at
+# sf0.1 when sized to 8. The partition count is baked into each
+# query's state at start, so this is a per-query knob: production
+# sizes it to keyspace x volume (thousands of partitions at 100 TB),
+# exactly like batch shuffle partitioning.
+STREAM_STATE_PARTITIONS = 8
+
+
+class _stream_partitions:
+    """Scoped spark.sql.shuffle.partitions override for the duration
+    of one streaming query (set before start — the value is captured
+    into the query's state partitioning — restored after
+    termination)."""
+
+    def __init__(self, spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _as_stream_dir(source_path: str) -> str:
     """The file stream source requires a directory; stage a single
     parquet file behind a symlink in a temp dir (local-test shim — a
@@ -60,14 +88,15 @@ def run_available_now(
         spark.readStream.schema(schema).format("parquet").load(source_path)
     )
     out = transform(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name)
 
 
@@ -305,14 +334,15 @@ def streaming_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # A key emits once per micro-batch it appears in; the row with the
     # largest n_seen carries the complete state.
     from pyspark.sql import Window
@@ -376,13 +406,14 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_partitions(batch_df, table, "day")
 
-    q = (
-        agg.writeStream.foreachBatch(upsert_batch)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(upsert_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table).select(
         "day", "n", round_compat("total_value", 2).alias("total_value")
     )
@@ -441,14 +472,15 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Last emitted state per user (a user may appear in several
     # micro-batches; the final row carries the complete total).
     from pyspark.sql import Window
@@ -528,14 +560,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_s"),
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -579,14 +612,15 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_compat("value", 2).alias("value"),
         )
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -15,12 +15,13 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
-from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
 
 TOPK = 5
 N_QUERIES = 10
@@ -94,3 +95,123 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
     return topk_vectorized(emb.select("vec_id", "embedding"), queries)
+
+
+# Matryoshka-style truncation evaluation: retrieval overlap when only
+# the first d dimensions of each embedding are stored (MRL — Kusupati
+# et al. 2022 — trains embeddings so prefixes work; this measures how
+# much of the exact top-k survives truncation on THIS corpus).
+MRL_DIMS = (16, 32, 64)
+MRL_K = 5
+MRL_QUERIES = 10
+
+
+def _mrl_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.functions.vectors import (
+        dot_sql,
+        norm_sql,
+    )
+
+    def top_cte(d: int) -> str:
+        return f"""
+    v{d} AS (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, {d}) AS e
+             FROM embeddings),
+    n{d} AS (SELECT vec_id, e, {norm_sql('e')} AS nrm FROM v{d}),
+    s{d} AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                    {dot_sql('q.e', 'x.e')} / (q.nrm * x.nrm) AS cos
+             FROM n{d} q JOIN n{d} x ON q.vec_id < {MRL_QUERIES}
+                                     AND x.vec_id <> q.vec_id),
+    t{d} AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rn
+        FROM s{d}) WHERE rn <= {MRL_K})"""
+
+    ctes = ",".join(top_cte(d) for d in MRL_DIMS)
+    unions = " UNION ALL ".join(
+        f"""SELECT {d} AS dim, COUNT(*) AS overlap_pairs
+            FROM t{d} a JOIN t{MRL_DIMS[-1]} b
+              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"""
+        for d in MRL_DIMS
+    )
+    return f"""
+    WITH {ctes},
+    ov AS ({unions})
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(overlap_pairs AS BIGINT) AS overlap_pairs,
+           ROUND(overlap_pairs * 1.0 / {MRL_QUERIES * MRL_K} * 1e6, 0) / 1e6
+             AS overlap_at_k
+    FROM ov
+    """
+
+
+@register(
+    "matryoshka_topk_overlap",
+    _mrl_oracle(),
+    f"embedding-truncation retrieval quality: top-{MRL_K} overlap vs"
+    f" full-dim search when only the first d of 64 dims are stored,"
+    f" for d in {MRL_DIMS} — the storage/quality dial for"
+    " Matryoshka-style embedding budgets",
+    tags=("similarity", "mlprep"),
+)
+def matryoshka_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three brute-force top-k passes (one per prefix length), each
+    the ann_cosine_topk shape: broadcast bounded query set, map-side
+    fold, per-query window top-k — then overlap joins against the
+    full-dim baseline. At 100 TB each pass would be the IVF/PQ path
+    instead; the measurement shape (overlap vs the full-dim answer)
+    is unchanged. On this isotropic corpus prefixes carry ~d/64 of
+    the variance, so overlap decays with truncation — real MRL-trained
+    embeddings concentrate information in the prefix, pushing the
+    short-dim rows toward 1.0; the operator is the measurement, not
+    the training."""
+    from aws_etl_global_footprint_network_spark.functions.vectors import (
+        as_double_array,
+        dot,
+        norm,
+    )
+
+    tops = {}
+    for d in MRL_DIMS:
+        emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+            "vec_id", F.slice(as_double_array("embedding"), 1, d).alias("e")
+        ).select("vec_id", "e", norm("e").alias("nrm"))
+        q = emb.filter(F.col("vec_id") < MRL_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        scored = emb.join(
+            F.broadcast(q), F.col("query_id") != F.col("vec_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot("qe", "e") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), "neighbor_id"
+        )
+        tops[d] = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(f"rn <= {MRL_K}")
+            .select("query_id", "neighbor_id")
+        )
+    full = tops[MRL_DIMS[-1]]
+    parts = []
+    for d in MRL_DIMS:
+        parts.append(
+            tops[d].join(full, ["query_id", "neighbor_id"]).agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.count(F.lit(1)).cast("bigint").alias("overlap_pairs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "dim",
+        "overlap_pairs",
+        round_compat(
+            F.col("overlap_pairs") / float(MRL_QUERIES * MRL_K), 6
+        ).alias("overlap_at_k"),
+    )

@@ -96,6 +96,7 @@ CARTESIAN_WHITELIST = {
     # broadcast of the bounded (N_QUERIES) query set, non-equi predicate
     "ann_cosine_topk",
     "ann_cosine_topk_vectorized",
+    "matryoshka_topk_overlap",
     # scalar-subquery pattern: broadcast 1-row global-mean aggregate
     "target_encode_priority",
 }

@@ -165,7 +165,7 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_tokens > 0),
     packed AS (
       SELECT doc_id, shard, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) - n_tokens
                AS start_offset
       FROM sharded)
@@ -173,8 +173,8 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(shard AS BIGINT) AS shard,
            CAST(n_tokens AS INT) AS n_tokens,
            CAST(start_offset AS BIGINT) AS start_offset,
-           start_offset // {SEQ_LEN} AS start_chunk,
-           (start_offset + n_tokens - 1) // {SEQ_LEN} AS end_chunk
+           CAST(start_offset // {SEQ_LEN} AS BIGINT) AS start_chunk,
+           CAST((start_offset + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS end_chunk
     FROM packed
     """,
     "GPT-style sequence packing: documents are concatenated in"
@@ -191,7 +191,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     global token offset, from which its chunk span is arithmetic.
     One shuffle (by shard); shard count = writer parallelism at
     scale. Offsets stay far below 2^53, so the floor-division is
-    exact in both engines."""
+    exact in both engines. The in-shard concat order is doc_id alone:
+    it is unique, so the prefix sum is collision-proof — ordering by
+    the 60-bit hash first (as an earlier revision did) adds nothing
+    but cross-engine tie-break risk."""
     d = read_testdata(spark, sf_dir, "documents")
     h = md5_hash60(F.col("doc_id").cast("string"))
     toks = d.select(
@@ -202,7 +205,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = toks.withColumn("shard", F.col("h") % PACK_SHARDS)
     w = (
         Window.partitionBy("shard")
-        .orderBy("h", "doc_id")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = sharded.withColumn(

@@ -366,3 +366,69 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         """
     )
+
+
+# Attribution: channels a purchase can be credited to (the 'error'
+# type is not a touchpoint).
+TOUCH_TYPES = ("view", "click", "signup")
+
+
+@register(
+    "last_touch_attribution",
+    f"""
+    WITH touches AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                   ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN {TOUCH_TYPES}) WHERE rn = 1),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT COALESCE(t.event_type, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(p.value) * 100, 0) / 100 AS attributed_value
+    FROM purchases p ASOF LEFT JOIN touches t
+      ON p.user_id = t.user_id AND t.ts <= p.ts
+    GROUP BY COALESCE(t.event_type, 'direct')
+    """,
+    "last-touch marketing attribution: every purchase credited to the"
+    " user's most recent prior touchpoint (view/click/signup; none ->"
+    " 'direct'), aggregated to channel revenue — an as-of join feeding"
+    " an aggregate",
+    tags=("behavioral", "asof", "agg"),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (purchase <- latest touch at-or-before) then a tiny
+    groupBy on channel. The touch side is pre-deduped to one row per
+    (user_id, ts) — identically in the oracle — because tie handling
+    among equal timestamps is otherwise engine-unspecified. One
+    shuffle on user_id for the as-of, then a channel-cardinality
+    aggregate: nothing here grows faster than the event stream."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+    from aws_etl_global_footprint_network_spark.operators.temporal import asof_join
+
+    ev = read_testdata(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin(*TOUCH_TYPES))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("s"))
+        .select("user_id", F.col("ts").alias("tts"), F.col("s.event_type").alias("touch_type"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="tts",
+        right_values=["touch_type"],
+    )
+    return joined.groupBy(
+        F.coalesce("touch_type", F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        round_compat(F.sum("value"), 2).alias("attributed_value"),
+    )

@@ -1,0 +1,276 @@
+"""Join acceleration structures ([EXT]): Bloom-filter semi-join
+pruning and the bucketized interval-overlap join.
+
+Both operators exist for the regime where the textbook plan stops
+working at 100 TB:
+
+- ``bloom_semi_join_prune``: a semi join whose build side is too big
+  for a broadcast HASH relation can still broadcast a Bloom BITMAP
+  (2^30 bits = 128 MB covers ~10^8 keys at ~3% FPR, vs tens of GB for
+  the exact set). The bitmap prunes the probe scan map-side; the
+  residual exact semi join then shuffles only the survivors. Spark's
+  own runtime row-group filtering does a limited version of this
+  inside AQE; this operator is the explicit, tunable form.
+- ``interval_overlap_join``: an interval predicate
+  (``a.start <= b.end AND b.start <= a.end``) is a non-equi join that
+  Catalyst can only plan as a (broadcast) nested loop. Exploding both
+  sides onto a fixed time-bucket grid turns it into an EQUI join on
+  the bucket key — shuffle-partitionable, AQE-skew-splittable — with
+  an exact overlap filter and a pair-dedup on top. This is the
+  standard range-join rewrite (Databricks' range-join hints and
+  KDB/kdb+ window joins do the same internally).
+
+The Bloom result is EXACT (false positives are removed by the residual
+join — the bitmap only prunes), so both operators hash-match plain-SQL
+DuckDB oracles that know nothing about the acceleration structures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+# --- Bloom filter geometry ------------------------------------------------
+# 2^16 bits / 4 hashes: at sf0.1 the build side is ~15k keys ->
+# kn/m ~ 0.9 -> ~13% FPR (a visible prune, a visible residual); the
+# production dial is m ~ 10 bits/key for ~1% FPR. Must be a power of
+# two so pmod reduces cleanly.
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 4
+HIGH_VALUE_ORDER = 450_000.0  # build-side predicate: ~10% of orders
+
+
+def _bit_mask(pos):
+    """``1 << (pos % 32)`` as a column: ``shiftleft`` takes only a
+    literal shift amount, but 2**b for b <= 31 is an exactly
+    representable double, so ``pow(2, b)`` cast to long is the same
+    bit — and 32-bit words keep the sign bit out of play."""
+    return F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
+
+
+def bloom_bitmap_words(keys: DataFrame, key_col: str) -> list[int]:
+    """Aggregate the build side into a Bloom bitmap of
+    ``BLOOM_BITS / 32`` 32-bit words.
+
+    One explode (BLOOM_HASHES rows per key) + one groupBy on the word
+    index (at most BLOOM_BITS/32 groups) + a bounded collect of the words —
+    constant-size driver traffic regardless of build cardinality,
+    which is exactly why this scales where collecting the key set
+    would not."""
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(key_col), F.lit(i)), F.lit(BLOOM_BITS)
+                    ).alias(f"p{i}")
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            (F.col("pos") / 32).cast("int").alias("word"),
+            _bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    out = [0] * (BLOOM_BITS // 32)
+    for r in words:
+        out[r["word"]] = r["bits"]
+    return out
+
+
+def bloom_might_contain(key, words: list[int]):
+    """Membership test column against a literal bitmap (the broadcast
+    happens via the plan constant — no executor-side state)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    test = F.lit(True)
+    for i in range(BLOOM_HASHES):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS))
+        word = F.element_at(arr, (pos / 32).cast("int") + 1)
+        test = test & (word.bitwiseAND(_bit_mask(pos)) != 0)
+    return test
+
+
+@register(
+    "bloom_semi_join_prune",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) / 100
+             AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > {HIGH_VALUE_ORDER})
+    GROUP BY l_returnflag
+    """,
+    "semi join accelerated by a broadcast Bloom bitmap: the probe scan"
+    " is pruned map-side by a 2^16-bit/4-hash filter built from the"
+    " high-value order keys, then an exact residual semi join removes"
+    " the false positives — the result is EXACTLY the plain semi join"
+    " (the oracle), the bitmap only changes where the work happens",
+    tags=("join", "bloom", "scale"),
+)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At test scale the build side would broadcast outright; the
+    pattern pays off when the key SET outgrows broadcast but the
+    BITMAP does not (10^8-10^9 build keys). The residual semi join
+    here is what shrinks: only bloom-surviving probe rows shuffle."""
+    orders = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_totalprice") > HIGH_VALUE_ORDER).select(
+        "o_orderkey"
+    )
+    words = bloom_bitmap_words(keys, "o_orderkey")
+    pruned = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
+    exact = pruned.join(
+        F.broadcast(keys), pruned.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        round_compat(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# --- Interval overlap -----------------------------------------------------
+SESSION_GAP_MIN = 30
+INCIDENT_N = 20
+INCIDENT_PAD_MIN = 60
+BUCKET = "1 hour"  # grid step; >= the typical interval length
+
+
+def _sessions_sql() -> str:
+    return f"""
+    marks AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks),
+    sessions AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, sid)"""
+
+
+@register(
+    "interval_overlap_join",
+    f"""
+    WITH {_sessions_sql()},
+    incidents AS (
+      SELECT event_id AS incident_id, ts - INTERVAL {INCIDENT_PAD_MIN} MINUTE AS i_start,
+             ts + INTERVAL {INCIDENT_PAD_MIN} MINUTE AS i_end
+      FROM (SELECT event_id, ts,
+                   ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+            FROM events) WHERE rn <= {INCIDENT_N})
+    SELECT s.user_id, s.s_start AS session_start,
+           i.incident_id,
+           epoch_us(LEAST(s.s_end, i.i_end))
+             - epoch_us(GREATEST(s.s_start, i.i_start)) AS overlap_us
+    FROM sessions s JOIN incidents i
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    """,
+    f"interval-overlap join rewritten as an equi join: user sessions"
+    f" ({SESSION_GAP_MIN}-min gap) x the ±{INCIDENT_PAD_MIN}-min windows"
+    f" around the top-{INCIDENT_N} events by value — both interval sets"
+    " exploded onto an hourly bucket grid, equi-joined on the bucket,"
+    " exact-overlap filtered and pair-deduped (oracle: the plain"
+    " non-equi overlap join)",
+    tags=("join", "temporal", "scale"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-equi overlap predicate would plan as a nested loop; the
+    bucket explode turns it into a shuffle-partitionable equi join.
+    Buckets per interval = ceil(span / bucket) + 1, so the blowup is
+    bounded by interval length — pick the bucket ~ the typical span.
+    The pair-dedup is exact: a pair sharing k buckets collapses via
+    groupBy on the pair key (overlap_us is functionally dependent)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.lag("ts").over(w_ord)
+    marks = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            gap.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(gap) > SESSION_GAP_MIN * 60_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sessions = (
+        marks.withColumn("sid", F.sum("new_s").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    # top-N via orderBy+limit -> TakeOrderedAndProject (distributed
+    # partial top-k per partition, merged at the driver) — NOT a
+    # global row_number window, which would single-task the corpus.
+    incidents = (
+        ev.select("event_id", "ts", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(INCIDENT_N)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.col("ts") - F.expr(f"INTERVAL {INCIDENT_PAD_MIN} MINUTES")).alias(
+                "i_start"
+            ),
+            (F.col("ts") + F.expr(f"INTERVAL {INCIDENT_PAD_MIN} MINUTES")).alias(
+                "i_end"
+            ),
+        )
+    )
+
+    def buckets(start, end):
+        return F.sequence(
+            F.date_trunc("hour", start),
+            F.date_trunc("hour", end),
+            F.expr("INTERVAL 1 HOURS"),
+        )
+
+    s_b = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(buckets(F.col("s_start"), F.col("s_end"))).alias("bucket"),
+    )
+    i_b = incidents.select(
+        "incident_id",
+        "i_start",
+        "i_end",
+        F.explode(buckets(F.col("i_start"), F.col("i_end"))).alias("bucket"),
+    )
+    joined = s_b.join(i_b, "bucket").filter(
+        (F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end"))
+    )
+    return joined.groupBy(
+        "user_id",
+        F.col("s_start").alias("session_start"),
+        "incident_id",
+    ).agg(
+        F.first(
+            F.unix_micros(F.least("s_end", "i_end"))
+            - F.unix_micros(F.greatest("s_start", "i_start"))
+        ).alias("overlap_us")
+    )

@@ -625,3 +625,68 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_compat("cat_mean", 4).alias("cat_mean"),
         round_compat(enc, 4).alias("encoded"),
     )
+
+
+# Curriculum phases: easy -> hard quartiles by a per-doc difficulty
+# proxy (mean token length — longer tokens ~ rarer/harder text).
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "curriculum_schedule",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             n_chars * 1.0 / len({tokens_sql('text')}) AS difficulty,
+             {md5_hash60_sql("('curr|' || doc_id::VARCHAR)")} AS shuffle_key
+      FROM documents
+      WHERE len({tokens_sql('text')}) > 0)
+    SELECT doc_id,
+           ROUND(difficulty * 1e6, 0) / 1e6 AS difficulty,
+           CAST(NTILE({CURRICULUM_PHASES})
+                OVER (ORDER BY difficulty, doc_id) AS INT) AS phase,
+           CAST(shuffle_key AS BIGINT) AS shuffle_key
+    FROM scored
+    """,
+    f"curriculum ordering for training: documents bucketed into"
+    f" {CURRICULUM_PHASES} easy->hard phases by exact quartile of a"
+    " difficulty proxy (mean token length), with a deterministic md5"
+    " shuffle key for intra-phase ordering — the data-ordering half of"
+    " curriculum learning schedules",
+    tags=("mlprep", "ranking"),
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phases come from :func:`distributed_ntile` (range repartition +
+    per-partition rank + broadcast offsets), NOT an unpartitioned
+    NTILE window. Intra-phase order is delivered as a md5 shuffle KEY
+    rather than a materialised position: consumers sort by (phase,
+    shuffle_key, doc_id), which any engine can do scale-out, whereas a
+    row_number per phase would funnel each phase through one task.
+    doc_id tie-breaks the quartile boundary exactly as in the oracle."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_ntile,
+    )
+
+    d = read_testdata(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        (F.col("n_chars") / F.size(tokens("text"))).alias("difficulty"),
+        md5_hash60(F.concat(F.lit("curr|"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).filter(F.size(tokens("text")) > 0)
+    scope = CacheScope("curriculum_schedule")
+    bucketed = distributed_ntile(
+        scored,
+        [F.col("difficulty"), F.col("doc_id")],
+        CURRICULUM_PHASES,
+        "phase",
+        scope,
+    )
+    return bucketed.select(
+        "doc_id",
+        round_compat("difficulty", 6).alias("difficulty"),
+        F.col("phase").cast("int").alias("phase"),
+        F.col("shuffle_key").cast("bigint").alias("shuffle_key"),
+    )

@@ -240,17 +240,14 @@ def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_features",
-    None,  # Python-side decode path — driver does the rows-only check
-    "mapInPandas image-header decode (PNG magic/IHDR parse on real"
-    " synthesized PNG bytes; text payloads sniff to 'unknown') +"
-    " byte-statistics features; driver-facing shape is exploded so"
-    " every column is scalar — the array-returning library API is"
-    " extract_features()",
-    tags=("multimodal",),
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full featurized output (exploded so every column is scalar):
+    header fields from the real byte-level parse PLUS the byte-statistics
+    feature vector. The feature values depend on zlib-compressed PNG
+    payload bytes, which no SQL oracle can reproduce — this shape is
+    covered by the local determinism/shape tests instead; the
+    REGISTERED query below is the header-only projection, which a
+    DuckDB twin CAN predict."""
     d = read_testdata(spark, sf_dir, "documents")
     media = synthesize_image_payloads(attach_binary_payload(d))
     feats = extract_features(media)
@@ -269,6 +266,57 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.col("feature_pos").cast("int").alias("feature_pos"),
         F.col("feature_val").cast("double").alias("feature_val"),
+    )
+
+
+# The synthesis rule (synthesize_image_payloads: every 4th doc becomes a
+# PNG with width 4 + doc_id % 29, height 3 + doc_id % 17) is pure
+# arithmetic in doc_id — so a SQL oracle can predict EXACTLY what the
+# byte-level header parser must find, turning the Python decode path
+# into a hash-checked differential test: Spark parses real PNG bytes,
+# DuckDB computes the expectation, the driver hashes both.
+_HDR_FMT = "CASE WHEN doc_id % 4 = 0 THEN 'png' ELSE 'unknown' END"
+_HDR_W = "CASE WHEN doc_id % 4 = 0 THEN CAST(4 + doc_id % 29 AS INT) END"
+_HDR_H = "CASE WHEN doc_id % 4 = 0 THEN CAST(3 + doc_id % 17 AS INT) END"
+
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {_HDR_FMT} AS format,
+           {_HDR_W} AS width,
+           {_HDR_H} AS height,
+           md5(concat({_HDR_FMT}, '|',
+                      COALESCE(CAST({_HDR_W} AS VARCHAR), ''), '|',
+                      COALESCE(CAST({_HDR_H} AS VARCHAR), ''))) AS header_md5
+    FROM documents
+    """,
+    "mapInPandas image-header decode (PNG magic/IHDR parse on real"
+    " synthesized PNG bytes; text payloads sniff to 'unknown'),"
+    " hash-checked against the arithmetic expectation of the synthesis"
+    " rule — the full byte-statistics feature output is"
+    " multimodal_features_full()",
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    media = synthesize_image_payloads(attach_binary_payload(d))
+    feats = extract_features(media)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "format",
+        "width",
+        "height",
+        F.md5(
+            F.concat(
+                F.col("format"),
+                F.lit("|"),
+                F.coalesce(F.col("width").cast("string"), F.lit("")),
+                F.lit("|"),
+                F.coalesce(F.col("height").cast("string"), F.lit("")),
+            )
+        ).alias("header_md5"),
     )
 
 

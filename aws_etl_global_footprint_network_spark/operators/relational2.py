@@ -419,3 +419,52 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_2pct"
         ),
     )
+
+
+EQUI_DEPTH_BINS = 10
+
+
+@register(
+    "equi_depth_histogram",
+    f"""
+    WITH b AS (
+      SELECT p_retailprice,
+             NTILE({EQUI_DEPTH_BINS})
+               OVER (ORDER BY p_retailprice, p_partkey) AS bin
+      FROM part)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(p_retailprice) * 100, 0) / 100 AS lo,
+           ROUND(MAX(p_retailprice) * 100, 0) / 100 AS hi
+    FROM b GROUP BY bin
+    """,
+    f"equi-depth histogram: exact {EQUI_DEPTH_BINS}-quantile bin"
+    " boundaries of part retail price (each bin holds the same row"
+    " count ±1) — the optimizer/UI statistic equi-width histograms"
+    " can't give you on skewed data",
+    tags=("agg", "stats", "ranking"),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NTILE via the distributed ranking recipe (range
+    repartition + per-partition rank + broadcast offsets) — an
+    unpartitioned NTILE window would single-task the table. One
+    range shuffle + one tiny aggregate."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_ntile,
+    )
+
+    p = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    scope = CacheScope("equi_depth_histogram")
+    b = distributed_ntile(
+        p,
+        [F.col("p_retailprice"), F.col("p_partkey")],
+        EQUI_DEPTH_BINS,
+        "bin",
+        scope,
+    )
+    return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        round_compat(F.min("p_retailprice"), 2).alias("lo"),
+        round_compat(F.max("p_retailprice"), 2).alias("hi"),
+    )

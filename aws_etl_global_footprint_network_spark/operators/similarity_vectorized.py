@@ -6,9 +6,13 @@ is the THROUGHPUT variant of the same operator: a scalar Pandas UDF
 receives Arrow batches and runs the query x corpus dot products as one
 numpy matmul per batch — the shape you actually deploy when the
 corpus is 10^9 vectors and a last-ulp summation difference is
-irrelevant. Registered rows-only (numpy's pairwise/SIMD summation
-cannot promise bit-equality with a sequential SQL fold); equivalence
-to the exact operator is pinned by test at 1e-9 tolerance instead.
+irrelevant. numpy's pairwise/SIMD summation cannot promise
+bit-equality with a sequential SQL fold, but after ``round_compat``
+to 6 decimals the scores hash-match the brute-force DuckDB twin
+(differences are ~1e-15, five orders below the rounding grain), so
+since round 5 this is a full oracle-paired row rather than
+rows-only; bit-level equivalence to the exact operator is
+additionally pinned by test at 1e-9 tolerance.
 """
 
 from __future__ import annotations
@@ -81,11 +85,37 @@ def topk_vectorized(
     )
 
 
+def _vectorized_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.functions.vectors import (
+        dot_sql,
+        norm_sql,
+    )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {norm_sql('(embedding::DOUBLE[])')} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {dot_sql('q.e', 'v.e')} / (q.nrm * v.nrm) AS cos
+      FROM q JOIN v ON q.vec_id <> v.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS score
+    FROM ranked WHERE rank <= {TOPK}
+    """
+
+
 @register(
     "ann_cosine_topk_vectorized",
-    None,  # numpy summation order != SQL fold -> rows-only by design;
-    # equivalence to ann_cosine_topk pinned in tests at 1e-9
-    "Arrow/numpy-vectorized cosine top-k (the production fast path)",
+    _vectorized_oracle(),
+    "Arrow/numpy-vectorized cosine top-k (the production fast path);"
+    " scores round_compat-rounded to 6 decimals so the numpy matmul"
+    " hash-matches the sequential-fold DuckDB twin",
     tags=("similarity", "pandas_udf"),
 )
 def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +124,8 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.vec_id, list(r.embedding))
         for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
-    return topk_vectorized(emb.select("vec_id", "embedding"), queries)
+    top = topk_vectorized(emb.select("vec_id", "embedding"), queries)
+    return top.withColumn("score", round_compat("score", 6))
 
 
 # Matryoshka-style truncation evaluation: retrieval overlap when only

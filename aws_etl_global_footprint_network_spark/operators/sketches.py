@@ -1,0 +1,120 @@
+"""Streaming-summary sketches ([EXT]): two-pass exact heavy hitters
+via per-partition Misra-Gries.
+
+The straight answer to "which tokens exceed s% of the stream" is a
+full groupBy over the token stream — a shuffle whose key cardinality
+is the vocabulary. At 100 TB of text that shuffle is the bottleneck,
+and it is almost entirely wasted: only a handful of keys can possibly
+clear the support threshold. The classic fix (Misra-Gries '82, the
+`frequent` algorithm) summarises each partition in O(capacity) space
+with the guarantee that any item with partition frequency
+> n_p/(capacity+1) survives; since a global heavy hitter with
+frequency > n/(capacity+1) must exceed that density in at least one
+partition (pigeonhole), the union of per-partition survivors is a
+SUPERSET of the true heavy hitters. Pass 2 then counts ONLY the
+candidates exactly — a shuffle bounded by capacity x partitions keys
+instead of the vocabulary.
+
+The final output is therefore EXACT (the sketch only proposes; the
+recount disposes), which is what lets a plain-SQL DuckDB oracle
+hash-match it. On this synthetic corpus the vocabulary is tiny, so
+the candidate set degenerates to "everything" — the value here is the
+measured two-pass structure, which is unchanged when the vocabulary
+is 10^9.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
+
+# Support threshold: keep tokens occurring in >= 3% of the stream.
+# Integer-exact comparison (100 * count >= 3 * total) on both engines
+# — no float boundary can flap the gate.
+SUPPORT_PCT = 3
+# Misra-Gries capacity. Correctness needs capacity + 1 > 100 /
+# SUPPORT_PCT (here 64 + 1 > 33.3) so every true heavy hitter
+# survives at least one partition summary.
+MG_CAPACITY = 64
+
+
+def misra_gries_candidates(token_stream: DataFrame, col: str) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries survivors (a candidate
+    superset of the global heavy hitters). mapInPandas keeps ONE
+    O(MG_CAPACITY) dict per partition across all of its Arrow
+    batches — map-only, no shuffle, constant memory."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[col]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[t] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return (
+        token_stream.mapInPandas(
+            op, schema=T.StructType([T.StructField(col, T.StringType())])
+        )
+        .distinct()
+    )
+
+
+@register(
+    "heavy_hitters_twopass",
+    f"""
+    WITH tok AS (
+      SELECT unnest({tokens_sql('text')}) AS token FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token)
+    SELECT c.token, CAST(c.n_occurrences AS BIGINT) AS n_occurrences,
+           ROUND(c.n_occurrences * 1.0 / t.n * 1000000, 0) / 1000000
+             AS support
+    FROM c, tot t
+    WHERE 100 * c.n_occurrences >= {SUPPORT_PCT} * t.n
+    """,
+    f"exact heavy hitters (tokens with >= {SUPPORT_PCT}% stream"
+    " support) found with a per-partition Misra-Gries candidate pass"
+    " + an exact recount of candidates only — the shuffle is bounded"
+    " by sketch capacity x partitions, never by vocabulary size"
+    " (oracle: the full groupBy it replaces)",
+    tags=("sketch", "text", "scale"),
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    stream = d.select(F.explode(tokens("text")).alias("token"))
+    total = stream.agg(F.count(F.lit(1)).alias("n"))
+    candidates = misra_gries_candidates(stream, "token")
+    counted = (
+        stream.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+    )
+    return counted.filter(
+        100 * F.col("n_occurrences") >= SUPPORT_PCT * F.col("n")
+    ).select(
+        "token",
+        "n_occurrences",
+        round_compat(F.col("n_occurrences") / F.col("n"), 6).alias("support"),
+    )

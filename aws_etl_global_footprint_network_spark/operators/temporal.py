@@ -218,7 +218,12 @@ RESAMPLE_HOURS = 6
              unnest(generate_series(t0, t1, INTERVAL {RESAMPLE_HOURS} HOUR))
                AS grid_ts
       FROM spans),
-    obs AS (SELECT user_id, ts, event_id, value FROM events)
+    obs AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                   ORDER BY event_id DESC, value DESC) AS rn
+        FROM events) WHERE rn = 1)
     SELECT s.user_id, s.grid_ts,
            o.event_id AS src_event_id,
            ROUND(o.value * 100, 0) / 100 AS filled_value
@@ -239,9 +244,26 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fill is the repo's as-of join (one shuffle on user). Grid
     points before a user's first event keep NULLs — the ffill boundary
     contract. At 100 TB the spine is generated, never materialised to
-    storage, and the as-of shuffle is the only data movement."""
+    storage, and the as-of shuffle is the only data movement.
+
+    The observation side is pre-deduped to one row per (user_id, ts)
+    by (event_id, value) DESC — identically in the DuckDB twin —
+    because DuckDB's ASOF LEFT JOIN picks an UNSPECIFIED row among
+    equal timestamps while this repo's asof_join picks the max value
+    struct; without the dedup a future data generation containing
+    per-user timestamp ties would make the parity gate flap."""
     ev = read_testdata(spark, sf_dir, "events")
-    obs = ev.select("user_id", "ts", "event_id", "value")
+    obs_raw = ev.select("user_id", "ts", "event_id", "value")
+    obs = (
+        obs_raw.groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("s"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.value").alias("value"),
+        )
+    )
     spans = obs.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("t0"),
         F.max("ts").alias("t1"),

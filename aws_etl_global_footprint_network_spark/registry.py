@@ -129,6 +129,7 @@ def load_all() -> dict[str, QuerySpec]:
         behavioral,
         corpus_prep,
         dedup,
+        join_accel,
         layout,
         ml_prep,
         multimodal,
@@ -138,6 +139,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         similarity_pq,
         similarity_vectorized,
+        sketches,
         skew,
         temporal,
         text_analysis,

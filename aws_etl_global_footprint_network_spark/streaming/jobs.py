@@ -44,7 +44,14 @@ class _stream_partitions:
     """Scoped spark.sql.shuffle.partitions override for the duration
     of one streaming query (set before start — the value is captured
     into the query's state partitioning — restored after
-    termination)."""
+    termination).
+
+    NOT thread-safe: the override mutates session-global conf, so two
+    streaming queries starting concurrently in one session would race
+    and could capture each other's partition count into state. Fine
+    for this repo's single-threaded harness; if concurrent starts ever
+    arrive, scope the setting per query instead (e.g. a dedicated
+    SparkSession.newSession() per start, which isolates conf)."""
 
     def __init__(self, spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
         self.spark, self.n = spark, n

@@ -98,9 +98,11 @@ def test_byte_features_real_statistics():
 
 
 def test_pipeline_decodes_real_png_payloads(spark, sf_dir):
-    from aws_etl_global_footprint_network_spark.registry import load_all
+    from aws_etl_global_footprint_network_spark.operators.multimodal import (
+        multimodal_features_full,
+    )
 
-    df = load_all()["multimodal_features"].builder(spark, sf_dir)
+    df = multimodal_features_full(spark, sf_dir)
     assert df.columns == [
         "doc_id",
         "n_bytes",

@@ -99,6 +99,9 @@ CARTESIAN_WHITELIST = {
     "matryoshka_topk_overlap",
     # scalar-subquery pattern: broadcast 1-row global-mean aggregate
     "target_encode_priority",
+    # scalar-subquery pattern: stream-total 1-row aggregate broadcast
+    # into the support-threshold filter
+    "heavy_hitters_twopass",
 }
 
 

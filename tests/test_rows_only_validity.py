@@ -34,9 +34,14 @@ def test_approx_distinct_within_error(spark, sf_dir_mid):
 
 
 def test_multimodal_features_shape_and_determinism(spark, sf_dir):
-    # Driver-facing shape: exploded scalar columns so the hash gate
-    # can sort it; format/width/height come from the real header parse.
-    df1 = SPECS["multimodal_features"].builder(spark, sf_dir)
+    # Full featurized shape (library API; the registered query is the
+    # header-only oracle-paired projection since round 5):
+    # format/width/height come from the real header parse.
+    from aws_etl_global_footprint_network_spark.operators.multimodal import (
+        multimodal_features_full,
+    )
+
+    df1 = multimodal_features_full(spark, sf_dir)
     rows1 = {
         (r.doc_id, r.feature_pos): (r.n_bytes, r.format, r.width, r.height, r.feature_val)
         for r in df1.collect()
@@ -51,7 +56,7 @@ def test_multimodal_features_shape_and_determinism(spark, sf_dir):
     # deterministic across runs (header parse + byte stats are pure)
     rows2 = {
         (r.doc_id, r.feature_pos): (r.n_bytes, r.format, r.width, r.height, r.feature_val)
-        for r in SPECS["multimodal_features"].builder(spark, sf_dir).collect()
+        for r in multimodal_features_full(spark, sf_dir).collect()
     }
     assert rows1 == rows2
     # the array-returning library API keeps one row per doc

@@ -49,68 +49,75 @@ def register(
 
 # External correctness harnesses sample the FIRST 50 registry entries in
 # iteration order, so ordering is part of the contract.  DRIVER_WINDOW pins
-# those 50 slots explicitly.  Round-4 composition: (a) the six queries whose
-# round-3 rows ERRORED on the TIMESTAMP_NTZ test-data regeneration (fixed in
-# sources.readers.normalize_nanos — they must show green externally), (b)
-# the eleven round-3 additions never externally sampled, (c) the
-# operators new this round, (d) rotation by oldest external evidence
-# (round-1-only first, then round-2-only), (e) three flagship regressions.
-# Everything else keeps local coverage via tests/test_oracle_parity.py,
-# which sweeps ALL registered queries.
+# those 50 slots explicitly.  Round-5 composition: (a) the round-4 red row,
+# re-greened (sequence_packing: packing window now orders by the unique
+# doc_id alone in both twins); (b) the only two registered queries with no
+# external row in any round; (c) two queries upgraded this round from
+# rows-only to oracle-paired — their first hash-checked rows; (d) the six
+# operators new this round; (e) events_resample_ffill, whose oracle gained
+# a deterministic right-side dedup this round (semantics unchanged on
+# current data, but the SQL text changed — re-evidence it); (f) rotation:
+# every slot left goes to the queries whose latest external evidence is
+# round 2, the oldest cohort (35 of 37 fit; set_intersect_segments and
+# set_except_segments wait for round 6 — set_union_segments represents the
+# family); (g) three flagship regressions. Everything else keeps local
+# coverage via tests/test_oracle_parity.py, which sweeps ALL registered
+# queries.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-3 external rows ERRORED (NTZ), fixed this round ------------
-    "asof_last_purchase",
-    "streaming_daily_counts",
-    "streaming_sliding_counts",
-    "streaming_stream_stream_join",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    # -- never externally sampled (added late in round 3) -----------------
-    "repetition_filters",
+    # -- (a) round-4 red row, fixed this round ----------------------------
     "sequence_packing",
-    "domain_mix_sampling",
-    "stratified_sample_exact",
-    "global_shuffle_shards",
-    "pii_redaction",
-    "unigram_lm_score",
-    "chunk_sliding_windows",
-    "ivf_kmeans_train",
-    "zorder_layout",
-    "split_contamination_check",
-    # -- new this round (first external rows) -----------------------------
-    "pq_train_codebooks",
-    "pq_codes",
-    "pq_adc_topk",
-    "pq_adc_rerank_topk",
-    "dup_ngram_spans",
-    "dsir_importance_weight",
+    # -- (b) never externally sampled (added after the r4 window) ---------
+    "corpus_quality_gates",
+    "matryoshka_topk_overlap",
+    # -- (c) upgraded rows-only -> oracle-paired this round ---------------
+    "ann_cosine_topk_vectorized",
+    "multimodal_features",
+    # -- (d) new this round (first external rows) -------------------------
+    "bloom_semi_join_prune",
+    "interval_overlap_join",
+    "heavy_hitters_twopass",
+    "last_touch_attribution",
+    "curriculum_schedule",
+    "equi_depth_histogram",
+    # -- (e) oracle text changed this round (deterministic asof dedup) ----
     "events_resample_ffill",
-    "decayed_user_value",
-    "token_pmi_bigrams",
-    # -- rotation: external evidence only from round 1 --------------------
-    "acctbal_case_buckets",
-    "part_string_funcs",
-    "events_json_extract",
-    "events_daily_agg",
-    "events_year_week",
-    "nation_check_avg",
-    "user_event_pivot",
-    "top_tokens_exploded",
-    "price_quantity_correlation",
-    "supplier_names_agg",
-    "median_order_value",
-    # -- rotation: external evidence only from round 2 --------------------
-    "calendar_spine",
-    "incremental_upsert_partition",
-    "events_funnel",
-    "retention_cohorts",
-    "orders_monthly_growth",
-    "events_topk_per_day",
-    "vocab_coverage",
-    "ivfadc_rerank_topk",
-    "dedup_containment_pairs",
-    "target_encode_priority",
-    # -- flagship regression ----------------------------------------------
+    # -- (f) rotation: external evidence only from round 2 ----------------
+    "acctbal_vs_global_avg",
+    "price_percentiles_per_brand",
+    "math_scalar_funcs",
+    "array_functions_embeddings",
+    "scd2_merge_emulation",
+    "events_json_path",
+    "parts_at_brand_max_price",
+    "table_profile_orders",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "binary_payload_meta",
+    "grouped_pandas_rank",
+    "top_orders_by_revenue",
+    "customer_order_stats_left",
+    "customers_with_open_orders_semi",
+    "customers_without_orders_anti",
+    "nation_region_cross",
+    "regional_supplier_revenue",
+    "priority_distinct_customers",
+    "nation_acctbal_stats",
+    "lineitem_distinct_counts",
+    "rollup_lineitem_qty",
+    "cube_order_status_priority",
+    "grouping_sets_events",
+    "set_union_segments",
+    "top3_parts_per_brand",
+    "events_lag_delta",
+    "events_running_sum",
+    "events_sessionization",
+    "orders_ordered_limit",
+    "supplier_balance_zscore",
+    "tfidf_top_terms",
+    "train_test_split_hash",
+    "embedding_quantize_stats",
+    # -- (g) flagship regression ------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
     "dedup_minhash_lsh",

@@ -304,7 +304,11 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     f"PQ asymmetric-distance top-{TOPK}: exact queries scored against"
     " the compressed corpus via per-query (subspace, code) lookup"
-    " tables — N·M table lookups instead of N·DIM multiplies",
+    " tables — N·M table lookups instead of N·DIM multiplies."
+    " DIAGNOSTIC/component form: at 64 bits/vector pure ADC measures"
+    " 0.30-0.34 recall@5 on both test corpora — deploy"
+    " pq_adc_rerank_topk (the headline PQ operator), which refines the"
+    " ADC shortlist exactly",
     tags=("similarity", "pq"),
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

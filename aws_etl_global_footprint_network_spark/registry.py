@@ -54,13 +54,15 @@ def register(
 # doc_id alone in both twins); (b) the only two registered queries with no
 # external row in any round; (c) two queries upgraded this round from
 # rows-only to oracle-paired — their first hash-checked rows; (d) the six
-# operators new this round; (e) events_resample_ffill, whose oracle gained
-# a deterministic right-side dedup this round (semantics unchanged on
-# current data, but the SQL text changed — re-evidence it); (f) rotation:
-# every slot left goes to the queries whose latest external evidence is
-# round 2, the oldest cohort (35 of 37 fit; set_intersect_segments and
-# set_except_segments wait for round 6 — set_union_segments represents the
-# family); (g) three flagship regressions. Everything else keeps local
+# operators new this round; (e) queries whose registered semantics or
+# oracle text changed this round and therefore outrank
+# stale-but-unchanged rotation candidates: events_resample_ffill
+# (deterministic right-side as-of dedup) and ivf_topk_probe
+# (operating point re-registered at nprobe=4); (f) rotation: every slot
+# left goes to the queries whose latest external evidence is round 2, the
+# oldest cohort (34 of 37 fit; set_intersect_segments, set_except_segments
+# and nation_region_cross wait for round 6); (g) three flagship
+# regressions. Everything else keeps local
 # coverage via tests/test_oracle_parity.py, which sweeps ALL registered
 # queries.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -79,8 +81,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "last_touch_attribution",
     "curriculum_schedule",
     "equi_depth_histogram",
-    # -- (e) oracle text changed this round (deterministic asof dedup) ----
-    "events_resample_ffill",
+    # -- (e) registered semantics/oracle changed this round ---------------
+    "events_resample_ffill",  # deterministic as-of right-side dedup
+    "ivf_topk_probe",  # operating point re-registered at nprobe=4
     # -- (f) rotation: external evidence only from round 2 ----------------
     "acctbal_vs_global_avg",
     "price_percentiles_per_brand",
@@ -99,7 +102,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "customer_order_stats_left",
     "customers_with_open_orders_semi",
     "customers_without_orders_anti",
-    "nation_region_cross",
     "regional_supplier_revenue",
     "priority_distinct_customers",
     "nation_acctbal_stats",

@@ -6,7 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": <sf>}
 
 Usage:
-    python bench.py                  # headline set
+    python bench.py                  # headline set (warm session) +
+                                     # cold-per-query pass at sf0.01;
+                                     # both totals in the one JSON line
+    python bench.py --no-cold        # skip the cold pass
+    python bench.py --cold-only      # only the cold pass
     python bench.py --all            # every registered query
     python bench.py --explain NAME   # formatted plan for one query
     python bench.py --recall         # measured LSH recall + candidate
@@ -82,6 +86,13 @@ HEADLINE = [
     "token_pmi_bigrams",
     "events_resample_ffill",
     "decayed_user_value",
+    # round-5 additions
+    "bloom_semi_join_prune",
+    "interval_overlap_join",
+    "heavy_hitters_twopass",
+    "last_touch_attribution",
+    "curriculum_schedule",
+    "equi_depth_histogram",
 ]
 
 
@@ -341,12 +352,59 @@ def duck_mode(specs, names) -> None:
     )
 
 
+def cold_pass(specs, names, sf_dir) -> dict[str, float]:
+    """One FRESH SparkSession per query at ``sf_dir``.
+
+    The warm headline numbers share one session across 40+ queries, so
+    a slow drift there is ambiguous: plan regression, or session-state
+    accumulation (JVM caches, lingering persists, catalog growth)?
+    This pass isolates each query in its own session — a per-query
+    number that only moves when the QUERY's plan or input moves.
+    Run at sf0.01: big enough to execute every real plan shape, small
+    enough that ~50 session restarts stay inside a bench budget."""
+    from aws_etl_global_footprint_network_spark.functions.cache import release_all
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spark = get_spark(app_name=f"bench-cold-{name}")
+        t0 = time.perf_counter()
+        try:
+            specs[name].builder(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# cold {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:
+            print(f"# cold {name}: ERROR {exc}"[:200], file=sys.stderr)
+        finally:
+            release_all()
+            spark.stop()
+    return timings
+
+
 def main() -> None:
     specs = load_all()
     names = list(specs) if "--all" in sys.argv else HEADLINE
 
     if "--duck" in sys.argv:
         duck_mode(specs, names)
+        return
+
+    cold_dir = os.path.join(
+        os.path.dirname(os.path.normpath(SF_DIR)), "sf0.01"
+    )
+
+    if "--cold-only" in sys.argv:
+        timings = cold_pass(specs, names, cold_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "cold_per_query_total_wall",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": _sf_from_dir(cold_dir),
+                }
+            )
+        )
         return
 
     spark = get_spark(app_name="bench")
@@ -402,6 +460,18 @@ def main() -> None:
     }
     if errors:
         line["errors"] = errors
+
+    # Cold-per-query pass (fresh session per query at sf0.01), carried
+    # in the SAME JSON line so round-over-round bench artifacts hold
+    # both totals: warm drift that the cold numbers don't reproduce is
+    # session noise, not a plan regression.
+    if "--no-cold" not in sys.argv and os.path.isdir(cold_dir):
+        spark.stop()
+        cold = cold_pass(specs, names, cold_dir)
+        line["cold_sf"] = _sf_from_dir(cold_dir)
+        line["cold_total"] = round(sum(cold.values()), 3)
+        line["cold_queries"] = cold
+
     print(json.dumps(line))
 
 

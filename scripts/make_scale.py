@@ -52,6 +52,15 @@ OFFSETS = {
 REPLICATED = ["lineitem", "orders", "customer", "supplier", "part", "events"]
 COPIED = ["nation", "region"]
 
+# Clustered-embedding geometry (--clustered): 10 clusters to match the
+# label domain the IVF operators use as inverted lists. sigma=0.1 in
+# 64-dim puts E||noise||^2 = 64*0.01 = 0.64 around unit-norm centers
+# -> within-cluster cosine ~ 0.76, cross-cluster ~ 0 (orthogonal
+# random centers): true top-k neighbours are same-cluster with
+# overwhelming probability.
+K_CLUSTERS = 10
+CLUSTER_SIGMA = 0.1
+
 
 def replicate(name: str, factor: int, out_dir: str) -> int:
     t = pq.read_table(f"{SRC}/{name}.parquet")
@@ -106,17 +115,37 @@ def synth_documents(factor: int, out_dir: str) -> int:
     return out.num_rows
 
 
-def synth_embeddings(factor: int, out_dir: str) -> int:
+def synth_embeddings(factor: int, out_dir: str, clustered: bool = False) -> int:
+    """Isotropic Gaussian by default (matches the driver corpus — the
+    documented WORST case for any ANN index: distance concentration
+    means no partition of space separates neighbours).
+
+    ``clustered=True`` instead plants ``K_CLUSTERS`` Gaussian clusters
+    (the SIFT-like synthetic standard every public ANN benchmark uses):
+    unit-norm centers drawn once, points = center + sigma*noise with
+    sigma chosen so a point's true nearest neighbours are overwhelmingly
+    same-cluster — the regime where IVF/PQ recall dials mean something.
+    ``label`` is the TRUE cluster id, so the label-based IVF lists
+    (ivf_label_centroids) align with the geometry."""
     src = pq.read_table(f"{SRC}/embeddings.parquet")
     dim = len(src.column("embedding")[0])
     n = src.num_rows * factor
     gen = np.random.default_rng(20260813)
-    vecs = gen.standard_normal((n, dim)).astype(np.float32)
+    if clustered:
+        centers = gen.standard_normal((K_CLUSTERS, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        labels = (np.arange(n) % K_CLUSTERS).astype(np.int32)
+        vecs = (
+            centers[labels] + CLUSTER_SIGMA * gen.standard_normal((n, dim))
+        ).astype(np.float32)
+    else:
+        labels = (np.arange(n) % 10).astype(np.int32)
+        vecs = gen.standard_normal((n, dim)).astype(np.float32)
     out = pa.table(
         {
             "vec_id": pa.array(range(n), pa.int64()),
             "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
-            "label": pa.array((np.arange(n) % 10).astype(np.int32), pa.int32()),
+            "label": pa.array(labels, pa.int32()),
         }
     )
     pq.write_table(out, f"{out_dir}/embeddings.parquet")
@@ -127,6 +156,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument(
+        "--clustered",
+        action="store_true",
+        help="plant K Gaussian clusters in the embeddings (ANN recall"
+        " measurement corpus) instead of isotropic noise",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     for name in COPIED:
@@ -136,7 +171,11 @@ def main() -> None:
     for name in REPLICATED:
         print(f"{name}: {replicate(name, args.factor, args.out)}")
     print(f"documents: {synth_documents(args.factor, args.out)} (synth)")
-    print(f"embeddings: {synth_embeddings(args.factor, args.out)} (synth)")
+    kind = "clustered" if args.clustered else "isotropic"
+    print(
+        f"embeddings: {synth_embeddings(args.factor, args.out, args.clustered)}"
+        f" ({kind} synth)"
+    )
 
 
 if __name__ == "__main__":

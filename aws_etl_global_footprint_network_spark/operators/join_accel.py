@@ -274,3 +274,64 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("s_start", "i_start"))
         ).alias("overlap_us")
     )
+
+
+# --- Fuzzy string join (SymSpell deletion blocking) -----------------------
+FUZZY_MAX_DIST = 1
+
+
+@register(
+    "fuzzy_name_pairs",
+    f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    f"fuzzy string self-join: distinct part-name pairs within edit"
+    f" distance {FUZZY_MAX_DIST}, found via SymSpell deletion-1"
+    " neighborhood blocking (equi join on deletion variants) + exact"
+    " levenshtein verify — never the quadratic compare (oracle: the"
+    " direct pairwise join over the bounded distinct-name set)",
+    tags=("join", "text", "scale"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell blocking: two strings within edit distance 1 share at
+    least one deletion-<=1 variant (delete the mismatched char from
+    each side), so an equi join on exploded variants finds every
+    candidate without comparing all pairs. Work scales with
+    sum(len(name)) not distinct_names^2; the exact levenshtein runs
+    only on candidates. The oracle is the direct pairwise join —
+    sound as ground truth because the distinct-name set is bounded
+    (p_name vocabulary), exactly like the ANN exact baselines."""
+    names = read_testdata(spark, sf_dir, "part").select("p_name").distinct()
+    # deletion-<=1 neighborhood: index 0 keeps the string itself,
+    # index i deletes character i
+    variants = names.select(
+        "p_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(p_name)),"
+                " i -> CASE WHEN i = 0 THEN p_name"
+                " ELSE concat(substring(p_name, 1, i - 1),"
+                "             substring(p_name, i + 1)) END)"
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("p_name").alias("name_a"), "variant")
+    b = variants.select(F.col("p_name").alias("name_b"), "variant")
+    candidates = (
+        a.join(b, "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return candidates.filter(
+        F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST
+    ).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    )

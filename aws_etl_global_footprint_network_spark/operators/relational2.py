@@ -468,3 +468,124 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_compat(F.min("p_retailprice"), 2).alias("lo"),
         round_compat(F.max("p_retailprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "star_denormalize_revenue",
+    """
+    SELECT r.r_name AS region, p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100, 0) / 100
+             AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    JOIN part p      ON l.l_partkey = p.p_partkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    GROUP BY r.r_name, p.p_brand
+    """,
+    "full star-schema denormalization: the fact table joined through"
+    " six dimensions in one plan (orders->customer->nation->region +"
+    " part + supplier), aggregated to region x brand revenue — the"
+    " canonical warehouse ETL shape",
+    tags=("join", "agg", "star"),
+)
+def star_denormalize_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Catalyst plan, six joins: the true dimensions
+    (nation/region/part/supplier) sit under the broadcast threshold so
+    Catalyst broadcast-hash-joins them against the fact scan with no
+    shuffle; orders/customer are fact-sized and shuffle on their keys
+    — exactly the split a 100 TB star wants. Declaring all six joins
+    at once (instead of materialising intermediates) lets the
+    optimizer reorder them by size."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders")
+    c = read_testdata(spark, sf_dir, "customer")
+    n = read_testdata(spark, sf_dir, "nation")
+    r = read_testdata(spark, sf_dir, "region")
+    p = read_testdata(spark, sf_dir, "part")
+    s = read_testdata(spark, sf_dir, "supplier")
+    wide = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+    )
+    return wide.groupBy(
+        F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        round_compat(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# Data-quality rules with real hit rates in this corpus; the array
+# construction order is part of the contract (both twins emit reasons
+# in this sequence).
+DQ_RULES = (
+    ("ship_before_order", "l_shipdate < o_orderdate"),
+    ("excessive_quantity", "l_quantity > 45"),
+    ("discount_above_policy", "l_discount >= 0.09"),
+    ("tax_above_policy", "l_tax >= 0.07"),
+)
+
+
+@register(
+    "dq_violation_report",
+    f"""
+    WITH flagged AS (
+      SELECT {", ".join(f"CASE WHEN {expr} THEN 1 ELSE 0 END AS f{i}"
+                        for i, (_, expr) in enumerate(DQ_RULES))}
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    tot AS (SELECT COUNT(*) AS n FROM flagged)
+    {" UNION ALL ".join(
+        f'''SELECT '{name}' AS rule,
+                   CAST(SUM(f{i}) AS BIGINT) AS n_violations,
+                   ROUND(SUM(f{i}) * 1.0 / (SELECT n FROM tot) * 1e6, 0) / 1e6
+                     AS violation_rate
+            FROM flagged'''
+        for i, (name, _) in enumerate(DQ_RULES))}
+    """,
+    "data-quality violation report: four business rules evaluated"
+    " row-wise over the order-joined fact table (ship-before-order,"
+    " quantity/discount/tax policy), aggregated to per-rule counts and"
+    " rates — the expectation-suite pattern (Deequ/Great Expectations)"
+    " as one Spark plan",
+    tags=("quality", "agg"),
+)
+def dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All rules evaluate in ONE scan of the joined fact table
+    (map-side flag columns, then a single aggregate) — N rules cost
+    one pass, not N passes. The total enters as a scalar subquery.
+    At 100 TB you persist the flagged frame and fan the per-rule
+    report out of it; here the one-pass shape is the point."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders")
+    li.join(o, li.l_orderkey == o.o_orderkey).createOrReplaceTempView(
+        "dq_flagged_src"
+    )
+    flags = ", ".join(
+        f"CASE WHEN {expr} THEN 1 ELSE 0 END AS f{i}"
+        for i, (_, expr) in enumerate(DQ_RULES)
+    )
+    unions = " UNION ALL ".join(
+        f"""SELECT '{name}' AS rule,
+                   CAST(SUM(f{i}) AS BIGINT) AS n_violations,
+                   ROUND(SUM(f{i}) * 1.0 / (SELECT n FROM dq_tot) * 1e6, 0) / 1e6
+                     AS violation_rate
+            FROM dq_flagged"""
+        for i, (name, _) in enumerate(DQ_RULES)
+    )
+    return spark.sql(
+        f"""
+        WITH dq_flagged AS (SELECT {flags} FROM dq_flagged_src),
+        dq_tot AS (SELECT COUNT(*) AS n FROM dq_flagged)
+        {unions}
+        """
+    )

@@ -319,3 +319,61 @@ def time_rollup_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (date_trunc('month', ts)), ())
         """
     )
+
+
+# OHLC bar width for the downsampling compactor (pre-multiplied to
+# microseconds in Python: `21600 * 1000000` written in DuckDB SQL
+# would multiply two INT32s and overflow).
+OHLC_HOURS = 6
+OHLC_BAR_US = OHLC_HOURS * 3600 * 1_000_000
+
+
+@register(
+    "events_ohlc_bars",
+    f"""
+    WITH b AS (
+      SELECT user_id, value, ts,
+             make_timestamp((epoch_us(ts) // {OHLC_BAR_US}) * {OHLC_BAR_US})
+               AS bar_start
+      FROM events)
+    SELECT user_id, bar_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close
+    FROM b GROUP BY user_id, bar_start
+    """,
+    f"OHLC downsampling: per-user {OHLC_HOURS}-hour bars with"
+    " open/high/low/close picked by event time (min_by/max_by ==="
+    " DuckDB arg_min/arg_max) — the time-series compaction every"
+    " metrics store runs before long-horizon queries",
+    tags=("temporal", "agg", "resample"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy on (user, bar): min_by/max_by carry the open/close
+    through the partial-aggregation path like any other agg — no
+    window, no second pass. The bar boundary is explicit epoch
+    arithmetic in BOTH twins (Spark's window() aligns to the 1970
+    epoch, DuckDB's time_bucket to 2000-01-03; writing the floor by
+    hand removes the origin-convention trap). open/high/low/close are
+    exact row values from the same parquet — no rounding needed.
+    Event timestamps are globally unique in this corpus, so the
+    arg_min/arg_max tie-break never fires; a corpus with ties would
+    need a composite order key here like the as-of operators use."""
+    ev = read_testdata(spark, sf_dir, "events")
+    # exact integer floor-to-bar in microseconds (x - x % bar): no
+    # double division anywhere near a bar boundary
+    us = F.unix_micros("ts")
+    bar = F.timestamp_micros(us - F.pmod(us, F.lit(OHLC_BAR_US)))
+    return (
+        ev.select("user_id", "value", "ts", bar.alias("bar_start"))
+        .groupBy("user_id", "bar_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+        )
+    )

@@ -60,9 +60,11 @@ def register(
 # (deterministic right-side as-of dedup) and ivf_topk_probe
 # (operating point re-registered at nprobe=4); (f) rotation: every slot
 # left goes to the queries whose latest external evidence is round 2, the
-# oldest cohort (34 of 37 fit; set_intersect_segments, set_except_segments
-# and nation_region_cross wait for round 6); (g) three flagship
-# regressions. Everything else keeps local
+# oldest cohort (30 of 37 fit; set_intersect_segments,
+# set_except_segments, nation_region_cross, set_union_segments,
+# customers_without_orders_anti, priority_distinct_customers and
+# events_lag_delta wait for round 6 — new zero-evidence operators
+# outrank stale-but-unchanged refresh); (g) three flagship regressions. Everything else keeps local
 # coverage via tests/test_oracle_parity.py, which sweeps ALL registered
 # queries.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -81,6 +83,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "last_touch_attribution",
     "curriculum_schedule",
     "equi_depth_histogram",
+    "fuzzy_name_pairs",
+    "events_ohlc_bars",
+    "star_denormalize_revenue",
+    "dq_violation_report",
     # -- (e) registered semantics/oracle changed this round ---------------
     "events_resample_ffill",  # deterministic as-of right-side dedup
     "ivf_topk_probe",  # operating point re-registered at nprobe=4
@@ -101,17 +107,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top_orders_by_revenue",
     "customer_order_stats_left",
     "customers_with_open_orders_semi",
-    "customers_without_orders_anti",
     "regional_supplier_revenue",
-    "priority_distinct_customers",
     "nation_acctbal_stats",
     "lineitem_distinct_counts",
     "rollup_lineitem_qty",
     "cube_order_status_priority",
     "grouping_sets_events",
-    "set_union_segments",
     "top3_parts_per_brand",
-    "events_lag_delta",
     "events_running_sum",
     "events_sessionization",
     "orders_ordered_limit",

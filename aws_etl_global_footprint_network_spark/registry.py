@@ -53,18 +53,19 @@ def register(
 # re-greened (sequence_packing: packing window now orders by the unique
 # doc_id alone in both twins); (b) the only two registered queries with no
 # external row in any round; (c) two queries upgraded this round from
-# rows-only to oracle-paired — their first hash-checked rows; (d) the six
-# operators new this round; (e) queries whose registered semantics or
+# rows-only to oracle-paired — their first hash-checked rows; (d) the
+# eleven operators new this round; (e) queries whose registered semantics or
 # oracle text changed this round and therefore outrank
 # stale-but-unchanged rotation candidates: events_resample_ffill
 # (deterministic right-side as-of dedup) and ivf_topk_probe
 # (operating point re-registered at nprobe=4); (f) rotation: every slot
 # left goes to the queries whose latest external evidence is round 2, the
-# oldest cohort (30 of 37 fit; set_intersect_segments,
+# oldest cohort (29 of 37 fit; set_intersect_segments,
 # set_except_segments, nation_region_cross, set_union_segments,
-# customers_without_orders_anti, priority_distinct_customers and
-# events_lag_delta wait for round 6 — new zero-evidence operators
-# outrank stale-but-unchanged refresh); (g) three flagship regressions. Everything else keeps local
+# customers_without_orders_anti, priority_distinct_customers,
+# events_lag_delta and events_running_sum wait for round 6 — new
+# zero-evidence operators outrank stale-but-unchanged refresh); (g)
+# three flagship regressions. Everything else keeps local
 # coverage via tests/test_oracle_parity.py, which sweeps ALL registered
 # queries.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -87,6 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_ohlc_bars",
     "star_denormalize_revenue",
     "dq_violation_report",
+    "streaming_ohlc_bars",
     # -- (e) registered semantics/oracle changed this round ---------------
     "events_resample_ffill",  # deterministic as-of right-side dedup
     "ivf_topk_probe",  # operating point re-registered at nprobe=4
@@ -114,7 +116,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cube_order_status_priority",
     "grouping_sets_events",
     "top3_parts_per_brand",
-    "events_running_sum",
     "events_sessionization",
     "orders_ordered_limit",
     "supplier_balance_zscore",

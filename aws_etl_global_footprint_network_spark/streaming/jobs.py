@@ -699,3 +699,66 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         output_mode="append",
     )
+
+
+@register(
+    "streaming_ohlc_bars",
+    None,  # set below: shares the batch operator's oracle verbatim
+    "Structured Streaming OHLC compaction: the events_ohlc_bars"
+    " operator run as a watermarked AvailableNow stream — min_by/"
+    "max_by aggregate through the streaming state store exactly as"
+    " they do through the batch partial-agg path (oracle: the batch"
+    " twin's SQL)",
+    tags=("streaming", "temporal", "agg"),
+)
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user 6-hour open/high/low/close bars as the batch
+    operator (operators/temporal.py), declared over a file stream:
+    F.window('6 hours') aligns to the 1970 epoch in UTC, which is
+    bit-identical to the batch twin's explicit floor arithmetic, so
+    one oracle serves both. Watermark 1 day; complete mode into the
+    memory sink locally (append+parquet at scale). min_by/max_by are
+    merge-capable aggregates, so partial state per (user, bar) flows
+    through the state store like any sum."""
+    import os
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            normalize_nanos(stream)
+            .withWatermark("ts", "1 day")
+            .groupBy("user_id", F.window("ts", "6 hours").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min_by("value", "ts").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", "ts").alias("close"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("bar_start"),
+                "n_events",
+                "open",
+                "high",
+                "low",
+                "close",
+            )
+        )
+
+    return run_available_now(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        raw.schema,
+        transform,
+        name,
+    )
+
+
+# Share the batch OHLC oracle verbatim (same semantics, same columns).
+from aws_etl_global_footprint_network_spark.operators import temporal as _temporal  # noqa: E402
+from aws_etl_global_footprint_network_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["streaming_ohlc_bars"].oracle = _REGISTRY["events_ohlc_bars"].oracle

@@ -93,6 +93,10 @@ HEADLINE = [
     "last_touch_attribution",
     "curriculum_schedule",
     "equi_depth_histogram",
+    "fuzzy_name_pairs",
+    "events_ohlc_bars",
+    "star_denormalize_revenue",
+    "dq_violation_report",
 ]
 
 

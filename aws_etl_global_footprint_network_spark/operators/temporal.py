@@ -126,21 +126,34 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
            COUNT(*) AS n,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0
+             AS revenue
     FROM lineitem l JOIN orders o
       ON l.l_orderkey = o.o_orderkey
      AND l.l_shipdate >= o.o_orderdate
      AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
     GROUP BY 1
     """,
-    "range join (equi key + time-interval band) — prompt shipments",
+    "range join (equi key + time-interval band) — prompt shipments;"
+    " revenue summed as exact integer cents x discount-percent, so the"
+    " result is order-independent and bit-identical at every scale",
     tags=("temporal", "join"),
 )
 def lineitem_ship_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The equi key carries the hash join; the band predicate is a
     post-join filter, so this stays a shuffled hash/merge join — NOT a
     nested loop. A pure band join (no equi key) would instead bucket
-    the time axis and join on bucket."""
+    the time axis and join on bucket.
+
+    Money lesson from the sf1 sweep (round 5): ROUND(SUM(double), 2)
+    on a ~1e8-magnitude sum of 10^5+ terms flips the last cent when
+    the two engines accumulate in different orders (observed:
+    88705671.32 vs .33 at sf1 — the only sf1 divergence in 135
+    queries). Prices and discounts are exact 2-decimal quantities, so
+    both twins now quantize per ROW to integer cents
+    (price_cents x (100 - discount_pct)), sum exactly in BIGINT, and
+    divide once at the end — order-independent at any scale."""
     li = read_testdata(spark, sf_dir, "lineitem")
     o = read_testdata(spark, sf_dir, "orders")
     j = li.join(
@@ -149,15 +162,16 @@ def lineitem_ship_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_shipdate >= o.o_orderdate)
         & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
     )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
     return (
         j.groupBy(
             F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            round_compat(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.sum(cents) / 10000.0).alias("revenue"),
         )
     )
 

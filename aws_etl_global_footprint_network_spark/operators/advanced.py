@@ -365,3 +365,70 @@ def merge_rowlevel_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).select(
         "o_orderkey", "yr", round_compat("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+# SCD2 dimension: every 10th customer gets a second version with
+# acctbal+1000 effective at this boundary; the lookup must pick the
+# version valid at each order's date.
+SCD2_BOUNDARY = "1998-01-01"
+
+
+@register(
+    "scd2_lookup_join",
+    f"""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           ROUND((CASE WHEN o.o_custkey % 10 = 0
+                        AND o.o_orderdate >= TIMESTAMP '{SCD2_BOUNDARY}'
+                       THEN c.c_acctbal + 1000 ELSE c.c_acctbal END)
+                 * 100, 0) / 100 AS acctbal_at_order
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "SCD2 point-in-time dimension lookup: each order joined to the"
+    " customer version valid AT ITS ORDER DATE (every 10th customer"
+    " has a second version effective 1998-01-01) — the"
+    " slowly-changing-dimension temporal join every warehouse fact"
+    " load runs; oracle computes the validity directly from the"
+    " version rule",
+    tags=("join", "asof", "etl"),
+)
+def scd2_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side runs the REAL machinery — an as-of join of facts
+    against the version table on (custkey, valid_from <= orderdate) —
+    while the oracle, knowing the synthetic version rule, states the
+    correct answer in one CASE. When validity intervals partition time
+    (they do, by construction of SCD2), as-of on valid_from IS the
+    BETWEEN-join, with one shuffle and no interval explosion. The
+    version table is built deterministically from customer: v1 at
+    -inf (epoch), v2 at the boundary for custkey % 10 = 0."""
+    from aws_etl_global_footprint_network_spark.operators.temporal import asof_join
+
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = read_testdata(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.lit("1970-01-01").cast("timestamp").alias("valid_from"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.lit(SCD2_BOUNDARY).cast("timestamp").alias("valid_from"),
+        (F.col("c_acctbal") + 1000).alias("acctbal"),
+    )
+    versions = v1.unionByName(v2)
+    joined = asof_join(
+        o,
+        versions,
+        on=["o_custkey"],
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        right_values=["acctbal"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        round_compat("acctbal", 2).alias("acctbal_at_order"),
+    )

@@ -52,3 +52,50 @@ def window_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-hash-compatible (see functions.compat)."""
     read_testdata(spark, sf_dir, "part").createOrReplaceTempView("part_ws")
     return spark.sql(_SQL.format(table="part_ws"))
+
+
+@register(
+    "events_trailing_1h_avg",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 * 1e6, 0) / 1e6 AS trailing_avg,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_in_window
+    FROM events
+    """,
+    "time-interval RANGE window frame: per-user trailing 1-hour"
+    " average and count at every event — the moving-aggregate shape"
+    " numeric ROWS/RANGE frames can't express (frame size varies with"
+    " event density)",
+    tags=("window", "temporal"),
+)
+def events_trailing_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark has no INTERVAL RANGE frame literal, but an equivalent
+    exists: order the window by unix_micros(ts) (a bigint) and bound
+    the frame numerically at -3.6e9 microseconds. Same shuffle
+    profile as any per-user window (one hash partition by user_id);
+    the frame is evaluated incrementally, never materialised. AVG is
+    rounded at 1e-6 on both sides — sliding-frame aggregation trees
+    differ between engines (segment tree vs running pair), so the
+    fold order is NOT shared, unlike running-total windows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    ev = read_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        round_compat(F.avg("value").over(w), 6).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

@@ -54,17 +54,19 @@ def register(
 # doc_id alone in both twins); (b) the only two registered queries with no
 # external row in any round; (c) two queries upgraded this round from
 # rows-only to oracle-paired — their first hash-checked rows; (d) the
-# eleven operators new this round; (e) queries whose registered semantics or
+# thirteen operators new this round; (e) queries whose registered semantics or
 # oracle text changed this round and therefore outrank
 # stale-but-unchanged rotation candidates: events_resample_ffill
 # (deterministic right-side as-of dedup) and ivf_topk_probe
 # (operating point re-registered at nprobe=4); (f) rotation: every slot
 # left goes to the queries whose latest external evidence is round 2, the
-# oldest cohort (29 of 37 fit; set_intersect_segments,
+# oldest cohort (27 of 37 fit; set_intersect_segments,
 # set_except_segments, nation_region_cross, set_union_segments,
 # customers_without_orders_anti, priority_distinct_customers,
-# events_lag_delta and events_running_sum wait for round 6 — new
-# zero-evidence operators outrank stale-but-unchanged refresh); (g)
+# events_lag_delta, events_running_sum, grouping_sets_events and
+# events_sessionization wait for round 6 — new zero-evidence operators
+# outrank stale-but-unchanged refresh, and all ten deferred queries
+# stay green in the local all-query parity sweep every test run); (g)
 # three flagship regressions. Everything else keeps local
 # coverage via tests/test_oracle_parity.py, which sweeps ALL registered
 # queries.
@@ -89,6 +91,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "star_denormalize_revenue",
     "dq_violation_report",
     "streaming_ohlc_bars",
+    "scd2_lookup_join",
+    "events_trailing_1h_avg",
     # -- (e) registered semantics/oracle changed this round ---------------
     "events_resample_ffill",  # deterministic as-of right-side dedup
     "ivf_topk_probe",  # operating point re-registered at nprobe=4
@@ -114,9 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lineitem_distinct_counts",
     "rollup_lineitem_qty",
     "cube_order_status_priority",
-    "grouping_sets_events",
     "top3_parts_per_brand",
-    "events_sessionization",
     "orders_ordered_limit",
     "supplier_balance_zscore",
     "tfidf_top_terms",

@@ -338,3 +338,69 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
     )
+
+
+# --- Bucketed co-located join --------------------------------------------
+BUCKETS = 8
+
+
+@register(
+    "bucketed_join_colocated",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    "co-located bucketed join: orders and lineitem written bucketBy(8,"
+    " orderkey) + sortBy, then joined with broadcast disabled — the"
+    " join runs as a bucket-local sort-merge with NO Exchange on"
+    " either side (asserted by tests/test_datasource_and_bucketing),"
+    " the layout that amortises the repeated fact-fact shuffle at"
+    " warehouse scale; revenue in exact integer cents",
+    tags=("join", "layout", "scale"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physically exercises the bucketing layout: both fact tables are
+    (re)written bucketed on the join key, and the join is forced away
+    from broadcast so the bucket co-location is what eliminates the
+    shuffle. The write cost is the point at scale — you pay the
+    bucket shuffle ONCE at load, then every subsequent orderkey join
+    is local. The broadcast-threshold override is scoped and restored
+    (single-threaded session assumption, same as streaming's
+    _stream_partitions)."""
+    o = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    for tbl in ("orders_colo", "lineitem_colo"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (o.write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_colo"))
+    (li.write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_colo"))
+    ob, lb = spark.table("orders_colo"), spark.table("lineitem_colo")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+            100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+        )
+        out = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                (F.sum(cents) / 10000.0).alias("revenue"),
+            )
+        )
+        # materialise under the scoped conf so the executed plan is the
+        # bucket-local merge (the returned DataFrame re-plans lazily,
+        # but the bucketed scan keeps the no-Exchange property)
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    return out

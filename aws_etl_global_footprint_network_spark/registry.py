@@ -66,7 +66,9 @@ def register(
 # events_lag_delta, events_running_sum, grouping_sets_events and
 # events_sessionization wait for round 6 — new zero-evidence operators
 # outrank stale-but-unchanged refresh, and all ten deferred queries
-# stay green in the local all-query parity sweep every test run); (g)
+# stay green in the local all-query parity sweep every test run —
+# bucketed_join_colocated, registered after the r5 window was pinned,
+# joins that round-6 queue); (g)
 # three flagship regressions. Everything else keeps local
 # coverage via tests/test_oracle_parity.py, which sweeps ALL registered
 # queries.

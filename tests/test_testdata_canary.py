@@ -77,3 +77,30 @@ def test_minimum_key_ranges(sf_dir):
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     ids = set(t.column("vec_id").to_pylist())
     assert set(range(16)) <= ids, "PQ seed ids 0..15 must exist"
+
+
+def test_events_timestamps_unique_per_user(spark, sf_dir_mid):
+    """events_ohlc_bars / streaming_ohlc_bars pick open/close with
+    min_by/max_by(value, ts) and document that the tie-break never
+    fires because per-user timestamps are unique. The as-of operators
+    survived a tie by pre-deduping (round-5 advice fix), but the OHLC
+    pair has no dedup — if a test-data regeneration ever introduces
+    per-user duplicate timestamps, this canary names the invariant
+    instead of a cryptic hash flap."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.sources.readers import (
+        read_testdata,
+    )
+
+    ev = read_testdata(spark, sf_dir_mid, "events")
+    dupes = (
+        ev.groupBy("user_id", "ts")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0, (
+        f"{dupes} duplicate (user_id, ts) pairs: add a deterministic"
+        " tie-break to the OHLC operators (see the as-of dedup pattern)"
+    )

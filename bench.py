@@ -468,13 +468,18 @@ def main() -> None:
     # Cold-per-query pass (fresh session per query at sf0.01), carried
     # in the SAME JSON line so round-over-round bench artifacts hold
     # both totals: warm drift that the cold numbers don't reproduce is
-    # session noise, not a plan regression.
+    # session noise, not a plan regression. Guarded: a cold-pass crash
+    # must never void the warm numbers (the round-3 lesson — one
+    # failure voided a whole round's bench).
     if "--no-cold" not in sys.argv and os.path.isdir(cold_dir):
-        spark.stop()
-        cold = cold_pass(specs, names, cold_dir)
-        line["cold_sf"] = _sf_from_dir(cold_dir)
-        line["cold_total"] = round(sum(cold.values()), 3)
-        line["cold_queries"] = cold
+        try:
+            spark.stop()
+            cold = cold_pass(specs, names, cold_dir)
+            line["cold_sf"] = _sf_from_dir(cold_dir)
+            line["cold_total"] = round(sum(cold.values()), 3)
+            line["cold_queries"] = cold
+        except Exception as exc:  # pragma: no cover - safety net
+            line["cold_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     print(json.dumps(line))
 

@@ -49,87 +49,78 @@ def register(
 
 # External correctness harnesses sample the FIRST 50 registry entries in
 # iteration order, so ordering is part of the contract.  DRIVER_WINDOW pins
-# those 50 slots explicitly.  Round-5 composition: (a) the round-4 red row,
-# re-greened (sequence_packing: packing window now orders by the unique
-# doc_id alone in both twins); (b) the only two registered queries with no
-# external row in any round; (c) two queries upgraded this round from
-# rows-only to oracle-paired — their first hash-checked rows; (d) the
-# thirteen operators new this round; (e) queries whose registered semantics or
-# oracle text changed this round and therefore outrank
-# stale-but-unchanged rotation candidates: events_resample_ffill
-# (deterministic right-side as-of dedup) and ivf_topk_probe
-# (operating point re-registered at nprobe=4); (f) rotation: every slot
-# left goes to the queries whose latest external evidence is round 2, the
-# oldest cohort (27 of 37 fit; set_intersect_segments,
-# set_except_segments, nation_region_cross, set_union_segments,
-# customers_without_orders_anti, priority_distinct_customers,
-# events_lag_delta, events_running_sum, grouping_sets_events and
-# events_sessionization wait for round 6 — new zero-evidence operators
-# outrank stale-but-unchanged refresh, and all ten deferred queries
-# stay green in the local all-query parity sweep every test run —
-# bucketed_join_colocated, registered after the r5 window was pinned,
-# joins that round-6 queue); (g)
-# three flagship regressions. Everything else keeps local
-# coverage via tests/test_oracle_parity.py, which sweeps ALL registered
-# queries.
+# those 50 slots explicitly.  Round-6 composition: (a) the ten queries
+# whose latest external evidence was round 2 — the cohort the round-5
+# rotation deferred — plus bucketed_join_colocated, the only registered
+# query with no external row in any round (the round-5 verdict's item 2,
+# verbatim); (b) queries whose executed plan or oracle text changed this
+# round and therefore need fresh hashes: bloom_semi_join_prune (residual
+# semi join un-broadcast + exact-cents revenue), star_denormalize_revenue
+# (exact-cents revenue), heavy_hitters_twopass (vectorized pass 1),
+# pq_adc_topk / pq_adc_rerank_topk (partition-bounded ADC shortlist),
+# ann_cosine_topk_vectorized (rank on rounded score + id tie-break);
+# (c) operators new this round (first external rows); (d) three flagship
+# regressions; (e) rotation: remaining slots go to the round-3 cohort,
+# now the oldest evidence (the rest of it waits for round 7 and stays
+# green in the local all-query parity sweep every test run). Everything
+# else keeps local coverage via tests/test_oracle_parity.py, which
+# sweeps ALL registered queries.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) round-4 red row, fixed this round ----------------------------
-    "sequence_packing",
-    # -- (b) never externally sampled (added after the r4 window) ---------
-    "corpus_quality_gates",
-    "matryoshka_topk_overlap",
-    # -- (c) upgraded rows-only -> oracle-paired this round ---------------
-    "ann_cosine_topk_vectorized",
-    "multimodal_features",
-    # -- (d) new this round (first external rows) -------------------------
+    # -- (a) round-2-stale cohort + never-sampled --------------------------
+    "set_intersect_segments",
+    "set_except_segments",
+    "nation_region_cross",
+    "set_union_segments",
+    "customers_without_orders_anti",
+    "priority_distinct_customers",
+    "events_lag_delta",
+    "events_running_sum",
+    "grouping_sets_events",
+    "events_sessionization",
+    "bucketed_join_colocated",
+    # -- (b) executed plan or oracle changed this round --------------------
     "bloom_semi_join_prune",
-    "interval_overlap_join",
-    "heavy_hitters_twopass",
-    "last_touch_attribution",
-    "curriculum_schedule",
-    "equi_depth_histogram",
-    "fuzzy_name_pairs",
-    "events_ohlc_bars",
     "star_denormalize_revenue",
-    "dq_violation_report",
-    "streaming_ohlc_bars",
-    "scd2_lookup_join",
-    "events_trailing_1h_avg",
-    # -- (e) registered semantics/oracle changed this round ---------------
-    "events_resample_ffill",  # deterministic as-of right-side dedup
-    "ivf_topk_probe",  # operating point re-registered at nprobe=4
-    # -- (f) rotation: external evidence only from round 2 ----------------
-    "acctbal_vs_global_avg",
-    "price_percentiles_per_brand",
-    "math_scalar_funcs",
-    "array_functions_embeddings",
-    "scd2_merge_emulation",
-    "events_json_path",
-    "parts_at_brand_max_price",
-    "table_profile_orders",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "binary_payload_meta",
-    "grouped_pandas_rank",
-    "top_orders_by_revenue",
-    "customer_order_stats_left",
-    "customers_with_open_orders_semi",
-    "regional_supplier_revenue",
-    "nation_acctbal_stats",
-    "lineitem_distinct_counts",
-    "rollup_lineitem_qty",
-    "cube_order_status_priority",
-    "top3_parts_per_brand",
-    "orders_ordered_limit",
-    "supplier_balance_zscore",
-    "tfidf_top_terms",
-    "train_test_split_hash",
-    "embedding_quantize_stats",
-    # -- (g) flagship regression ------------------------------------------
+    "heavy_hitters_twopass",
+    "pq_adc_topk",
+    "pq_adc_rerank_topk",
+    "ann_cosine_topk_vectorized",
+    # -- (c) new this round (first external rows) --------------------------
+    # -- (d) flagship regression -------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
     "dedup_minhash_lsh",
+    # -- (e) rotation: round-3 cohort (oldest external evidence) -----------
+    "merge_rowlevel_cow",
+    "customer_rfm",
+    "ann_cosine_topk",
+    "ann_threshold_pairs",
+    "ann_lsh_pairs",
+    "ivf_label_centroids",
+    "ivf_assignments",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "pagerank_neardup_graph",
+    "training_corpus_pipeline",
+    "image_resize_thumbs",
+    "audio_wav_features",
+    "video_frame_sample",
+    "approx_distinct_parts",
+    "compound_evolution_by_user",
+    "weekly_vs_window_equivalence",
+    "date_functions_suite",
+    "lineitem_unpivot",
+    "key_uniqueness_checks",
+    "referential_integrity_checks",
+    "order_value_histogram",
+    "part_regex_funcs",
+    "null_semantics_suite",
+    "approx_percentile_prices",
+    "salted_join_revenue",
+    "lineitem_ship_window_range",
+    "session_window_native",
+    "time_rollup_multi_grain",
+    "text_quality_stats",
 )
 
 

@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 
@@ -107,7 +106,8 @@ def bloom_might_contain(key, words: list[int]):
     f"""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) / 100
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
              AS revenue
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -118,14 +118,18 @@ def bloom_might_contain(key, words: list[int]):
     " is pruned map-side by a 2^16-bit/4-hash filter built from the"
     " high-value order keys, then an exact residual semi join removes"
     " the false positives — the result is EXACTLY the plain semi join"
-    " (the oracle), the bitmap only changes where the work happens",
+    " (the oracle), the bitmap only changes where the work happens;"
+    " revenue in exact integer cents (engine-order-independent)",
     tags=("join", "bloom", "scale"),
 )
 def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """At test scale the build side would broadcast outright; the
-    pattern pays off when the key SET outgrows broadcast but the
+    """The pattern pays off when the key SET outgrows broadcast but the
     BITMAP does not (10^8-10^9 build keys). The residual semi join
-    here is what shrinks: only bloom-surviving probe rows shuffle."""
+    carries NO broadcast hint for exactly that reason: hard-hinting the
+    key set would OOM in the regime this operator exists for. AQE picks
+    broadcast on its own when the build side happens to be small — the
+    bloom-pruned probe side is what shrinks either way
+    (tests/test_plans.py pins hint-independence)."""
     orders = read_testdata(spark, sf_dir, "orders")
     li = read_testdata(spark, sf_dir, "lineitem")
     keys = orders.filter(F.col("o_totalprice") > HIGH_VALUE_ORDER).select(
@@ -134,13 +138,14 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bloom_bitmap_words(keys, "o_orderkey")
     pruned = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
     exact = pruned.join(
-        F.broadcast(keys), pruned.l_orderkey == keys.o_orderkey, "left_semi"
+        keys, pruned.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
     )
     return exact.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        round_compat(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        (F.sum(cents) / 10000.0).alias("revenue"),
     )
 
 
@@ -358,7 +363,8 @@ BUCKETS = 8
     "co-located bucketed join: orders and lineitem written bucketBy(8,"
     " orderkey) + sortBy, then joined with broadcast disabled — the"
     " join runs as a bucket-local sort-merge with NO Exchange on"
-    " either side (asserted by tests/test_datasource_and_bucketing),"
+    " either side (this operator's plan is asserted Exchange-free by"
+    " tests/test_plans.py::test_bucketed_join_colocated_no_exchange),"
     " the layout that amortises the repeated fact-fact shuffle at"
     " warehouse scale; revenue in exact integer cents",
     tags=("join", "layout", "scale"),
@@ -382,6 +388,9 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite").saveAsTable("lineitem_colo"))
     ob, lb = spark.table("orders_colo"), spark.table("lineitem_colo")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_adaptive = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
@@ -402,5 +411,10 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        if old_adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_adaptive
+            )
     return out

@@ -475,7 +475,8 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name AS region, p.p_brand AS brand,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100, 0) / 100
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0
              AS revenue
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -489,7 +490,8 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full star-schema denormalization: the fact table joined through"
     " six dimensions in one plan (orders->customer->nation->region +"
     " part + supplier), aggregated to region x brand revenue — the"
-    " canonical warehouse ETL shape",
+    " canonical warehouse ETL shape; revenue in exact integer cents"
+    " (engine-order-independent)",
     tags=("join", "agg", "star"),
 )
 def star_denormalize_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,13 +517,14 @@ def star_denormalize_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
     )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
     return wide.groupBy(
         F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
     ).agg(
         F.count(F.lit(1)).alias("n_items"),
-        round_compat(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        (F.sum(cents) / 10000.0).alias("revenue"),
     )
 
 

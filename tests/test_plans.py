@@ -183,6 +183,70 @@ def test_spread_yields_multiple_tasks(spark, sf_dir):
     assert d.rdd.getNumPartitions() > 1
 
 
+def test_bloom_residual_hint_independent(spark, sf_dir):
+    """The Bloom residual semi join must NOT carry a user broadcast
+    hint: the operator exists for the regime where the key set outgrows
+    broadcast (only the bitmap fits), so a hard hint would OOM exactly
+    where the operator is supposed to win. The result must be identical
+    with and without the hint (the hint only moves work), and the
+    registered plan must contain no ResolvedHint."""
+    from aws_etl_global_footprint_network_spark.operators import join_accel
+
+    df = SPECS["bloom_semi_join_prune"].builder(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:500]
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    keys = orders.filter(
+        F.col("o_totalprice") > join_accel.HIGH_VALUE_ORDER
+    ).select("o_orderkey")
+    words = join_accel.bloom_bitmap_words(keys, "o_orderkey")
+    pruned = li.filter(
+        join_accel.bloom_might_contain(F.col("l_orderkey"), words)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    hinted = (
+        pruned.join(
+            F.broadcast(keys), pruned.l_orderkey == keys.o_orderkey, "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(cents) / 10000.0).alias("revenue"),
+        )
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, hinted.collect()))
+    assert got == want
+
+
+def test_bucketed_join_colocated_no_exchange(spark, sf_dir):
+    """The bucketed co-located join's whole point: with broadcast
+    disabled, the orderkey join over the two bucketBy(8, orderkey)
+    tables plans as a bucket-local sort-merge with NO Exchange on
+    either input."""
+    # builder (re)writes the bucketed tables and restores its conf
+    SPECS["bucketed_join_colocated"].builder(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, lb = spark.table("orders_colo"), spark.table("lineitem_colo")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+        joined.count()  # finalize AQE so the executed plan is real
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan, plan[:800]
+        assert "Exchange" not in plan, plan[:1200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_partition_pruning_on_year_filter(spark, sf_dir, tmp_path):
     """A year-partitioned warehouse table must prune partitions for a
     year predicate (the 25x scan saving on the 25-year fact table)."""

@@ -54,20 +54,37 @@ def misra_gries_candidates(token_stream: DataFrame, col: str) -> DataFrame:
     batches — map-only, no shuffle, constant memory."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Weighted Misra-Gries: each Arrow batch is pre-counted
+        # vectorized (value_counts, C speed) and the COUNTED items are
+        # merged into the O(MG_CAPACITY) table. Inserting an item with
+        # weight c into a full table subtracts d = min(c, min counter)
+        # from all capacity+1 entries (the new one included) and drops
+        # zeros — MG's guarantee is order-independent, so batching the
+        # stream into weighted updates preserves it: total decrement
+        # charged to any item still <= n_p/(capacity+1), hence every
+        # item with partition frequency above that survives. Python
+        # cost is O(distinct-per-batch x capacity) worst case, not
+        # O(tokens) — the interpreter never touches individual tokens.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for t in pdf[col]:
+            for t, c in pdf[col].value_counts().items():
+                c = int(c)
                 if t in counters:
-                    counters[t] += 1
+                    counters[t] += c
                 elif len(counters) < MG_CAPACITY:
-                    counters[t] = 1
+                    counters[t] = c
                 else:
-                    # decrement-all step; drop zeros
+                    d = min(c, min(counters.values()))
+                    if c > d:
+                        counters[t] = c - d
                     dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
+                    for k, v in counters.items():
+                        if k == t:
+                            continue
+                        if v <= d:
                             dead.append(k)
+                        else:
+                            counters[k] = v - d
                     for k in dead:
                         del counters[k]
         yield pd.DataFrame({col: list(counters.keys())})

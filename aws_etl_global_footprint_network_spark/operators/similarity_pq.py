@@ -339,7 +339,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
-        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        _partition_bounded_topr(adc, "adc_dist", TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOPK)
         .select(
             F.col("query_id").cast("bigint").alias("query_id"),
@@ -347,6 +348,27 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "adc_dist",
         )
+    )
+
+
+def _partition_bounded_topr(adc: DataFrame, dist_col: str, r: int) -> DataFrame:
+    """Pre-reduce the per-query candidate set to top-``r`` PER INPUT
+    PARTITION before any per-query window: the global top-r is always
+    a subset of the union of per-partition top-rs (each candidate
+    competes within its own partition first), so the final
+    ``Window.partitionBy(query_id)`` ranks at most partitions x r rows
+    per query instead of the whole corpus — with few queries the
+    unbounded form funnels all N corpus rows through one task per
+    query. Exact: ties are decided on the rounded distance +
+    neighbor_id in both stages, the same grain the oracle uses."""
+    w_pre = Window.partitionBy("query_id", "_pid").orderBy(
+        dist_col, "neighbor_id"
+    )
+    return (
+        adc.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prn", F.row_number().over(w_pre))
+        .filter(F.col("_prn") <= r)
+        .drop("_pid", "_prn")
     )
 
 
@@ -417,7 +439,8 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_short = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     short = (
-        adc.withColumn("rn", F.row_number().over(w_short))
+        _partition_bounded_topr(adc, "adc_dist", RERANK_R)
+        .withColumn("rn", F.row_number().over(w_short))
         .filter(F.col("rn") <= RERANK_R)
         .select("query_id", "neighbor_id")
     )

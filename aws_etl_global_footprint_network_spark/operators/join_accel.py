@@ -207,7 +207,53 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Buckets per interval = ceil(span / bucket) + 1, so the blowup is
     bounded by interval length — pick the bucket ~ the typical span.
     The pair-dedup is exact: a pair sharing k buckets collapses via
-    groupBy on the pair key (overlap_us is functionally dependent)."""
+    groupBy on the pair key (overlap_us is functionally dependent).
+    tests/test_round5_ops.py asserts set equality against the direct
+    crossJoin + overlap-predicate join over the same intervals."""
+    sessions, incidents = session_incident_intervals(spark, sf_dir)
+
+    def buckets(start, end):
+        return F.sequence(
+            F.date_trunc("hour", start),
+            F.date_trunc("hour", end),
+            F.expr("INTERVAL 1 HOURS"),
+        )
+
+    s_b = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(buckets(F.col("s_start"), F.col("s_end"))).alias("bucket"),
+    )
+    i_b = incidents.select(
+        "incident_id",
+        "i_start",
+        "i_end",
+        F.explode(buckets(F.col("i_start"), F.col("i_end"))).alias("bucket"),
+    )
+    joined = s_b.join(i_b, "bucket").filter(
+        (F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end"))
+    )
+    return joined.groupBy(
+        "user_id",
+        F.col("s_start").alias("session_start"),
+        "incident_id",
+    ).agg(
+        F.first(
+            F.unix_micros(F.least("s_end", "i_end"))
+            - F.unix_micros(F.greatest("s_start", "i_start"))
+        ).alias("overlap_us")
+    )
+
+
+def session_incident_intervals(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two interval relations the overlap join operates on:
+    per-user activity sessions (gap > SESSION_GAP_MIN starts a new one)
+    and ±INCIDENT_PAD_MIN windows around the top-INCIDENT_N events by
+    value. Exposed so the equivalence test can run the direct non-equi
+    join over the exact same inputs as the bucket-grid rewrite."""
     ev = read_testdata(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = (
@@ -249,39 +295,7 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-
-    def buckets(start, end):
-        return F.sequence(
-            F.date_trunc("hour", start),
-            F.date_trunc("hour", end),
-            F.expr("INTERVAL 1 HOURS"),
-        )
-
-    s_b = sessions.select(
-        "user_id",
-        "s_start",
-        "s_end",
-        F.explode(buckets(F.col("s_start"), F.col("s_end"))).alias("bucket"),
-    )
-    i_b = incidents.select(
-        "incident_id",
-        "i_start",
-        "i_end",
-        F.explode(buckets(F.col("i_start"), F.col("i_end"))).alias("bucket"),
-    )
-    joined = s_b.join(i_b, "bucket").filter(
-        (F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end"))
-    )
-    return joined.groupBy(
-        "user_id",
-        F.col("s_start").alias("session_start"),
-        "incident_id",
-    ).agg(
-        F.first(
-            F.unix_micros(F.least("s_end", "i_end"))
-            - F.unix_micros(F.greatest("s_start", "i_start"))
-        ).alias("overlap_us")
-    )
+    return sessions, incidents
 
 
 # --- Fuzzy string join (SymSpell deletion blocking) -----------------------

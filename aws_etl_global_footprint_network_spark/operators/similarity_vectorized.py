@@ -32,14 +32,24 @@ N_QUERIES = 10
 
 
 def topk_vectorized(
-    corpus: DataFrame, queries: list[tuple[int, list[float]]], k: int = TOPK
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = TOPK,
+    rank_grain: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbours for a broadcast query set.
 
     The query matrix ships to executors once (closure broadcast); each
     Arrow batch of corpus vectors becomes one (batch x dim) @ (dim x q)
     matmul. Map-only: per-partition local top-k would be the next
-    refinement (here the window handles it, k*corpus is small)."""
+    refinement (here the window handles it, k*corpus is small).
+
+    ``rank_grain``: when set, ranking (and the tie-break) happens on
+    the score ROUNDED to that many decimals + neighbor_id. numpy's
+    pairwise/SIMD sums differ ~1e-15 from a sequential SQL fold, so an
+    oracle-paired caller must decide rank order on the shared rounded
+    grain — a raw-score near-tie at the k boundary would otherwise
+    flip neighbor_id/rank in a way the output rounding cannot heal."""
     qids = [q[0] for q in queries]
     qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -77,7 +87,12 @@ def topk_vectorized(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    rank_col = (
+        round_compat(F.col("cos"), rank_grain)
+        if rank_grain is not None
+        else F.col("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(rank_col.desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -101,9 +116,12 @@ def _vectorized_oracle() -> str:
              {dot_sql('q.e', 'v.e')} / (q.nrm * v.nrm) AS cos
       FROM q JOIN v ON q.vec_id <> v.vec_id),
     ranked AS (
+      -- rank on the ROUNDED score + id tie-break: the Spark twin's
+      -- numpy sums differ ~1e-15 from this sequential fold, so order
+      -- must be decided on the grain both engines share
       SELECT query_id, neighbor_id, cos,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+                   ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS INT) AS rank
       FROM scored)
     SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS score
     FROM ranked WHERE rank <= {TOPK}
@@ -114,8 +132,10 @@ def _vectorized_oracle() -> str:
     "ann_cosine_topk_vectorized",
     _vectorized_oracle(),
     "Arrow/numpy-vectorized cosine top-k (the production fast path);"
-    " scores round_compat-rounded to 6 decimals so the numpy matmul"
-    " hash-matches the sequential-fold DuckDB twin",
+    " scores round_compat-rounded to 6 decimals AND ranked on that"
+    " rounded grain (+ neighbor_id tie-break) in both twins, so the"
+    " numpy matmul hash-matches the sequential-fold DuckDB twin even"
+    " at a near-tie on the k boundary",
     tags=("similarity", "pandas_udf"),
 )
 def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +144,9 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.vec_id, list(r.embedding))
         for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
-    top = topk_vectorized(emb.select("vec_id", "embedding"), queries)
+    top = topk_vectorized(
+        emb.select("vec_id", "embedding"), queries, rank_grain=6
+    )
     return top.withColumn("score", round_compat("score", 6))
 
 

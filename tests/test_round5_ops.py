@@ -82,18 +82,49 @@ def test_misra_gries_candidates_cover_true_heavy_hitters(spark, sf_dir):
 
 
 def test_interval_bucketed_equals_nested_loop(spark, sf_dir):
+    """The bucket-grid rewrite must produce EXACTLY the pairs of the
+    direct non-equi overlap join over the same intervals — a grid-step
+    change that stops covering long sessions would silently drop pairs
+    and pass any dedup-only check (it would surface only as an oracle
+    hash flap)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.operators.join_accel import (
+        session_incident_intervals,
+    )
+
     bucketed = {
         (r.user_id, r.session_start, r.incident_id, r.overlap_us)
         for r in SPECS["interval_overlap_join"].builder(spark, sf_dir).collect()
     }
-    # direct nested-loop reference computed with the same session /
-    # incident definitions via the DuckDB oracle is already the parity
-    # test; here we check the bucket explosion introduces no dupes
     assert len(bucketed) == len(
         {(u, s, i) for (u, s, i, _) in bucketed}
     ), "pair dedup failed: same pair emitted twice"
-    for _, _, _, overlap_us in bucketed:
-        assert overlap_us >= 0  # true overlaps only
+
+    sessions, incidents = session_incident_intervals(spark, sf_dir)
+    direct = {
+        (r.user_id, r.session_start, r.incident_id, r.overlap_us)
+        for r in sessions.crossJoin(incidents)
+        .filter(
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end"))
+        )
+        .select(
+            "user_id",
+            F.col("s_start").alias("session_start"),
+            "incident_id",
+            (
+                F.unix_micros(F.least("s_end", "i_end"))
+                - F.unix_micros(F.greatest("s_start", "i_start"))
+            ).alias("overlap_us"),
+        )
+        .collect()
+    }
+    assert bucketed == direct, (
+        f"bucket grid diverges from direct join: "
+        f"missing={sorted(direct - bucketed)[:5]} "
+        f"extra={sorted(bucketed - direct)[:5]}"
+    )
 
 
 def test_fuzzy_blocking_equals_quadratic(spark, sf_dir):

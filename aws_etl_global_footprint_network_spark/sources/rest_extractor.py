@@ -173,3 +173,41 @@ def aiohttp_fetch(auth_user: str, auth_password: str, timeout_s: float = 30.0) -
             return 0, None  # transport error -> transient
 
     return fetch
+
+
+def urllib_fetch(auth_user: str, auth_password: str, timeout_s: float = 30.0) -> FetchFn:
+    """Stdlib transport: real sockets, real HTTP status handling, real
+    socket timeouts — no third-party dependency. The blocking urlopen
+    runs in a worker thread (``asyncio.to_thread``) so the semaphore
+    fan-out keeps its concurrency. Same status contract as
+    ``aiohttp_fetch``: (200, parsed json) on success, (status, None) on
+    an HTTP error, (0, None) on any transport-level failure (connect
+    refused / reset / timeout) — which ``_classify`` treats as
+    transient, mirroring the reference's exception branch
+    (local_data_extraction.py:118-122)."""
+    import base64
+    import urllib.error
+    import urllib.request
+
+    token = base64.b64encode(
+        f"{auth_user}:{auth_password}".encode()
+    ).decode("ascii")
+
+    def blocking(url: str) -> tuple[int, object]:
+        req = urllib.request.Request(
+            url, headers={"Authorization": f"Basic {token}"}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                if resp.status == 200:
+                    return 200, json.load(resp)
+                return resp.status, None
+        except urllib.error.HTTPError as exc:  # non-2xx with a status
+            return exc.code, None
+        except (urllib.error.URLError, OSError, TimeoutError, ValueError):
+            return 0, None  # transport error -> transient
+
+    async def fetch(url: str) -> tuple[int, object]:
+        return await asyncio.to_thread(blocking, url)
+
+    return fetch

@@ -157,3 +157,122 @@ def test_extractor_bounded_concurrency(tmp_path):
     cfg = _cfg(tmp_path, years=tuple(range(2000, 2020)))
     res = asyncio.run(extract_all(cfg, fetch))
     assert res.ok and peak <= cfg.max_concurrency
+
+
+# ------------- real transport against a local stub server -----------
+# The injected-fetch tests above pin the RETRY POLICY; these pin the
+# TRANSPORT: genuine sockets against a loopback HTTP server exercising
+# 429-transient, 404-permanent, and socket-timeout classification
+# through a real adapter (reference EP1, local_data_extraction.py:89-134).
+# No network access: the server binds 127.0.0.1:0.
+
+
+def _make_stub_handler():
+    import time as _time
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        hits: dict = {}
+        auth_seen: list = []
+        slow_s = 1.0
+
+        def do_GET(self):  # noqa: N802 - http.server API
+            cls = type(self)
+            cls.hits[self.path] = cls.hits.get(self.path, 0) + 1
+            cls.auth_seen.append(self.headers.get("Authorization"))
+            try:
+                if self.path.endswith("/2000"):
+                    if cls.hits[self.path] == 1:
+                        self.send_response(429)
+                        self.end_headers()
+                    else:
+                        body = json.dumps([{"year": 2000}]).encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                elif self.path.endswith("/2001"):
+                    self.send_response(404)
+                    self.end_headers()
+                elif self.path.endswith("/2002"):
+                    # sleep past the client timeout -> socket timeout
+                    _time.sleep(cls.slow_s)
+                    self.send_response(200)
+                    self.send_header("Content-Length", "2")
+                    self.end_headers()
+                    self.wfile.write(b"[]")
+                else:
+                    self.send_response(500)
+                    self.end_headers()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client timed out and hung up mid-response
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    return Handler
+
+
+@pytest.fixture()
+def stub_server():
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    handler = _make_stub_handler()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", handler
+    srv.shutdown()
+    srv.server_close()
+
+
+def _exercise_real_transport(fetch, tmp_path, base_url, handler):
+    cfg = ExtractionConfig(
+        base_url=base_url,
+        years=(2000, 2001, 2002),
+        output_dir=str(tmp_path),
+        max_retries=2,
+        initial_backoff_s=0.001,
+        backoff_cap_s=0.002,
+        politeness_s=(0.0, 0.0),
+    )
+    res = asyncio.run(extract_all(cfg, fetch, sleep=_no_sleep))
+    # 429 then 200: transient classified, retried once, succeeded
+    assert res.succeeded == [2000]
+    assert handler.hits["/data/all/2000"] == 2
+    # 404: permanent, exactly one request, no retry
+    assert "PermanentError" in res.failed[2001]
+    assert handler.hits["/data/all/2001"] == 1
+    # slow server: socket timeout -> transient -> retries exhausted
+    assert "TimeoutError" in res.failed[2002]
+    assert handler.hits["/data/all/2002"] == cfg.max_retries
+    # basic auth credentials really went over the wire
+    assert handler.auth_seen and all(
+        a and a.startswith("Basic ") for a in handler.auth_seen
+    )
+    # the 200 payload landed intact through the real transport
+    assert json.load(open(tmp_path / "data_all_2000.json")) == [{"year": 2000}]
+
+
+def test_urllib_transport_against_stub_server(tmp_path, stub_server):
+    from aws_etl_global_footprint_network_spark.sources.rest_extractor import (
+        urllib_fetch,
+    )
+
+    base_url, handler = stub_server
+    fetch = urllib_fetch("user", "secret", timeout_s=0.3)
+    _exercise_real_transport(fetch, tmp_path, base_url, handler)
+
+
+def test_aiohttp_transport_against_stub_server(tmp_path, stub_server):
+    pytest.importorskip("aiohttp")
+    from aws_etl_global_footprint_network_spark.sources.rest_extractor import (
+        aiohttp_fetch,
+    )
+
+    base_url, handler = stub_server
+    fetch = aiohttp_fetch("user", "secret", timeout_s=0.3)
+    _exercise_real_transport(fetch, tmp_path, base_url, handler)

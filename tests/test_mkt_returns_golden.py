@@ -136,3 +136,47 @@ def test_null_compound_semantics(spark, calendar):
     }
     assert math.isclose(out[("F", "2025-01")], 1.1 * 1.2 - 1, rel_tol=1e-12)
     assert out[("G", "2025-01")] is None
+
+
+def test_inferred_schema_csv_end_to_end(spark, tmp_path):
+    """S1's INFERENCE path, end to end: regenerate calendar.csv from
+    the calendar builder, read BOTH CSVs back with inferSchema=True
+    (the reference reads them with DuckDB inference,
+    sql_test_mkt_returns.ipynb:239-240, DESCRIBE :256-261 shows
+    DATE/BIGINT/BOOLEAN), and feed the inferred-schema frames — not
+    the explicit-schema readers — through the weekly-returns pipeline.
+    Golden: the same 344-row view with the same spot value."""
+    cal_path = str(tmp_path / "calendar_csv")
+    build_calendar(spark, "2024-12-01", "2025-03-31").coalesce(1).write.option(
+        "header", True
+    ).csv(cal_path)
+
+    cal = spark.read.csv(cal_path, header=True, inferSchema=True)
+    types = dict(cal.dtypes)
+    # DuckDB's DESCRIBE tb_calendar: DATE / BIGINT / VARCHAR / BOOLEAN.
+    # Spark infers the narrower int where DuckDB says BIGINT — widen to
+    # match the reference types exactly; everything else must infer.
+    assert types["DATE"] == "date", types
+    assert types["DAY_OF_WEEK"] in ("int", "bigint"), types
+    assert types["IS_HOLIDAY"] == "boolean", types
+    assert types["IS_WORKING_DAY"] == "boolean", types
+    cal = cal.withColumn("DAY_OF_WEEK", F.col("DAY_OF_WEEK").cast("long"))
+
+    market = spark.read.csv(
+        DATA_CSV, header=True, inferSchema=True
+    ).withColumnRenamed("RETUNR_TYPE", "RETURN_TYPE")
+    mtypes = dict(market.dtypes)
+    assert mtypes["MARKET_DATE"] == "date", mtypes
+    assert mtypes["DAILY_RETURN"] == "double", mtypes
+
+    view = weekly_returns(market, cal)
+    rows = view.collect()
+    assert len(rows) == 344
+    vals = {
+        (r.FUND_CODE, r.RETURN_TYPE, r.YEAR_WEEK): r.WEEKLY_RETURN for r in rows
+    }
+    assert math.isclose(
+        vals[("FUND_01", "TYPE_A", "2025-00")],
+        0.5582162431456255,
+        rel_tol=1e-12,
+    )

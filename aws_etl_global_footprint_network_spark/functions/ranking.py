@@ -36,20 +36,16 @@ from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
 _PID = "__ntile_pid"
 
 
-def distributed_ntile(
-    df: DataFrame,
-    order_cols: list[Column],
-    n_buckets: int,
-    out_col: str,
-    scope: CacheScope,
-) -> DataFrame:
-    """Append ``out_col`` = exact NTILE(n_buckets) over the total order
-    ``order_cols``, without a single-partition window.
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: list[Column], scope: CacheScope
+) -> tuple[DataFrame, dict[int, int], int]:
+    """Steps 1+3 of the distributed-rank recipe: range-repartition on
+    the total order and compute cumulative per-partition row offsets
+    (a bounded collect — one row per shuffle partition).
 
     The range-partitioned frame is persisted in ``scope`` because the
     per-partition counts job and the caller's main job must see the
-    same partition assignment (and would otherwise scan twice).
-    """
+    same partition assignment (and would otherwise scan twice)."""
     ranged = scope.persist(
         df.repartitionByRange(*order_cols).withColumn(_PID, F.spark_partition_id())
     )
@@ -65,6 +61,42 @@ def distributed_ntile(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    return ranged, offsets, total
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str,
+    scope: CacheScope,
+) -> DataFrame:
+    """Append ``out_col`` = exact global ``ROW_NUMBER()`` over the
+    total order ``order_cols`` without a single-partition window:
+    range repartition + per-partition row_number + broadcast offsets.
+    The ordering must be total (append a unique tie-break column)."""
+    ranged, offsets, _ = _ranged_with_offsets(df, order_cols, scope)
+    if not offsets:
+        return ranged.withColumn(out_col, F.lit(None).cast("long")).drop(_PID)
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    local_rn = F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
+    return ranged.withColumn(
+        out_col,
+        (F.element_at(off_map, F.col(_PID)) + local_rn).cast("long"),
+    ).drop(_PID)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_buckets: int,
+    out_col: str,
+    scope: CacheScope,
+) -> DataFrame:
+    """Append ``out_col`` = exact NTILE(n_buckets) over the total order
+    ``order_cols``, without a single-partition window."""
+    ranged, offsets, total = _ranged_with_offsets(df, order_cols, scope)
     if not offsets:  # empty input: keep the schema, no rows to bucket
         return ranged.withColumn(out_col, F.lit(None).cast("int")).drop(_PID)
     off_map = F.create_map(

@@ -1,0 +1,532 @@
+"""Training-data curation & warehouse-maintenance operators ([EXT],
+round 6): CDC log compaction, file-compaction planning, weighted
+sampling without replacement, repetition entropy, an interpolated
+bigram LM scorer, hard-negative mining, and balanced corpus sharding.
+
+These extend the LLM-pipeline surface (SURVEY §2.11 [EXT]) with the
+operations a 100 TB curation run needs between "raw corpus" and
+"training shards". Every operator is a single declarative Catalyst
+plan with a DuckDB oracle twin; the shapes are chosen for scale:
+
+- one hash shuffle on the natural key where a shuffle is unavoidable
+  (CDC compaction, LM counts),
+- bounded windows only (per-year file plans, per-anchor candidate
+  pre-reduction),
+- global order via TakeOrderedAndProject or the distributed-rank
+  recipe (functions.ranking), never an unpartitioned window,
+- vocabularies/count tables JOINED, not broadcast (they scale with
+  the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.functions.ranking import (
+    distributed_row_number,
+)
+from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
+
+# --- CDC log compaction ---------------------------------------------------
+# The synthetic change log: each event is an op on its
+# (user_id, event_type) state row; event_id is the globally unique
+# change sequence (pinned unique by tests/test_testdata_canary.py —
+# lineitem's (orderkey, linenumber) is NOT unique in this corpus and
+# would make max_by nondeterministic). A deterministic ~9% of ops are
+# deletes.
+CDC_DELETE_MOD = 11
+
+
+@register(
+    "cdc_apply_compaction",
+    f"""
+    WITH log AS (
+      SELECT user_id, event_type, event_id AS seq, value AS payload,
+             CASE WHEN event_id % {CDC_DELETE_MOD} = 0
+                  THEN 'D' ELSE 'U' END AS op
+      FROM events)
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ops,
+           CAST(MAX(seq) AS BIGINT) AS last_seq,
+           max_by(payload, seq) AS final_value
+    FROM log
+    GROUP BY user_id, event_type
+    HAVING max_by(op, seq) <> 'D'
+    """,
+    "CDC log compaction: apply an insert/update/delete change stream"
+    " (keyed, sequenced) down to final table state — last op per key"
+    " wins, a trailing delete tombstones the key. One hash shuffle on"
+    " the key via max_by aggregation, no window, no per-key sort: the"
+    " Debezium/Delta CDF apply step as a single Catalyst plan",
+    tags=("cdc", "merge", "scale"),
+)
+def cdc_apply_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction as one aggregation: ``max_by(payload, seq)`` picks
+    the latest op's payload with map-side partial aggregation (each
+    partition keeps one candidate per key), so the shuffle carries one
+    row per (partition, key) — the window formulation (rn=1 on a
+    per-key desc sort) shuffles every op. seq (event_id) is globally
+    unique, so max_by is deterministic on both engines."""
+    ev = read_testdata(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("seq"),
+        F.col("value").alias("payload"),
+        F.when(F.col("event_id") % CDC_DELETE_MOD == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return (
+        log.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.max("seq").cast("bigint").alias("last_seq"),
+            F.max_by("payload", "seq").alias("final_value"),
+            F.max_by("op", "seq").alias("_final_op"),
+        )
+        .filter(F.col("_final_op") != "D")
+        .drop("_final_op")
+    )
+
+
+# --- File-compaction planning ---------------------------------------------
+# One "file" per (ship-year, ship-month) of lineitem; bytes are a
+# row-count proxy. Next-fit bin packing: a file opens a new output bin
+# when the running total before it crosses the target.
+COMPACT_ROW_BYTES = 128
+COMPACT_TARGET_BYTES = 256 * 1024
+
+
+@register(
+    "file_compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS year,
+             CAST(month(l_shipdate) AS INT) AS month,
+             COUNT(*) * {COMPACT_ROW_BYTES} AS bytes
+      FROM lineitem GROUP BY 1, 2),
+    planned AS (
+      -- FLOOR, not a bare ::BIGINT cast: DuckDB's double->int cast
+      -- ROUNDS half-away while Spark's floor truncates
+      SELECT year, month, bytes,
+             CAST(FLOOR((SUM(bytes) OVER (PARTITION BY year ORDER BY month
+                     ROWS UNBOUNDED PRECEDING) - bytes)
+                  / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin
+      FROM files)
+    SELECT year, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(month) AS INT) AS first_month,
+           CAST(MAX(month) AS INT) AS last_month
+    FROM planned
+    GROUP BY year, bin
+    """,
+    "small-file compaction planner (Iceberg/Delta OPTIMIZE shape):"
+    " per-partition file stats packed into target-sized output groups"
+    " by a next-fit cumulative-sum rule — the plan step of a"
+    " warehouse-maintenance job, computed with per-partition windows"
+    " bounded by files-per-partition (12 here), never a global sort;"
+    " all-integer arithmetic, no float hazard",
+    tags=("layout", "maintenance", "scale"),
+)
+def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window partitions by table-partition (year) and orders by
+    file position within it — bounded at files-per-partition, which a
+    real lakehouse maintenance job also assumes (it plans per
+    partition). bin = floor(cum_bytes_before / target) is next-fit:
+    deterministic, one pass, and within 2x of optimal bin count (the
+    classical next-fit bound) — the same rule Delta's OPTIMIZE file
+    grouping applies per partition."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.month("l_shipdate").cast("int").alias("month"),
+    ).agg((F.count(F.lit(1)) * COMPACT_ROW_BYTES).alias("bytes"))
+    w = (
+        Window.partitionBy("year")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes")) / COMPACT_TARGET_BYTES
+        ),
+    )
+    return planned.groupBy("year", F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("month").cast("int").alias("first_month"),
+        F.max("month").cast("int").alias("last_month"),
+    )
+
+
+# --- Weighted sampling without replacement --------------------------------
+# Efraimidis-Spirakis exponential keys: item i with weight w_i gets
+# key ln(u_i)/w_i for u_i ~ U(0,1); the k LARGEST keys are an exact
+# weighted sample without replacement. u_i comes from a Knuth
+# multiplicative hash of the row key — pure integer arithmetic, so
+# both engines derive bit-identical u.
+WS_K = 100
+WS_MULT = 2654435761  # odd -> bijective mod 2^32
+WS_MOD = 4_294_967_296
+
+
+@register(
+    "weighted_sample_topk",
+    f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             ln((((o_orderkey * {WS_MULT}) % {WS_MOD}) + 1)
+                / {WS_MOD + 1}.0) / o_totalprice AS es_key
+      FROM orders)
+    SELECT o_orderkey, o_totalprice,
+           CAST(rank AS INT) AS rank,
+           ROUND(es_key * 1e12, 0) / 1e12 AS es_key
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, o_orderkey)
+                      AS rank
+          FROM keyed)
+    WHERE rank <= {WS_K}
+    """,
+    f"weighted sampling WITHOUT replacement (Efraimidis-Spirakis"
+    f" exponential keys): top-{WS_K} orders by ln(u)/weight with u"
+    " from a deterministic integer multiplicative hash — heavier rows"
+    " proportionally likelier, no sequential pass, fully reproducible;"
+    " executed as TakeOrderedAndProject (distributed partial top-k),"
+    " never a global sort",
+    tags=("sampling", "mlprep", "scale"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES reduces weighted sampling to a plain top-k, which Spark
+    executes as per-partition partial top-k merged at the driver —
+    the only scale-safe exact form (a rand()-based pass would be
+    irreproducible; a global NTILE/sort would single-task). u is
+    strictly inside (0,1) by construction ((m+1)/(2^32+1)), so ln is
+    finite; keys are generically distinct (the hash is bijective mod
+    2^32), and the orderkey tie-break makes the order total. The
+    es_key output is rounded to the shared 1e-12 grain; ranking uses
+    the raw key — distinct keys differ by many orders of magnitude
+    more than a cross-engine ln() ulp."""
+    o = read_testdata(spark, sf_dir, "orders")
+    u = ((F.col("o_orderkey") * WS_MULT) % WS_MOD + 1) / F.lit(float(WS_MOD + 1))
+    keyed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    top = keyed.orderBy(F.col("es_key").desc(), "o_orderkey").limit(WS_K)
+    w = Window.orderBy(F.col("es_key").desc(), "o_orderkey")
+    # the rank window runs AFTER the limit - WS_K rows, driver-scale
+    return top.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("int").alias("rank"),
+        round_compat("es_key", 12).alias("es_key"),
+    )
+
+
+# --- Repetition entropy gate ----------------------------------------------
+# Shannon entropy (nats) of each document's token distribution:
+# H = ln(n) - (1/n) * sum_t c_t ln c_t. Low entropy = repetitive
+# boilerplate/spam; the gate threshold is applied on the ROUNDED value
+# so both engines flag identically.
+ENTROPY_LOW_NATS = 3.0
+
+
+@register(
+    "token_entropy_gate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents),
+    c AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    h AS (SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS ent
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_distinct,
+           ROUND(ent * 1e6, 0) / 1e6 AS entropy_nats,
+           ROUND(ent * 1e6, 0) / 1e6 < {ENTROPY_LOW_NATS} AS low_entropy
+    FROM h
+    """,
+    "repetition-entropy quality gate: Shannon entropy (nats) of each"
+    " document's token distribution via the ln(n) - sum(c ln c)/n"
+    " identity — one shuffle on (doc, token), no per-doc sort;"
+    " low-entropy docs (boilerplate, keyword stuffing) flagged on the"
+    " rounded value so both engines gate identically",
+    tags=("text", "quality", "mlprep"),
+)
+def token_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identity form matters at scale: computing H from p ln p
+    would need per-doc totals joined back to per-token rows; the
+    c*ln(c) form needs only the (doc, token) count table and one
+    more groupBy — both partial-aggregatable map-side."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    c = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    h = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("ent"),
+    )
+    ent6 = round_compat("ent", 6)
+    return h.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_distinct",
+        ent6.alias("entropy_nats"),
+        (ent6 < ENTROPY_LOW_NATS).alias("low_entropy"),
+    )
+
+
+# --- Interpolated bigram LM -----------------------------------------------
+# Jelinek-Mercer interpolation: p(w2|w1) = LAMBDA * c(w1 w2)/c(w1.)
+# + (1-LAMBDA) * c(w2)/N, trained on the corpus itself (so every doc
+# bigram has a nonzero count). Per-doc score = mean ln p over the
+# doc's bigram INSTANCES.
+LM_LAMBDA = 0.75
+
+
+def _bigrams_sql() -> str:
+    return f"""
+    tok AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                         i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM tok),
+    uni AS (SELECT unnest(t) AS token FROM tok),
+    c1 AS (SELECT token, COUNT(*) AS c FROM uni GROUP BY token),
+    n1 AS (SELECT SUM(c) AS n FROM c1),
+    c2 AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram)"""
+
+
+@register(
+    "bigram_lm_score",
+    f"""
+    WITH {_bigrams_sql()}
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln({LM_LAMBDA} * c2.c / ca.c
+                        + {1 - LM_LAMBDA} * cb.c / n1.n)) * 1e6, 0) / 1e6
+             AS avg_logp
+    FROM bg b
+    JOIN c2 ON c2.bigram = b.bigram
+    JOIN c1 ca ON ca.token = split_part(b.bigram, ' ', 1)
+    JOIN c1 cb ON cb.token = split_part(b.bigram, ' ', 2)
+    CROSS JOIN n1
+    GROUP BY b.doc_id
+    """,
+    f"interpolated bigram language-model scorer (Jelinek-Mercer,"
+    f" lambda={LM_LAMBDA}): per-doc mean log-probability of its word"
+    " bigrams under corpus bigram+unigram counts — the CCNet-style"
+    " fluency signal one rung above the unigram scorer; count tables"
+    " are JOINED on the gram key (they scale with the corpus),"
+    " only the scalar token total is broadcast",
+    tags=("text", "lm", "mlprep"),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three shuffles total (bigram counts, unigram counts, the
+    doc re-join), all on gram keys with map-side partial aggregation;
+    docs with < 2 tokens produce no bigrams and drop out (inner join),
+    identical on both engines. Every doc bigram is in the count table
+    by construction (the model trains on the scored corpus), so the
+    joins lose nothing."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", tokens("text").alias("t"))
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    uni = tok.select(F.explode("t").alias("token"))
+    c1 = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n1 = c1.agg(F.sum("c").alias("n"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    ca = c1.select(F.col("token").alias("w1"), F.col("c").alias("c_w1"))
+    cb = c1.select(F.col("token").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        bg.join(c2, "bigram")
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            F.log(
+                LM_LAMBDA * F.col("c") / F.col("c_w1")
+                + (1 - LM_LAMBDA) * F.col("c_w2") / F.col("n")
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        round_compat(F.avg("logp"), 6).alias("avg_logp"),
+    )
+
+
+# --- Hard-negative mining -------------------------------------------------
+# Contrastive-training pairs: for each anchor, the most-similar
+# neighbours INSIDE a band [NEG_LO, NEG_HI) — similar enough to be
+# hard, dissimilar enough to be true negatives (planted twins sit
+# above NEG_HI and are excluded by construction).
+NEG_LO = 0.20
+NEG_HI = 0.85
+HN_PER_ANCHOR = 5
+HN_ANCHORS = 10
+
+
+def _hn_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.functions.vectors import dot_sql
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        _augmented_sql,
+    )
+
+    return f"""
+    WITH {_augmented_sql()},
+    q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id < {HN_ANCHORS}),
+    scored AS (
+      SELECT q.vec_id AS anchor_id, v.vec_id AS negative_id,
+             ROUND({dot_sql('q.e', 'v.e')} / (q.nrm * v.nrm) * 1e6, 0) / 1e6
+               AS cos
+      FROM q JOIN v ON q.vec_id <> v.vec_id),
+    banded AS (SELECT * FROM scored
+               WHERE cos >= {NEG_LO} AND cos < {NEG_HI}),
+    ranked AS (
+      SELECT anchor_id, negative_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cos DESC, negative_id) AS INT) AS rank
+      FROM banded)
+    SELECT anchor_id, negative_id, rank, cos
+    FROM ranked WHERE rank <= {HN_PER_ANCHOR}
+    """
+
+
+@register(
+    "hard_negative_mining",
+    _hn_oracle(),
+    f"hard-negative mining for contrastive training: per anchor, the"
+    f" top-{HN_PER_ANCHOR} most-similar neighbours inside the cosine"
+    f" band [{NEG_LO}, {NEG_HI}) — near misses, with true duplicates"
+    " (above the band) and random noise (below it) both excluded;"
+    " band filter + ranking decided on the rounded score so both"
+    " engines cut the same set",
+    tags=("similarity", "mlprep"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scan shape as ann_cosine_topk (broadcast bounded anchor
+    set, map-side fold) with the band filter applied BEFORE the
+    per-anchor window, and a per-input-partition top-R pre-reduction
+    before the final window — no anchor ever funnels the whole banded
+    corpus through one task. At 100 TB the scan becomes the
+    IVF/LSH-bucketed path; the band + keep-top-m semantics are
+    unchanged."""
+    from aws_etl_global_footprint_network_spark.functions.vectors import dot
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        augmented_embeddings,
+    )
+
+    emb = augmented_embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos6 = round_compat(
+        dot("qe", "e") / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    banded = (
+        emb.join(F.broadcast(q), F.col("anchor_id") != F.col("vec_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            cos6.alias("cos"),
+        )
+        .filter((F.col("cos") >= NEG_LO) & (F.col("cos") < NEG_HI))
+    )
+    w_pre = Window.partitionBy("anchor_id", "_pid").orderBy(
+        F.col("cos").desc(), "negative_id"
+    )
+    pre = (
+        banded.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prn", F.row_number().over(w_pre))
+        .filter(F.col("_prn") <= HN_PER_ANCHOR)
+        .drop("_pid", "_prn")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), "negative_id"
+    )
+    return (
+        pre.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HN_PER_ANCHOR)
+        .select("anchor_id", "negative_id", "rank", "cos")
+    )
+
+
+# --- Balanced corpus sharding ---------------------------------------------
+# Longest-first round-robin: rank docs by token count (desc), shard =
+# (rank-1) % N. Each shard gets the same doc count (±1) and, because
+# consecutive ranks have similar sizes, near-equal token totals —
+# the standard cheap approximation of LPT scheduling.
+N_SHARDS = 8
+
+
+@register(
+    "shard_assignment_balanced",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS n_tokens FROM documents),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM sized)
+    SELECT CAST((rn - 1) % {N_SHARDS} AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM ranked
+    GROUP BY 1
+    """,
+    f"balanced corpus sharding: documents ranked by token count and"
+    f" dealt round-robin into {N_SHARDS} shards (longest-first LPT"
+    " approximation) so every training shard holds near-equal token"
+    " mass; the global rank uses the distributed-rank recipe (range"
+    " repartition + per-partition rank + broadcast offsets), never a"
+    " single-task window; all-integer output",
+    tags=("mlprep", "layout", "scale"),
+)
+def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-to-shards step that fixes straggler shards in a
+    token-budgeted training run. The only global structure needed is
+    the rank, computed scale-safely by functions.ranking; everything
+    after is arithmetic + one bounded aggregate (N_SHARDS rows)."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    sized = d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    scope = CacheScope("shard_assignment_balanced")
+    ranked = distributed_row_number(
+        sized,
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        "rn",
+        scope,
+    )
+    return (
+        ranked.select(
+            ((F.col("rn") - 1) % N_SHARDS).cast("int").alias("shard"),
+            "n_tokens",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

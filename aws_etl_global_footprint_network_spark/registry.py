@@ -86,6 +86,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pq_adc_rerank_topk",
     "ann_cosine_topk_vectorized",
     # -- (c) new this round (first external rows) --------------------------
+    "cdc_apply_compaction",
+    "file_compaction_plan",
+    "weighted_sample_topk",
+    "token_entropy_gate",
+    "bigram_lm_score",
+    "hard_negative_mining",
+    "shard_assignment_balanced",
     # -- (d) flagship regression -------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
@@ -116,11 +123,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "part_regex_funcs",
     "null_semantics_suite",
     "approx_percentile_prices",
-    "salted_join_revenue",
-    "lineitem_ship_window_range",
-    "session_window_native",
-    "time_rollup_multi_grain",
-    "text_quality_stats",
 )
 
 
@@ -135,6 +137,7 @@ def load_all() -> dict[str, QuerySpec]:
         advanced,
         behavioral,
         corpus_prep,
+        curation,
         dedup,
         join_accel,
         layout,

@@ -102,6 +102,14 @@ HEADLINE = [
     "events_ohlc_bars",
     "star_denormalize_revenue",
     "dq_violation_report",
+    # round-6 additions
+    "cdc_apply_compaction",
+    "file_compaction_plan",
+    "weighted_sample_topk",
+    "token_entropy_gate",
+    "bigram_lm_score",
+    "hard_negative_mining",
+    "shard_assignment_balanced",
 ]
 
 

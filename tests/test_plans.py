@@ -102,6 +102,11 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern: stream-total 1-row aggregate broadcast
     # into the support-threshold filter
     "heavy_hitters_twopass",
+    # broadcast of the bounded (HN_ANCHORS) anchor set, non-equi predicate
+    "hard_negative_mining",
+    # scalar-subquery pattern: the 1-row token total broadcast into
+    # the interpolation term
+    "bigram_lm_score",
 }
 
 
@@ -142,6 +147,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # weight normalisation over the per-source aggregate — bounded by
     # the number of corpus sources (single digits), never the corpus
     "domain_mix_sampling",
+    # rank annotation AFTER the TakeOrderedAndProject limit — the
+    # window input is exactly WS_K (100) rows, driver-scale
+    "weighted_sample_topk",
 }
 
 

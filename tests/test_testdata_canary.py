@@ -104,3 +104,22 @@ def test_events_timestamps_unique_per_user(spark, sf_dir_mid):
         f"{dupes} duplicate (user_id, ts) pairs: add a deterministic"
         " tie-break to the OHLC operators (see the as-of dedup pattern)"
     )
+
+
+def test_event_ids_globally_unique(spark, sf_dir_mid):
+    """cdc_apply_compaction uses event_id as the CDC sequence and its
+    max_by tie-break documents that seq is globally unique (lineitem's
+    (orderkey, linenumber) is NOT unique in this corpus, which is why
+    the CDC log lives on events). If a regeneration breaks this, the
+    canary names the invariant instead of a cryptic hash flap."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.sources.readers import (
+        read_testdata,
+    )
+
+    ev = read_testdata(spark, sf_dir_mid, "events")
+    n, nd = ev.agg(
+        F.count(F.lit(1)), F.countDistinct("event_id")
+    ).collect()[0]
+    assert n == nd, f"{n - nd} duplicate event_ids"

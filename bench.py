@@ -110,6 +110,7 @@ HEADLINE = [
     "bigram_lm_score",
     "hard_negative_mining",
     "shard_assignment_balanced",
+    "semantic_dedup_drop",
 ]
 
 

@@ -114,6 +114,40 @@ def test_hard_negatives_in_band_and_exclude_twins(spark, sf_dir):
         assert r.negative_id - r.anchor_id != TWIN_OFFSET, r
 
 
+def test_semantic_dedup_drops_planted_twins(spark, sf_dir):
+    """SemDeDup must catch EVERY planted twin pair: a twin differs
+    only by a positive per-coordinate scale, so it shares the sign
+    cell by construction — the cluster key was chosen precisely so
+    duplicates never split (nearest-centroid cells split 22% of the
+    twins on this isotropic corpus; the measured number is in the
+    operator's module comment)."""
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        TWIN_EVERY,
+        TWIN_OFFSET,
+        augmented_embeddings,
+    )
+
+    dropped = {
+        r.vec_id
+        for r in SPECS["semantic_dedup_drop"].builder(spark, sf_dir).collect()
+    }
+    n_vecs = (
+        augmented_embeddings(spark, sf_dir).count() * TWIN_EVERY
+        // (TWIN_EVERY + 1)
+    )
+    n_twins = (n_vecs + TWIN_EVERY - 1) // TWIN_EVERY
+    # each twin pair must lose exactly one member; recall = 1.0
+    caught = sum(
+        1
+        for v in range(0, n_vecs, TWIN_EVERY)
+        if (v in dropped) != (v + TWIN_OFFSET in dropped)
+    )
+    assert caught == n_twins, (caught, n_twins)
+    # never drop BOTH members of a pair
+    for v in range(0, n_vecs, TWIN_EVERY):
+        assert not (v in dropped and v + TWIN_OFFSET in dropped), v
+
+
 def test_shard_assignment_balances_tokens(spark, sf_dir):
     rows = SPECS["shard_assignment_balanced"].builder(spark, sf_dir).collect()
     assert len(rows) == N_SHARDS

@@ -28,7 +28,12 @@ from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.functions.ranking import (
     distributed_row_number,
 )
-from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.functions.text import (
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
 
@@ -471,6 +476,71 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= HN_PER_ANCHOR)
         .select("anchor_id", "negative_id", "rank", "cos")
+    )
+
+
+# --- n-gram novelty -------------------------------------------------------
+# What fraction of a document's word 3-grams appear in NO other
+# document? Low novelty = templated/boilerplate/near-duplicate
+# content; high novelty = unique text. The memorization-risk /
+# diversity metric that complements span-level dup detection
+# (dup_ngram_spans finds the shared spans; this scores each doc).
+NOVELTY_N = 3
+
+
+@register(
+    "ngram_novelty_score",
+    f"""
+    WITH tok AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest({word_shingles_sql('t', NOVELTY_N)}) AS shingle
+           FROM tok),
+    dpg AS (SELECT shingle, COUNT(DISTINCT doc_id) AS nd
+            FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) * 1e6, 0) / 1e6 AS novelty
+    FROM sh s JOIN dpg d ON d.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+    f"n-gram novelty score: per document, the fraction of its word"
+    f" {NOVELTY_N}-gram instances whose gram occurs in no other"
+    " document — the diversity/templating signal dual to span-level"
+    " dup detection; gram doc-counts are JOINED on the gram key (the"
+    " gram table scales with the corpus), one shuffle each way",
+    tags=("text", "quality", "mlprep", "scale"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two gram-keyed shuffles (distinct-doc counts, the re-join),
+    both with map-side partial aggregation; integer counters with one
+    final rounded division, so the only float op is order-free. Docs
+    with fewer than NOVELTY_N tokens have no grams and drop out on
+    both engines."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.explode(word_shingles(tokens("text"), NOVELTY_N)).alias("shingle"),
+    )
+    dpg = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("nd"))
+    novel = F.when(F.col("nd") == 1, 1).otherwise(0)
+    return (
+        sh.join(dpg, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            round_compat(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
     )
 
 

@@ -94,6 +94,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hard_negative_mining",
     "shard_assignment_balanced",
     "semantic_dedup_drop",
+    "ngram_novelty_score",
+    "streaming_cdc_compaction",
     # -- (d) flagship regression -------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
@@ -119,8 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "date_functions_suite",
     "lineitem_unpivot",
     "key_uniqueness_checks",
-    "referential_integrity_checks",
-    "order_value_histogram",
 )
 
 

@@ -762,3 +762,68 @@ from aws_etl_global_footprint_network_spark.operators import temporal as _tempor
 from aws_etl_global_footprint_network_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["streaming_ohlc_bars"].oracle = _REGISTRY["events_ohlc_bars"].oracle
+
+
+@register(
+    "streaming_cdc_compaction",
+    None,  # set below: shares the batch operator's oracle verbatim
+    "Structured Streaming CDC apply: the cdc_apply_compaction operator"
+    " run as an AvailableNow stream — last-op-wins via max_by through"
+    " the streaming state store (merge-capable aggregate), tombstones"
+    " filtered after the stateful stage (oracle: the batch twin's"
+    " SQL). The incremental form of the warehouse CDC apply job:"
+    " restarts resume from the checkpoint, state is one row per live"
+    " key",
+    tags=("streaming", "cdc", "merge"),
+)
+def streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics to operators/curation.py's batch twin: the
+    op type derives from event_id pre-aggregation, max_by(payload,
+    seq) / max_by(op, seq) merge through the state store exactly as
+    through batch partial aggregation (seq = event_id is globally
+    unique, so merge order cannot change the result), and the
+    tombstone filter is a stateless projection on the aggregate
+    output."""
+    import os
+
+    from aws_etl_global_footprint_network_spark.operators.curation import (
+        CDC_DELETE_MOD,
+    )
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    name = f"stream_cdc_{uuid.uuid4().hex[:8]}"
+
+    def transform(stream: DataFrame) -> DataFrame:
+        log = normalize_nanos(stream).select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("seq"),
+            F.col("value").alias("payload"),
+            F.when(F.col("event_id") % CDC_DELETE_MOD == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        return (
+            log.groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_ops"),
+                F.max("seq").cast("bigint").alias("last_seq"),
+                F.max_by("payload", "seq").alias("final_value"),
+                F.max_by("op", "seq").alias("_final_op"),
+            )
+            .filter(F.col("_final_op") != "D")
+            .drop("_final_op")
+        )
+
+    return run_available_now(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        raw.schema,
+        transform,
+        name,
+    )
+
+
+_REGISTRY["streaming_cdc_compaction"].oracle = _REGISTRY[
+    "cdc_apply_compaction"
+].oracle

@@ -111,6 +111,8 @@ HEADLINE = [
     "hard_negative_mining",
     "shard_assignment_balanced",
     "semantic_dedup_drop",
+    "ngram_novelty_score",
+    "streaming_cdc_compaction",
 ]
 
 

@@ -114,6 +114,30 @@ def test_hard_negatives_in_band_and_exclude_twins(spark, sf_dir):
         assert r.negative_id - r.anchor_id != TWIN_OFFSET, r
 
 
+def test_ngram_novelty_bounds(spark, sf_dir):
+    rows = SPECS["ngram_novelty_score"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams, r
+        assert 0.0 <= r.novelty <= 1.0, r
+    # the corpus contains templated word-salad docs: novelty must
+    # actually separate (not be constant 1.0 or 0.0)
+    vals = {r.novelty for r in rows}
+    assert len(vals) > 1
+
+
+def test_streaming_cdc_equals_batch(spark, sf_dir):
+    stream = {
+        (r.user_id, r.event_type): (r.n_ops, r.last_seq, r.final_value)
+        for r in SPECS["streaming_cdc_compaction"].builder(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.event_type): (r.n_ops, r.last_seq, r.final_value)
+        for r in SPECS["cdc_apply_compaction"].builder(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
 def test_semantic_dedup_drops_planted_twins(spark, sf_dir):
     """SemDeDup must catch EVERY planted twin pair: a twin differs
     only by a positive per-coordinate scale, so it shares the sign

@@ -479,6 +479,89 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Per-source distribution drift ----------------------------------------
+# Jensen-Shannon divergence between each source's unigram distribution
+# p_s and the corpus mixture m: the mixture-shift monitor a corpus
+# pipeline runs per ingest batch. JSD(p, m) needs a sum over the UNION
+# of supports, but the t-not-in-s tail collapses to a scalar:
+#   JSD(s) = 0.5 * sum_{t in s} p ln(p / a)                (a = (p+m)/2)
+#          + 0.5 * sum_{t in s} m ln(m / a)
+#          + 0.5 * ln 2 * (1 - sum_{t in s} m)
+# so the whole computation lives on the JOINED (source, token) rows
+# plus per-source scalars — no dense vocab materialisation.
+
+
+@register(
+    "source_jsd_divergence",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({tokens_sql('text')}) AS token FROM documents),
+    cst AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ns AS (SELECT source, SUM(c) AS n_s FROM cst GROUP BY source),
+    ct AS (SELECT token, SUM(c) AS c_t FROM cst GROUP BY token),
+    n AS (SELECT SUM(c_t) AS n FROM ct),
+    terms AS (
+      SELECT cst.source,
+             cst.c * 1.0 / ns.n_s AS p,
+             ct.c_t * 1.0 / n.n AS m
+      FROM cst
+      JOIN ns ON ns.source = cst.source
+      JOIN ct ON ct.token = cst.token
+      CROSS JOIN n)
+    SELECT source,
+           CAST(ANY_VALUE(ns2.n_s) AS BIGINT) AS n_tokens,
+           ROUND((0.5 * SUM(p * ln(p / ((p + m) / 2)))
+                  + 0.5 * SUM(m * ln(m / ((p + m) / 2)))
+                  + 0.5 * ln(2) * (1 - SUM(m))) * 1e6, 0) / 1e6 AS jsd
+    FROM terms JOIN ns ns2 USING (source)
+    GROUP BY source
+    """,
+    "per-source distribution drift: Jensen-Shannon divergence between"
+    " each source's unigram distribution and the corpus mixture — the"
+    " ingest-batch mixture-shift monitor; the out-of-support tail is"
+    " folded into a scalar so everything computes on the joined"
+    " (source, token) count rows, never a dense vocabulary",
+    tags=("text", "quality", "mlprep", "scale"),
+)
+def source_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count tables joined on their natural keys (they scale with the
+    corpus); only the 1-row grand total is broadcast. Output is one
+    row per source, so the final aggregate is bounded by the source
+    count regardless of corpus size."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    tok = d.select("source", F.explode(tokens("text")).alias("token"))
+    cst = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    ns = cst.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ct = cst.groupBy("token").agg(F.sum("c").alias("c_t"))
+    n = ct.agg(F.sum("c_t").alias("n"))
+    terms = (
+        cst.join(ns, "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            (F.col("c") / F.col("n_s")).alias("p"),
+            (F.col("c_t") / F.col("n")).alias("m"),
+        )
+    )
+    a = (F.col("p") + F.col("m")) / 2
+    import math
+
+    jsd = (
+        0.5 * F.sum(F.col("p") * F.log(F.col("p") / a))
+        + 0.5 * F.sum(F.col("m") * F.log(F.col("m") / a))
+        + 0.5 * math.log(2) * (1 - F.sum("m"))
+    )
+    return (
+        terms.join(ns, "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n_s").cast("bigint").alias("n_tokens"),
+            round_compat(jsd, 6).alias("jsd"),
+        )
+    )
+
+
 # --- n-gram novelty -------------------------------------------------------
 # What fraction of a document's word 3-grams appear in NO other
 # document? Low novelty = templated/boilerplate/near-duplicate

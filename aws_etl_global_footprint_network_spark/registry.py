@@ -96,6 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "semantic_dedup_drop",
     "ngram_novelty_score",
     "streaming_cdc_compaction",
+    "source_jsd_divergence",
     # -- (d) flagship regression -------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
@@ -120,7 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "weekly_vs_window_equivalence",
     "date_functions_suite",
     "lineitem_unpivot",
-    "key_uniqueness_checks",
 )
 
 

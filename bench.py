@@ -113,6 +113,7 @@ HEADLINE = [
     "semantic_dedup_drop",
     "ngram_novelty_score",
     "streaming_cdc_compaction",
+    "source_jsd_divergence",
 ]
 
 

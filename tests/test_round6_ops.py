@@ -138,6 +138,16 @@ def test_streaming_cdc_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_source_jsd_nonnegative_and_bounded(spark, sf_dir):
+    import math
+
+    rows = SPECS["source_jsd_divergence"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # JSD (nats) lives in [0, ln 2]
+        assert -1e-9 <= r.jsd <= math.log(2) + 1e-9, r
+
+
 def test_semantic_dedup_drops_planted_twins(spark, sf_dir):
     """SemDeDup must catch EVERY planted twin pair: a twin differs
     only by a positive per-coordinate scale, so it shares the sign

@@ -70,3 +70,39 @@ def test_empty_input(spark):
     out = distributed_ntile(df, [F.col("v").asc(), F.col("k").asc()], 4, "b", scope)
     assert out.count() == 0 and "b" in out.columns
     scope.release()
+
+
+def test_distributed_row_number_equals_global_window(spark):
+    from pyspark.sql import Window
+
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_row_number,
+    )
+
+    df = _mk(spark, 137)
+    scope = CacheScope("test_drn")
+    got = {
+        r.k: r.rn
+        for r in distributed_row_number(
+            df, [F.col("v").desc(), F.col("k").asc()], "rn", scope
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
+    want = {
+        r.k: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    scope.release()
+
+
+def test_distributed_row_number_empty(spark):
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_row_number,
+    )
+
+    df = _mk(spark, 10).filter(F.col("k") < 0)
+    scope = CacheScope("test_drn_empty")
+    out = distributed_row_number(df, [F.col("v").asc()], "rn", scope)
+    assert out.count() == 0 and "rn" in out.columns
+    scope.release()

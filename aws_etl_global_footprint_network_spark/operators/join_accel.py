@@ -392,10 +392,22 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     is local. The broadcast-threshold override is scoped and restored
     (single-threaded session assumption, same as streaming's
     _stream_partitions)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
     o = read_testdata(spark, sf_dir, "orders")
     li = read_testdata(spark, sf_dir, "lineitem")
+    # DROP TABLE clears the catalog entry, but a PREVIOUS process's
+    # warehouse directory survives its (per-process, in-memory derby)
+    # metastore — saveAsTable then fails LOCATION_ALREADY_EXISTS.
+    # Clear the physical location too.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for tbl in ("orders_colo", "lineitem_colo"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = os.path.join(warehouse, tbl)
+        if warehouse and os.path.isdir(loc):
+            shutil.rmtree(loc)
     (o.write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("orders_colo"))
     (li.write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")

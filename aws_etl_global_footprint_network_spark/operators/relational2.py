@@ -592,3 +592,130 @@ def dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         {unions}
         """
     )
+
+
+# --- Winsorized robust statistics -----------------------------------------
+# Exact two-pass winsorization: per-nation p05/p95 of customer account
+# balance, then the mean of values clipped to those bounds. The clip
+# decision and the bounds are taken on the SAME rounded grain in both
+# twins, so an interpolated percentile a last-ulp apart cannot flip
+# which side of the bound a value lands on.
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "winsorized_acctbal_stats",
+    f"""
+    WITH b AS (
+      SELECT c_nationkey,
+             ROUND(quantile_cont(c_acctbal, {WINSOR_LO}) * 1e4, 0) / 1e4 AS lo,
+             ROUND(quantile_cont(c_acctbal, {WINSOR_HI}) * 1e4, 0) / 1e4 AS hi
+      FROM customer GROUP BY c_nationkey)
+    SELECT n.n_name AS nation, b.lo AS p05, b.hi AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(CASE WHEN c.c_acctbal < b.lo THEN b.lo
+                          WHEN c.c_acctbal > b.hi THEN b.hi
+                          ELSE c.c_acctbal END) * 1e4, 0) / 1e4
+             AS winsorized_mean
+    FROM customer c
+    JOIN b ON b.c_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, b.lo, b.hi
+    """,
+    "winsorized robust statistics: per-nation p05/p95 account-balance"
+    " bounds (exact interpolated percentiles) and the mean of values"
+    " clipped to them — the outlier-robust aggregate (two passes:"
+    " bounds, then clip+mean; bounds broadcast back, 25 rows); clip"
+    " decided on the shared rounded grain in both engines",
+    tags=("agg", "stats", "robust"),
+)
+def winsorized_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's exact ``percentile`` aggregate sorts within each group
+    (memory bounded by group size — fine for dimension-grouped stats;
+    at 10^9-row groups swap in approx_percentile, the same two-pass
+    shape). Pass 2 re-scans with the 25-row bounds table broadcast:
+    the clip is map-side, the mean partial-aggregates."""
+    c = read_testdata(spark, sf_dir, "customer")
+    n = read_testdata(spark, sf_dir, "nation")
+    b = c.groupBy("c_nationkey").agg(
+        round_compat(F.percentile("c_acctbal", F.lit(WINSOR_LO)), 4).alias("lo"),
+        round_compat(F.percentile("c_acctbal", F.lit(WINSOR_HI)), 4).alias("hi"),
+    )
+    clipped = F.when(F.col("c_acctbal") < F.col("lo"), F.col("lo")).when(
+        F.col("c_acctbal") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("c_acctbal"))
+    return (
+        c.join(F.broadcast(b), "c_nationkey")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("lo").alias("p05"),
+            F.col("hi").alias("p95"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round_compat(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+    )
+
+
+# --- Incremental aggregate maintenance ------------------------------------
+# The materialized-view delta-refresh pattern: a persisted per-key
+# aggregate ("base") is combined with the aggregate of newly arrived
+# rows ("delta") by re-aggregating the combinable partials — count and
+# sum add, avg derives — instead of recomputing over all history. The
+# oracle computes the same result directly over the full table, which
+# is exactly the IVM correctness contract. Value sums are exact
+# integer cents, so merge order cannot move a hash.
+IVM_DELTA_MOD = 10
+
+
+@register(
+    "incremental_agg_maintenance",
+    f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                 / COUNT(*) * 1e6, 0) / 1e6 AS avg_value
+    FROM events
+    GROUP BY user_id
+    """,
+    "incremental aggregate maintenance: a persisted per-user base"
+    " aggregate merged with the delta batch's partial aggregate"
+    " (counts and exact-cents sums re-add, avg derives) — the"
+    " materialized-view refresh that touches only the delta, verified"
+    " against the full recompute (the oracle)",
+    tags=("agg", "incremental", "scale"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge is a second groupBy over the union of two partial
+    tables — at scale the base side is the stored MV (key-partitioned,
+    no rescan of history) and only the delta scans raw data. Partials
+    carry (count, cents-sum): both combinable, so re-aggregation is
+    exact regardless of how batches were split — pinned by using a
+    deterministic event_id split here and the full recompute as the
+    oracle."""
+    ev = read_testdata(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % IVM_DELTA_MOD != 0))
+    delta = partial(ev.filter(F.col("event_id") % IVM_DELTA_MOD == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return merged.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("cents") / 100.0).alias("total_value"),
+        round_compat(F.col("cents") / 100.0 / F.col("n"), 6).alias("avg_value"),
+    )

@@ -97,6 +97,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ngram_novelty_score",
     "streaming_cdc_compaction",
     "source_jsd_divergence",
+    "winsorized_acctbal_stats",
+    "incremental_agg_maintenance",
     # -- (d) flagship regression -------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
@@ -119,8 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "approx_distinct_parts",
     "compound_evolution_by_user",
     "weekly_vs_window_equivalence",
-    "date_functions_suite",
-    "lineitem_unpivot",
 )
 
 

@@ -114,6 +114,8 @@ HEADLINE = [
     "ngram_novelty_score",
     "streaming_cdc_compaction",
     "source_jsd_divergence",
+    "winsorized_acctbal_stats",
+    "incremental_agg_maintenance",
 ]
 
 

@@ -138,6 +138,36 @@ def test_streaming_cdc_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_winsorized_mean_between_bounds(spark, sf_dir):
+    rows = SPECS["winsorized_acctbal_stats"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p05 <= r.p95, r
+        assert r.p05 <= r.winsorized_mean <= r.p95, r
+
+
+def test_incremental_agg_equals_direct(spark, sf_dir):
+    """The IVM contract, asserted directly (the oracle asserts it via
+    hash): base+delta merge == full recompute."""
+    merged = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in SPECS["incremental_agg_maintenance"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    ev = read_testdata(spark, sf_dir, "events")
+    direct = {
+        r.user_id: (r.n, round(r.cents / 100.0, 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert {k: (n, round(t, 2)) for k, (n, t) in merged.items()} == direct
+
+
 def test_source_jsd_nonnegative_and_bounded(spark, sf_dir):
     import math
 

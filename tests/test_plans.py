@@ -107,6 +107,11 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern: the 1-row token total broadcast into
     # the interpolation term
     "bigram_lm_score",
+    # broadcast of the tiny (n_labels) centroid table against the corpus
+    "semantic_dedup_drop",
+    # scalar-subquery pattern: the 1-row grand token total broadcast
+    # into the mixture term
+    "source_jsd_divergence",
 }
 
 

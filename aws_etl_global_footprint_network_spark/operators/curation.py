@@ -852,3 +852,101 @@ def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# --- Rendezvous (HRW) shard affinity --------------------------------------
+# Highest-random-weight hashing: every doc goes to argmax_s h(doc, s).
+# The consistent-hashing property — adding a shard moves only
+# ~1/(n+1) of the keys — is part of the OUTPUT (n_moved_if_add_one),
+# so the operator measures the very guarantee it exists for. The hash
+# is pure integer arithmetic (Knuth multiplicative mixes), identical
+# on both engines.
+HRW_SHARDS = 8
+HRW_P1 = 2654435761
+HRW_P2 = 40503
+HRW_P3 = 0x45D9F3B  # small enough that (2^32-1) * P3 < 2^63 (DuckDB errors on BIGINT overflow)  # post-xor remix: without it the shared doc term
+# makes argmax(m ^ salt_s) a trie partition of the salt set — measured
+# 2x/0.5x shard imbalance; the odd-multiplier remix scrambles order
+# and restores near-uniform balance (and the ~1/(n+1) movement bound)
+HRW_MOD = 4_294_967_296
+
+
+def _hrw_sql() -> str:
+    def h(shard_expr: str) -> str:
+        return (
+            f"(xor((doc_id * {HRW_P1}) % {HRW_MOD},"
+            f" (({shard_expr} * {HRW_P2} + 1) * {HRW_P1}) % {HRW_MOD})"
+            f" * {HRW_P3}) % {HRW_MOD}"
+        )
+
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    scored AS (
+      SELECT doc_id, s.shard,
+             {h('s.shard')} AS w
+      FROM d CROSS JOIN (SELECT unnest(range({HRW_SHARDS + 1})) AS shard) s),
+    pick_n AS (
+      SELECT doc_id, shard FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY w DESC, shard) AS rn
+        FROM scored WHERE shard < {HRW_SHARDS}) WHERE rn = 1),
+    pick_n1 AS (
+      SELECT doc_id, shard FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY w DESC, shard) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT a.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_if_add_one
+    FROM pick_n a JOIN pick_n1 b USING (doc_id)
+    GROUP BY a.shard
+    """
+
+
+@register(
+    "rendezvous_shard_affinity",
+    _hrw_sql(),
+    f"rendezvous (highest-random-weight) shard affinity: every doc"
+    f" routed to argmax over {HRW_SHARDS} integer-hash weights — the"
+    " consistent-hashing assignment whose measured property is in the"
+    " output: adding a shard moves only ~1/(n+1) of the keys"
+    " (n_moved_if_add_one), vs ~all keys for mod-N routing; map-only"
+    " per doc, weights never materialise beyond the argmax",
+    tags=("layout", "scale"),
+)
+def rendezvous_shard_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW beats mod-N exactly where a 100 TB corpus lives: shard
+    counts change. The per-doc argmax over a literal shard array is
+    a map-only expression (no join, no shuffle until the final
+    bounded aggregate); xor-mix arithmetic stays in whole-stage
+    codegen. The oracle builds the same weights relationally."""
+    d = spread(read_testdata(spark, sf_dir, "documents")).select("doc_id")
+
+    def w(shard: int) -> F.Column:
+        mixed = (F.col("doc_id") * HRW_P1) % HRW_MOD
+        salt = ((shard * HRW_P2 + 1) * HRW_P1) % HRW_MOD
+        return (mixed.bitwiseXOR(F.lit(salt)) * HRW_P3) % HRW_MOD
+
+    def argmax(n: int) -> F.Column:
+        # greatest-of via array of (weight, -shard) structs; max picks
+        # highest weight, then LOWEST shard id on ties (negated)
+        arr = F.array(
+            *[F.struct(w(s).alias("w"), F.lit(-s).alias("ns")) for s in range(n)]
+        )
+        return -F.array_max(arr)["ns"]
+
+    picked = d.select(
+        "doc_id",
+        argmax(HRW_SHARDS).cast("int").alias("shard"),
+        argmax(HRW_SHARDS + 1).cast("int").alias("shard_n1"),
+    )
+    return picked.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("shard") != F.col("shard_n1"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved_if_add_one"),
+    )

@@ -99,6 +99,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_jsd_divergence",
     "winsorized_acctbal_stats",
     "incremental_agg_maintenance",
+    "rendezvous_shard_affinity",
     # -- (d) flagship regression -------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
@@ -120,7 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "video_frame_sample",
     "approx_distinct_parts",
     "compound_evolution_by_user",
-    "weekly_vs_window_equivalence",
 )
 
 

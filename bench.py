@@ -116,6 +116,7 @@ HEADLINE = [
     "source_jsd_divergence",
     "winsorized_acctbal_stats",
     "incremental_agg_maintenance",
+    "rendezvous_shard_affinity",
 ]
 
 

@@ -138,6 +138,23 @@ def test_streaming_cdc_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_rendezvous_consistent_hashing_property(spark, sf_dir):
+    """HRW's reason to exist: adding a shard moves ~1/(n+1) of keys
+    (mod-N routing would move ~n/(n+1)), and the load stays near
+    uniform. Both are measured, not assumed."""
+    from aws_etl_global_footprint_network_spark.operators.curation import (
+        HRW_SHARDS,
+    )
+
+    rows = SPECS["rendezvous_shard_affinity"].builder(spark, sf_dir).collect()
+    assert len(rows) == HRW_SHARDS
+    n = sum(r.n_docs for r in rows)
+    moved = sum(r.n_moved_if_add_one for r in rows)
+    expected = n / (HRW_SHARDS + 1)
+    assert 0.5 * expected <= moved <= 2.0 * expected, (moved, expected)
+    assert max(r.n_docs for r in rows) <= 2.0 * n / HRW_SHARDS, rows
+
+
 def test_winsorized_mean_between_bounds(spark, sf_dir):
     rows = SPECS["winsorized_acctbal_stats"].builder(spark, sf_dir).collect()
     assert rows

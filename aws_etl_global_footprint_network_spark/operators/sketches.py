@@ -135,3 +135,116 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         round_compat(F.col("n_occurrences") / F.col("n"), 6).alias("support"),
     )
+
+
+# --- Count-min sketch -----------------------------------------------------
+# CMS cells are plain (row, bucket) grouped sums — the sketch IS an
+# aggregation, so it builds with one vocabulary-bounded shuffle and
+# the cell table (D x W rows) broadcasts anywhere. Estimates are
+# min over rows; CMS guarantees estimate >= exact, which the output
+# exposes (overcount column) and the test pins.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+
+
+def _cms_hash_sql(d: int) -> str:
+    from aws_etl_global_footprint_network_spark.functions.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        P31,
+        hash31_sql,
+    )
+
+    return (
+        f"((({MINHASH_A[d]} * {hash31_sql('token')} + {MINHASH_B[d]})"
+        f" % {P31}) % {CMS_WIDTH})"
+    )
+
+
+def _cms_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.functions.text import tokens_sql
+
+    rows = " UNION ALL ".join(
+        f"SELECT token, n, {d} AS d, {_cms_hash_sql(d)} AS bucket FROM c"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest({tokens_sql('text')}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    keyed AS ({rows}),
+    cells AS (SELECT d, bucket, SUM(n) AS cell FROM keyed GROUP BY d, bucket),
+    top AS (SELECT token, n FROM c
+            ORDER BY n DESC, token LIMIT {CMS_TOPK})
+    SELECT t.token, CAST(t.n AS BIGINT) AS exact_n,
+           CAST(MIN(cl.cell) AS BIGINT) AS cms_estimate,
+           CAST(MIN(cl.cell) - t.n AS BIGINT) AS overcount
+    FROM top t
+    JOIN keyed k ON k.token = t.token
+    JOIN cells cl ON cl.d = k.d AND cl.bucket = k.bucket
+    GROUP BY t.token, t.n
+    """
+
+
+@register(
+    "cms_frequency_estimates",
+    _cms_oracle(),
+    f"count-min sketch ({CMS_DEPTH}x{CMS_WIDTH}, md5-affine portable"
+    f" hashes): the sketch builds as a grouped aggregation (one"
+    " vocabulary-bounded shuffle; the cell table is DxW rows and"
+    f" broadcasts anywhere), then the top-{CMS_TOPK} tokens' estimates"
+    " = min over rows are validated against their exact counts — the"
+    " CMS overcount guarantee (estimate >= exact) is an output column",
+    tags=("sketch", "text", "scale"),
+)
+def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the point is the asymmetry: the exact count table
+    scales with the vocabulary, the sketch is O(D*W) regardless — a
+    point-queryable frequency summary you can broadcast into any
+    later stage. Building it as groupBy sums (not per-row state)
+    keeps it one Catalyst plan with map-side partial aggregation."""
+    from aws_etl_global_footprint_network_spark.functions.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        P31,
+        hash31,
+    )
+    from aws_etl_global_footprint_network_spark.functions.text import tokens as toks
+
+    d0 = spread(read_testdata(spark, sf_dir, "documents"))
+    c = (
+        d0.select(F.explode(toks("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scope_rows = []
+    h = hash31("token")
+    for d in range(CMS_DEPTH):
+        bucket = ((MINHASH_A[d] * h + MINHASH_B[d]) % P31) % CMS_WIDTH
+        scope_rows.append(
+            c.select(
+                "token", "n", F.lit(d).alias("d"), bucket.alias("bucket")
+            )
+        )
+    keyed = scope_rows[0]
+    for r in scope_rows[1:]:
+        keyed = keyed.unionByName(r)
+    cells = keyed.groupBy("d", "bucket").agg(F.sum("n").alias("cell"))
+    top = c.orderBy(F.col("n").desc(), "token").limit(CMS_TOPK).select(
+        "token", F.col("n").alias("exact_n")
+    )
+    return (
+        top.join(keyed.select("token", "d", "bucket"), "token")
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(
+            "token",
+            F.col("exact_n").cast("bigint"),
+            F.col("cms_estimate").cast("bigint"),
+            (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias(
+                "overcount"
+            ),
+        )
+    )

@@ -100,6 +100,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winsorized_acctbal_stats",
     "incremental_agg_maintenance",
     "rendezvous_shard_affinity",
+    "cms_frequency_estimates",
     # -- (d) flagship regression -------------------------------------------
     "weekly_compound_by_user",
     "q1_pricing_summary",
@@ -120,7 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "audio_wav_features",
     "video_frame_sample",
     "approx_distinct_parts",
-    "compound_evolution_by_user",
 )
 
 

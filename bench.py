@@ -117,6 +117,7 @@ HEADLINE = [
     "winsorized_acctbal_stats",
     "incremental_agg_maintenance",
     "rendezvous_shard_affinity",
+    "cms_frequency_estimates",
 ]
 
 

@@ -138,6 +138,15 @@ def test_streaming_cdc_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_cms_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: estimate >= exact, always."""
+    rows = SPECS["cms_frequency_estimates"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.exact_n, r
+        assert r.overcount == r.cms_estimate - r.exact_n, r
+
+
 def test_rendezvous_consistent_hashing_property(spark, sf_dir):
     """HRW's reason to exist: adding a shard moves ~1/(n+1) of keys
     (mod-N routing would move ~n/(n+1)), and the load stays near

@@ -1,7 +1,9 @@
 """Training-data curation & warehouse-maintenance operators ([EXT],
 round 6): CDC log compaction, file-compaction planning, weighted
 sampling without replacement, repetition entropy, an interpolated
-bigram LM scorer, hard-negative mining, and balanced corpus sharding.
+bigram LM scorer, hard-negative mining, balanced corpus sharding,
+per-source JSD drift, n-gram novelty, SemDeDup semantic dedup, and
+rendezvous (HRW) shard affinity.
 
 These extend the LLM-pipeline surface (SURVEY §2.11 [EXT]) with the
 operations a 100 TB curation run needs between "raw corpus" and

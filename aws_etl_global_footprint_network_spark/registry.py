@@ -85,6 +85,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pq_adc_topk",
     "pq_adc_rerank_topk",
     "ann_cosine_topk_vectorized",
+    "streaming_user_totals_stateful",  # rows-only -> oracle-paired (cents state)
     # -- (c) new this round (first external rows) --------------------------
     "cdc_apply_compaction",
     "file_compaction_plan",
@@ -120,7 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "image_resize_thumbs",
     "audio_wav_features",
     "video_frame_sample",
-    "approx_distinct_parts",
 )
 
 

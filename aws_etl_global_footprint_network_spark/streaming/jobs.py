@@ -428,15 +428,30 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "streaming_user_totals_stateful",
-    None,  # arbitrary-stateful op: rows-only driver check by design
-    "applyInPandasWithState running per-user totals over the stream",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    "applyInPandasWithState running per-user totals over the stream;"
+    " state accumulates exact integer cents, so the cross-batch"
+    " accumulation order cannot move the result and the final totals"
+    " hash-match the plain batch aggregate (the oracle) — previously"
+    " the one rows-only row, now oracle-paired",
     tags=("streaming", "stateful"),
 )
 def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (SURVEY §2.11: applyInPandasWithState):
     per-user running totals kept in GroupState across micro-batches.
     The state survives between batches — this is the building block
-    for streaming sessionization / CDC-style accumulation."""
+    for streaming sessionization / CDC-style accumulation. The value
+    total is kept as BIGINT cents in state: value has 2-decimal
+    precision, so value*100 sits within 1e-12 of an integer and the
+    per-batch rounding mode can never face a .5 boundary — the
+    accumulated total is exactly the oracle's integer-cents sum in
+    ANY batch/partition order."""
     import os
 
     import pandas as pd
@@ -445,17 +460,17 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     raw = read_testdata_raw(spark, sf_dir, "events")
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
 
-    output_schema = "user_id bigint, n_events bigint, total_value double"
-    state_schema = "n bigint, total double"
+    output_schema = "user_id bigint, n_events bigint, cents bigint"
+    state_schema = "n bigint, cents bigint"
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
         )
 
     # Stage the source as 4 files and feed ONE file per micro-batch:
@@ -500,7 +515,7 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "user_id",
             "n_events",
-            round_compat("total_value", 2).alias("total_value"),
+            (F.col("cents") / 100.0).alias("total_value"),
         )
     )
 

@@ -1,7 +1,9 @@
-"""The three rows-only queries can't be hash-checked by the driver,
-so their semantics get pinned locally instead: approximate aggregates
-within sketch error of exact, multimodal features deterministic and
-well-shaped."""
+"""Local semantic pins for queries whose registered form was once
+rows-only (all are oracle-paired now — approx_distinct since round 3,
+multimodal_features since round 5, streaming_user_totals_stateful
+since round 6 via integer-cents state): sketch error bounds, decoded
+feature shape/determinism, and stateful-stream output shape stay
+pinned here beyond what a value hash can express."""
 
 from __future__ import annotations
 

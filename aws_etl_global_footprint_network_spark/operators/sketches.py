@@ -47,46 +47,53 @@ SUPPORT_PCT = 3
 MG_CAPACITY = 64
 
 
+def weighted_mg_merge(counters: dict, items, capacity: int) -> None:
+    """Merge pre-COUNTED (item, weight) pairs into a Misra-Gries table
+    in place. Inserting weight c into a full table subtracts
+    d = min(c, min counter) from all capacity+1 entries (the new one
+    included) and drops zeros — MG's guarantee is order-independent,
+    so batching the stream into weighted updates preserves it: total
+    decrement charged to any item still <= n/(capacity+1), hence every
+    item with frequency above that survives
+    (tests/test_property_components.py pins this over random streams,
+    batchings, and capacities)."""
+    for t, c in items:
+        c = int(c)
+        if t in counters:
+            counters[t] += c
+        elif len(counters) < capacity:
+            counters[t] = c
+        else:
+            d = min(c, min(counters.values()))
+            if c > d:
+                counters[t] = c - d
+            dead = []
+            for k, v in counters.items():
+                if k == t:
+                    continue
+                if v <= d:
+                    dead.append(k)
+                else:
+                    counters[k] = v - d
+            for k in dead:
+                del counters[k]
+
+
 def misra_gries_candidates(token_stream: DataFrame, col: str) -> DataFrame:
     """Pass 1: per-partition Misra-Gries survivors (a candidate
     superset of the global heavy hitters). mapInPandas keeps ONE
     O(MG_CAPACITY) dict per partition across all of its Arrow
-    batches — map-only, no shuffle, constant memory."""
+    batches — map-only, no shuffle, constant memory. Each batch is
+    pre-counted vectorized (value_counts, C speed) and only the
+    COUNTED items hit the interpreter — Python cost is
+    O(distinct-per-batch x capacity) worst case, not O(tokens)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Weighted Misra-Gries: each Arrow batch is pre-counted
-        # vectorized (value_counts, C speed) and the COUNTED items are
-        # merged into the O(MG_CAPACITY) table. Inserting an item with
-        # weight c into a full table subtracts d = min(c, min counter)
-        # from all capacity+1 entries (the new one included) and drops
-        # zeros — MG's guarantee is order-independent, so batching the
-        # stream into weighted updates preserves it: total decrement
-        # charged to any item still <= n_p/(capacity+1), hence every
-        # item with partition frequency above that survives. Python
-        # cost is O(distinct-per-batch x capacity) worst case, not
-        # O(tokens) — the interpreter never touches individual tokens.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for t, c in pdf[col].value_counts().items():
-                c = int(c)
-                if t in counters:
-                    counters[t] += c
-                elif len(counters) < MG_CAPACITY:
-                    counters[t] = c
-                else:
-                    d = min(c, min(counters.values()))
-                    if c > d:
-                        counters[t] = c - d
-                    dead = []
-                    for k, v in counters.items():
-                        if k == t:
-                            continue
-                        if v <= d:
-                            dead.append(k)
-                        else:
-                            counters[k] = v - d
-                    for k in dead:
-                        del counters[k]
+            weighted_mg_merge(
+                counters, pdf[col].value_counts().items(), MG_CAPACITY
+            )
         yield pd.DataFrame({col: list(counters.keys())})
 
     return (

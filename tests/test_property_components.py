@@ -69,3 +69,77 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+# --- round-6 hardening: weighted-MG merge + bounded top-R ----------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 9)), min_size=0, max_size=120
+    ),
+    st.integers(2, 8),
+)
+@settings(max_examples=200, deadline=None)
+def test_weighted_mg_merge_keeps_heavy_hitter_superset(pairs, capacity):
+    """The vectorized Misra-Gries path merges BATCH-COUNTED items with
+    the weighted-insert rule (operators/sketches.py). Property: for
+    ANY stream and ANY batching, every item with total frequency
+    > n/(capacity+1) survives — the superset guarantee pass 2 relies
+    on. Replicated here in pure Python over random streams, random
+    batch splits, and random capacities."""
+    # expand (token, count) pairs into a stream, then re-batch it
+    stream = [t for t, c in pairs for _ in range(c)]
+    if not stream:
+        return
+    # batch boundaries derived from the data (deterministic per example)
+    batch_size = max(1, len(stream) // 7)
+    batches = [
+        stream[i : i + batch_size] for i in range(0, len(stream), batch_size)
+    ]
+
+    from collections import Counter
+
+    from aws_etl_global_footprint_network_spark.operators.sketches import (
+        weighted_mg_merge,
+    )
+
+    counters: dict[int, int] = {}
+    for batch in batches:
+        weighted_mg_merge(counters, Counter(batch).items(), capacity)
+
+    from collections import Counter
+
+    exact = Counter(stream)
+    n = len(stream)
+    for token, cnt in exact.items():
+        if cnt * (capacity + 1) > n:  # true heavy hitter
+            assert token in counters, (token, cnt, n, capacity, counters)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.floats(0, 100)), min_size=1, max_size=80),
+    st.integers(1, 6),
+    st.integers(1, 5),
+)
+@settings(max_examples=100, deadline=None)
+def test_partition_bounded_topr_contains_global_topr(rows, r, n_parts):
+    """The ADC shortlist pre-reduction (similarity_pq) and the
+    hard-negative pre-reduction keep top-r PER PARTITION before the
+    per-query window. Property: for any partitioning of the
+    candidates, the union of per-partition top-rs contains the global
+    top-r (so the final window over the union is exact)."""
+    # rows: (query_id, dist); partition assignment derived from index
+    parts: dict[tuple[int, int], list] = {}
+    for i, (q, d) in enumerate(rows):
+        parts.setdefault((q, i % n_parts), []).append((d, i))
+    union = []
+    for (q, _p), cand in parts.items():
+        union.extend((q, d, i) for d, i in sorted(cand)[:r])
+    by_q: dict[int, list] = {}
+    for i, (q, d) in enumerate(rows):
+        by_q.setdefault(q, []).append((d, i))
+    for q, cand in by_q.items():
+        global_topr = {(d, i) for d, i in sorted(cand)[:r]}
+        union_q = {(d, i) for (qq, d, i) in union if qq == q}
+        assert global_topr <= union_q, (q, global_topr, union_q)

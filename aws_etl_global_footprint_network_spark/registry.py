@@ -58,13 +58,16 @@ def register(
 # semi join un-broadcast + exact-cents revenue), star_denormalize_revenue
 # (exact-cents revenue), heavy_hitters_twopass (vectorized pass 1),
 # pq_adc_topk / pq_adc_rerank_topk (partition-bounded ADC shortlist),
-# ann_cosine_topk_vectorized (rank on rounded score + id tie-break);
-# (c) operators new this round (first external rows); (d) three flagship
-# regressions; (e) rotation: remaining slots go to the round-3 cohort,
-# now the oldest evidence (the rest of it waits for round 7 and stays
-# green in the local all-query parity sweep every test run). Everything
-# else keeps local coverage via tests/test_oracle_parity.py, which
-# sweeps ALL registered queries.
+# ann_cosine_topk_vectorized (rank on rounded score + id tie-break),
+# and streaming_user_totals_stateful (integer-cents GroupState —
+# upgraded from the sheet's last rows-only row to oracle-paired);
+# (c) the fifteen operators new this round (first external rows);
+# (d) three flagship regressions; (e) rotation: remaining slots go to
+# the round-3 cohort, now the oldest evidence (the rest of it waits
+# for round 7 and stays green in the local all-query parity sweep
+# every test run, as does the whole 160-query registry in the sf1
+# sweep). Everything else keeps local coverage via
+# tests/test_oracle_parity.py, which sweeps ALL registered queries.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) round-2-stale cohort + never-sampled --------------------------
     "set_intersect_segments",

@@ -147,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal_codecs,
         relational,
         relational2,
+        retrieval,
         similarity,
         similarity_pq,
         similarity_vectorized,

@@ -136,6 +136,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from aws_etl_global_footprint_network_spark.operators import (  # noqa: F401
         advanced,
+        analytics_plus,
         behavioral,
         corpus_prep,
         curation,

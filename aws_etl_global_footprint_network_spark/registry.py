@@ -146,6 +146,7 @@ def load_all() -> dict[str, QuerySpec]:
         ml_prep,
         multimodal,
         multimodal_codecs,
+        pareto,
         relational,
         relational2,
         retrieval,

@@ -112,6 +112,15 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern: the 1-row grand token total broadcast
     # into the mixture term
     "source_jsd_divergence",
+    # scalar-subquery pattern: broadcast 1-row corpus stats (N, avgdl,
+    # per-term df) into the per-document BM25 score
+    "bm25_topk",
+    # scalar-subquery pattern: broadcast 1-row total into per-digit
+    # observed probabilities
+    "benford_first_digit",
+    # non-equi dominance self-join on the bounded skyline candidate
+    # set (frontier-sized, not relation-sized)
+    "pareto_frontier_parts",
 }
 
 

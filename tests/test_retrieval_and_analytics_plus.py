@@ -132,3 +132,31 @@ def test_inverted_postings_df_bounds(spark, sf_dir):
         assert 1 <= r.df <= n_docs
         assert r.cf >= r.df  # total occurrences >= docs containing
         assert r.first_doc <= r.last_doc
+
+
+def test_pareto_frontier_equals_bruteforce(spark, sf_dir):
+    """Exact reference: the direct O(n^2) dominance filter on the raw
+    relation (bounded here by the small test SF) must equal the
+    two-phase distributed skyline."""
+    from aws_etl_global_footprint_network_spark.operators import pareto
+
+    got = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in pareto.pareto_frontier_parts(spark, sf_dir).collect()
+    }
+    parts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in read_testdata(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    expected = {
+        (k, pr, sz)
+        for (k, pr, sz) in parts
+        if not any(
+            qpr <= pr and qsz <= sz and (qpr < pr or qsz < sz)
+            for (_, qpr, qsz) in parts
+        )
+    }
+    assert got == expected
+    assert got, "frontier must be non-empty on non-empty input"

@@ -1,17 +1,23 @@
 """Warehouse analytics patterns round-out ([EXT] — operator-surface
 breadth beyond the reference's own queries, per the build brief):
 exact-cents proration (largest-remainder allocation), gap-and-islands
-streak detection, a Benford first-digit data-quality check, and a
-Markov event-transition matrix.
+streak detection, a Benford first-digit data-quality check, a Markov
+event-transition matrix, a bounded-frame exact rolling median, a
+median/MAD robust-outlier screen, and an offline CUSUM changepoint
+detector.
 
 Scale posture: every operator here partitions its windows by a natural
 high-cardinality key (order, customer, user) or aggregates to a
-constant-size result (9 digit rows, |event_types|² transitions) — no
-unpartitioned windows, no driver-side loops, one shuffle each.
+constant-size result (9 digit rows, |event_types|² transitions, 25
+nation rows) — no unpartitioned windows, no driver-side loops, one
+shuffle each (MAD's exact per-group percentile is the one documented
+trade; see its docstring).
 
-Oracle float contract: proration is pure integer arithmetic (exact in
-any engine); benford/markov divide integer counts once and round the
-quotient on both sides; gap-islands is all-integer.
+Oracle float contract: proration, gap-islands and CUSUM are pure
+integer arithmetic (exact in any engine); benford/markov divide
+integer counts once and round the quotient on both sides; the rolling
+median and MAD operate on integer cents with a single exact-input
+division at the end.
 """
 
 from __future__ import annotations
@@ -296,4 +302,227 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_compat(F.col("cnt") / F.col("row_total").cast("double"), 6).alias(
             "prob"
         ),
+    )
+
+
+@register(
+    "rolling_median_cents",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, v_cents,
+             list_sort(list(v_cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      FROM e)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           v_cents,
+           (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 200.0
+             AS trailing_median
+    FROM w
+    """,
+    "exact rolling median of event value over a trailing 7-row frame"
+    " per user (median filter / robust smoothing); the bounded frame"
+    " is materialised as a sorted 7-element array, so the median is"
+    " integer-cents arithmetic with ONE final division",
+    tags=("analytics", "timeseries"),
+)
+def rolling_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median filtering (robust trend extraction) as a BOUNDED-frame
+    window: ``collect_list`` over ROWS BETWEEN 6 PRECEDING AND CURRENT
+    keeps at most 7 elements per row, so memory per row is constant
+    and the only shuffle is the user_id window partition — this scales
+    by users, unlike a percentile over an unbounded frame which
+    re-sorts the whole history per row. Median of the sorted array is
+    pure integer arithmetic (the odd/even cases collapse to the same
+    two-element formula); the single ``/200.0`` is exact-input IEEE
+    division, identical in both engines, so no rounding contract is
+    needed."""
+    e = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        e.withColumn("arr", F.array_sort(F.collect_list("v_cents").over(w)))
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "v_cents",
+            (
+                (
+                    F.expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
+                    + F.expr("element_at(arr, CAST(size(arr) div 2 + 1 AS INT))")
+                )
+                / F.lit(200.0)
+            ).alias("trailing_median"),
+        )
+    )
+
+
+@register(
+    "mad_outlier_stats",
+    """
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+    med AS (
+      SELECT c_nationkey, quantile_cont(bal, 0.5) AS med
+      FROM c GROUP BY c_nationkey),
+    dev AS (
+      SELECT c.c_nationkey, c.bal, med.med, ABS(c.bal - med.med) AS d
+      FROM c JOIN med USING (c_nationkey)),
+    mad AS (
+      SELECT c_nationkey, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY c_nationkey)
+    SELECT CAST(dev.c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           MIN(dev.med) AS median_cents,
+           MIN(mad.mad) AS mad_cents,
+           CAST(SUM(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (c_nationkey)
+    GROUP BY dev.c_nationkey
+    """,
+    "robust per-nation outlier screen on customer balances: exact"
+    " median + median-absolute-deviation (MAD) in integer cents, flag"
+    " |x - med| > 3 * 1.4826 * MAD (the normal-consistency robust"
+    " z-score); two exact percentile passes, bounds joined back",
+    tags=("analytics", "dq"),
+)
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: mean/stddev z-scores are themselves
+    dragged by the outliers they hunt (masking); median/MAD have a 50%
+    breakdown point. Two grouped exact-percentile passes over integer
+    cents — medians of integers are exact halves and MADs exact
+    quarters in doubles, and the 3*1.4826*MAD threshold is the same
+    literal product in both engines, so the comparison is
+    deterministic without a rounding grain. The per-nation medians
+    (25 rows) broadcast back. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` or the distributed-NTILE selection recipe in
+    ``functions/ranking.py`` — exact per-group medians need the full
+    group sorted (the documented trade, as in
+    ``winsorized_acctbal_stats``)."""
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal"),
+    )
+    med = c.groupBy("c_nationkey").agg(F.expr("percentile(bal, 0.5)").alias("med"))
+    dev = c.join(F.broadcast(med), "c_nationkey").withColumn(
+        "d", F.abs(F.col("bal") - F.col("med"))
+    )
+    mad = dev.groupBy("c_nationkey").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.min("med").alias("median_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "n_custs",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+    w AS (
+      SELECT user_id, event_id,
+             SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s_k,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k,
+             SUM(v) OVER (PARTITION BY user_id) AS s_n,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM e),
+    d AS (
+      SELECT user_id, event_id, k, n, ABS(n * s_k - k * s_n) AS d_stat
+      FROM w WHERE k < n),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY d_stat DESC, k) AS rn
+      FROM d)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS cp_event_id,
+           CAST(k AS BIGINT) AS cp_index,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(d_stat AS BIGINT) AS d_stat
+    FROM r WHERE rn = 1
+    """,
+    "offline CUSUM changepoint per user: the split k maximising"
+    " |n*S_k - k*S_n| (the mean-shift statistic cleared of divisions"
+    " — ALL integer cents, exact in any engine); earliest-k tie-break",
+    tags=("analytics", "timeseries"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did each user's spending level shift? The classic CUSUM
+    statistic max_k |mean(1..k) - mean(k+1..n)| * k(n-k)/n reduces,
+    after multiplying through by n (rank-preserving within a user), to
+    |n*S_k - k*S_n| over integer-cents prefix sums — zero float ops,
+    so parity is structural. One window shuffle on user_id computes
+    prefix sum, rank, total and count together; the argmax is a
+    per-user ROW_NUMBER on the same partitioning (no second shuffle —
+    same key). Magnitudes: n <= 1e6 events/user x S <= 1e11 cents
+    stays far inside int64. k = n is excluded (a split must leave a
+    non-empty right segment)."""
+    e = read_testdata(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wa = Window.partitionBy("user_id")
+    d = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.sum("v").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("s_k"),
+            F.row_number().over(wo).alias("k"),
+            F.sum("v").over(wa).alias("s_n"),
+            F.count(F.lit(1)).over(wa).alias("n"),
+        )
+        .filter(F.col("k") < F.col("n"))
+        .withColumn(
+            "d_stat", F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n"))
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("d_stat").desc(), "k")
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("cp_event_id"),
+            F.col("k").cast("bigint").alias("cp_index"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("d_stat").cast("bigint").alias("d_stat"),
+        )
     )

@@ -194,3 +194,159 @@ def inverted_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_doc").cast("bigint").alias("last_doc"),
         )
     )
+
+
+# Reciprocal-rank-fusion constants: the standard k=60 (Cormack et al.),
+# pool depth per ranker, fused cut, and the fixed dense query vector.
+RRF_K = 60
+RRF_POOL = 100
+RRF_TOPK = 15
+RRF_QUERY_VEC = 7
+
+from aws_etl_global_footprint_network_spark.functions.vectors import (  # noqa: E402
+    as_double_array,
+    cosine,
+    cosine_sql,
+)
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    f"""
+    WITH cand AS (
+      SELECT d.doc_id, {tokens_sql('d.text')} AS toks,
+             e.embedding::DOUBLE[] AS v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    dd AS (
+      SELECT doc_id, v, CAST(len(toks) AS DOUBLE) AS dl,
+             {_TF_SQL}
+      FROM cand),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+             {_DF_SQL}
+      FROM dd),
+    sp AS (
+      SELECT doc_id, ROUND(({_SCORE_SQL}) * 1e6, 0) / 1e6 AS s
+      FROM dd CROSS JOIN stats),
+    spool AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rs
+      FROM sp WHERE s > 0
+      QUALIFY rs <= {RRF_POOL}),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {RRF_QUERY_VEC}),
+    dp AS (
+      SELECT doc_id, ROUND({cosine_sql('qv', 'v')} * 1e6, 0) / 1e6 AS c
+      FROM dd CROSS JOIN q),
+    dpool AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rd
+      FROM dp
+      QUALIFY rd <= {RRF_POOL}),
+    fused AS (
+      SELECT COALESCE(spool.doc_id, dpool.doc_id) AS doc_id,
+             COALESCE(rs, 0) AS sparse_rank,
+             COALESCE(rd, 0) AS dense_rank,
+             COALESCE(1.0 / ({RRF_K} + rs), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + rd), 0.0) AS rrf
+      FROM spool FULL OUTER JOIN dpool ON spool.doc_id = dpool.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sparse_rank AS INT) AS sparse_rank,
+           CAST(dense_rank AS INT) AS dense_rank,
+           ROUND(rrf * 1e9, 0) / 1e9 AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+    """,
+    f"hybrid retrieval via reciprocal-rank fusion (k={RRF_K}): BM25"
+    f" top-{RRF_POOL} pool fused with dense-cosine top-{RRF_POOL} pool"
+    f" for query vector {RRF_QUERY_VEC} over docs that have embeddings;"
+    " rrf = sum over rankers of 1/(k + rank), absent rank contributes"
+    f" 0 (rank sentinel 0); fused top-{RRF_TOPK}",
+    tags=("text", "retrieval", "similarity"),
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-stack retrieval shape: a lexical ranker and a dense
+    ranker each produce a bounded top-R pool (TakeOrderedAndProject —
+    each task keeps R rows, driver merges; NEVER a full-corpus global
+    window), ranks are assigned on the R-row pools, and fusion is a
+    tiny full-outer join. Scale: corpus stats enter as a broadcast
+    1-row aggregate, the dense pass is map-side per document against
+    one broadcast query vector, and everything after the two pool cuts
+    is O(R). RRF scores are fully determined by integer ranks —
+    1/(60+r) is exact-input IEEE division, identical in both engines —
+    so the 1e-9 rounding is belt-and-braces only. Both rankers rank on
+    the ROUNDED score with doc_id tie-break (the
+    ``ann_cosine_topk_vectorized`` contract), so the pools themselves
+    are engine-independent."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), as_double_array("embedding").alias("v")
+    )
+    cand = d.join(emb, d.doc_id == emb.vec_id).select(
+        "doc_id", tokens("text").alias("toks"), "v"
+    )
+    dd = cand.select(
+        "doc_id",
+        "v",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            F.size(F.filter("toks", lambda x: x == F.lit(t))).alias(f"tf_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    stats = dd.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    score = _bm25_contrib(QUERY_TERMS[0])
+    for t in QUERY_TERMS[1:]:
+        score = score + _bm25_contrib(t)
+    sp = dd.crossJoin(F.broadcast(stats)).select(
+        "doc_id", round_compat(score, 6).alias("s")
+    )
+    spool = (
+        sp.filter(F.col("s") > 0)
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    from pyspark.sql import Window as _W
+
+    spool = spool.withColumn(
+        "rs", F.row_number().over(_W.orderBy(F.col("s").desc(), "doc_id"))
+    ).select("doc_id", "rs")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    dp = dd.crossJoin(F.broadcast(q)).select(
+        "doc_id", round_compat(cosine("qv", "v"), 6).alias("c")
+    )
+    dpool = (
+        dp.orderBy(F.col("c").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn(
+            "rd", F.row_number().over(_W.orderBy(F.col("c").desc(), "doc_id"))
+        )
+        .select("doc_id", "rd")
+    )
+    fused = spool.join(dpool, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rs", F.lit(0)).alias("sparse_rank"),
+        F.coalesce("rd", F.lit(0)).alias("dense_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rs")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rd")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("sparse_rank").cast("int").alias("sparse_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            round_compat("rrf", 9).alias("rrf_score"),
+        )
+    )

@@ -109,21 +109,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "weekly_compound_by_user",
     "q1_pricing_summary",
     "dedup_minhash_lsh",
-    # -- (e) rotation: round-3 cohort (oldest external evidence) -----------
+    # -- (e) queries registered AFTER the window above was first laid
+    # down — zero external evidence in any round, which outranks the
+    # round-3-stale rotation (never-sampled was the round-5 verdict's
+    # sharpest staleness finding).  The r3 ANN/multimodal cohort
+    # (ann_*, ivf_*, dedup_embedding_cosine, dedup_clusters,
+    # pagerank_neardup_graph, image/audio/video) waits for round 7 and
+    # stays green in the local all-query and sf1 sweeps meanwhile.
+    "bm25_topk",
+    "inverted_postings_stats",
+    "proration_largest_remainder",
+    "gap_islands_order_months",
+    "benford_first_digit",
+    "markov_event_transitions",
+    "pareto_frontier_parts",
+    "rrf_hybrid_retrieval",
+    "rolling_median_cents",
+    "mad_outlier_stats",
+    "cusum_changepoint",
+    # -- (f) rotation: round-3 cohort (oldest external evidence) -----------
     "merge_rowlevel_cow",
     "customer_rfm",
-    "ann_cosine_topk",
-    "ann_threshold_pairs",
-    "ann_lsh_pairs",
-    "ivf_label_centroids",
-    "ivf_assignments",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "pagerank_neardup_graph",
     "training_corpus_pipeline",
-    "image_resize_thumbs",
-    "audio_wav_features",
-    "video_frame_sample",
 )
 
 

@@ -160,3 +160,129 @@ def test_pareto_frontier_equals_bruteforce(spark, sf_dir):
     }
     assert got == expected
     assert got, "frontier must be non-empty on non-empty input"
+
+
+def test_rolling_median_matches_bruteforce(spark, sf_dir):
+    """Trailing-7 median equals a Python re-derivation per user —
+    catches frame-boundary and even/odd-count mistakes directly."""
+    out = {
+        r.event_id: r.trailing_median
+        for r in analytics_plus.rolling_median_cents(spark, sf_dir).collect()
+    }
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for rows in by_user.values():
+        for i, r in enumerate(rows):
+            frame = sorted(x.v for x in rows[max(0, i - 6) : i + 1])
+            n = len(frame)
+            expect = (frame[(n + 1) // 2 - 1] + frame[n // 2]) / 200.0
+            assert out[r.event_id] == expect
+            checked += 1
+    assert checked == len(ev)
+
+
+def test_mad_stats_match_python_statistics(spark, sf_dir):
+    """Median/MAD per nation equal ``statistics.median`` on the raw
+    cents, and every flagged outlier really exceeds the threshold."""
+    import statistics
+
+    got = {
+        r.nationkey: r for r in analytics_plus.mad_outlier_stats(spark, sf_dir).collect()
+    }
+    cust = (
+        read_testdata(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal"),
+        )
+        .collect()
+    )
+    by_nation: dict[int, list[int]] = {}
+    for r in cust:
+        by_nation.setdefault(r.c_nationkey, []).append(r.bal)
+    assert set(got) == set(by_nation)
+    for nk, bals in by_nation.items():
+        med = statistics.median(bals)
+        mad = statistics.median(abs(b - med) for b in bals)
+        row = got[nk]
+        assert row.n_custs == len(bals)
+        assert row.median_cents == med
+        assert row.mad_cents == mad
+        expect_out = sum(1 for b in bals if abs(b - med) > 3.0 * 1.4826 * mad)
+        assert row.n_outliers == expect_out
+
+
+def test_cusum_argmax_matches_bruteforce(spark, sf_dir):
+    """The reported split maximises |n*S_k - k*S_n| with earliest-k
+    tie-break — re-derived per user from raw prefix sums."""
+    got = {
+        r.user_id: (r.cp_index, r.d_stat)
+        for r in analytics_plus.cusum_changepoint(spark, sf_dir).collect()
+    }
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.v)
+    for uid, vals in by_user.items():
+        n = len(vals)
+        if n < 2:
+            assert uid not in got
+            continue
+        s_n, s_k, best = sum(vals), 0, (-1, 0)
+        for k in range(1, n):
+            s_k += vals[k - 1]
+            d = abs(n * s_k - k * s_n)
+            if d > best[1]:
+                best = (k, d)
+        assert got[uid] == best
+
+
+def test_rrf_scores_follow_from_ranks(spark, sf_dir):
+    """rrf_score is exactly 1/(60+rs) + 1/(60+rd) with absent ranks
+    (sentinel 0) contributing nothing, and the result is sorted."""
+    rows = retrieval.rrf_hybrid_retrieval(spark, sf_dir).collect()
+    assert 0 < len(rows) <= retrieval.RRF_TOPK
+    prev = None
+    for r in rows:
+        assert (r.sparse_rank, r.dense_rank) != (0, 0)
+        assert 0 <= r.sparse_rank <= retrieval.RRF_POOL
+        assert 0 <= r.dense_rank <= retrieval.RRF_POOL
+        expect = 0.0
+        if r.sparse_rank:
+            expect += 1.0 / (retrieval.RRF_K + r.sparse_rank)
+        if r.dense_rank:
+            expect += 1.0 / (retrieval.RRF_K + r.dense_rank)
+        assert abs(r.rrf_score - expect) < 1e-9
+        if prev is not None:
+            assert prev >= r.rrf_score
+        prev = r.rrf_score
+
+
+def test_rrf_pools_are_genuinely_hybrid(spark, sf_dir):
+    """Fusion only means something if both rankers contribute: the
+    fused top set must contain at least one doc ranked by BM25 and at
+    least one ranked by the dense ranker."""
+    rows = retrieval.rrf_hybrid_retrieval(spark, sf_dir).collect()
+    assert any(r.sparse_rank > 0 for r in rows)
+    assert any(r.dense_rank > 0 for r in rows)

@@ -390,7 +390,9 @@ def rolling_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(dev.med) AS median_cents,
            MIN(mad.mad) AS mad_cents,
            CAST(SUM(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN dev.d > 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mild
     FROM dev JOIN mad USING (c_nationkey)
     GROUP BY dev.c_nationkey
     """,
@@ -436,6 +438,11 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_outliers"),
+            F.sum(
+                F.when(F.col("d") > F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mild"),
         )
         .select(
             F.col("c_nationkey").cast("bigint").alias("nationkey"),
@@ -443,6 +450,7 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_cents",
             "mad_cents",
             "n_outliers",
+            "n_mild",
         )
     )
 

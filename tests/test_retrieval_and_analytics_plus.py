@@ -222,6 +222,11 @@ def test_mad_stats_match_python_statistics(spark, sf_dir):
         assert row.mad_cents == mad
         expect_out = sum(1 for b in bals if abs(b - med) > 3.0 * 1.4826 * mad)
         assert row.n_outliers == expect_out
+        expect_mild = sum(1 for b in bals if abs(b - med) > 1.4826 * mad)
+        assert row.n_mild == expect_mild
+    # the mild band must actually fire somewhere, so BOTH branches of
+    # the threshold comparison are exercised on real data
+    assert any(r.n_mild > 0 for r in got.values())
 
 
 def test_cusum_argmax_matches_bruteforce(spark, sf_dir):

@@ -121,6 +121,9 @@ CARTESIAN_WHITELIST = {
     # non-equi dominance self-join on the bounded skyline candidate
     # set (frontier-sized, not relation-sized)
     "pareto_frontier_parts",
+    # scalar-subquery pattern twice over: broadcast 1-row BM25 corpus
+    # stats + broadcast 1-row dense query vector
+    "rrf_hybrid_retrieval",
 }
 
 
@@ -164,6 +167,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # rank annotation AFTER the TakeOrderedAndProject limit — the
     # window input is exactly WS_K (100) rows, driver-scale
     "weighted_sample_topk",
+    # same shape twice: each ranker's rank window runs AFTER its
+    # TakeOrderedAndProject(RRF_POOL=100) cut — ≤100 rows per window
+    "rrf_hybrid_retrieval",
 }
 
 

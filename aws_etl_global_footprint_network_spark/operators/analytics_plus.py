@@ -534,3 +534,111 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_stat").cast("bigint").alias("d_stat"),
         )
     )
+
+
+# Market-basket constants: rule cut size and the deterministic ordering.
+BASKET_TOP = 25
+
+
+@register(
+    "market_basket_rules",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+      FROM lineitem),
+    cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey),
+    top AS (
+      SELECT * FROM pairs
+      ORDER BY n_both DESC, part_a, part_b LIMIT {BASKET_TOP})
+    SELECT CAST(top.part_a AS BIGINT) AS part_a,
+           CAST(top.part_b AS BIGINT) AS part_b,
+           top.n_both,
+           ca.c AS n_a, cb.c AS n_b,
+           ROUND(top.n_both / n.n_orders * 1e6, 0) / 1e6 AS support,
+           ROUND(top.n_both / CAST(ca.c AS DOUBLE) * 1e6, 0) / 1e6
+             AS confidence_ab,
+           ROUND(top.n_both * n.n_orders
+                 / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) * 1e6, 0) / 1e6
+             AS lift
+    FROM top
+    JOIN cnt ca ON top.part_a = ca.l_partkey
+    JOIN cnt cb ON top.part_b = cb.l_partkey
+    CROSS JOIN n
+    """,
+    f"market-basket association rules over co-purchased parts: top-"
+    f"{BASKET_TOP} item pairs by basket co-occurrence with support,"
+    " confidence(a->b) and lift from integer counts; pair generation"
+    " is the per-basket self-join (bounded by items-per-order, never"
+    " all-parts-squared), ties broken by part ids",
+    tags=("analytics", "behavioral"),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining, the Apriori candidate-pair step: the
+    self-join is keyed on l_orderkey, so each basket contributes
+    C(items,2) pairs — cost scales with orders x (basket size)², a
+    constant per basket, NOT with the part catalogue squared. The
+    pair groupBy gets map-side partials; the cut is a distributed
+    TakeOrdered on (count, ids); the single-row order total enters as
+    a broadcast scalar (whitelisted scalar-subquery pattern) and the
+    per-part counts join against the 25-row top set. All metrics are
+    single divisions of exact integer counts, rounded on the shared
+    grain in both engines."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    top = pairs.orderBy(
+        F.col("n_both").desc(), "part_a", "part_b"
+    ).limit(BASKET_TOP)
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))
+    return (
+        top.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("part_a").cast("bigint").alias("part_a"),
+            F.col("part_b").cast("bigint").alias("part_b"),
+            "n_both",
+            "n_a",
+            "n_b",
+            round_compat(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            round_compat(
+                F.col("n_both") / F.col("n_a").cast("double"), 6
+            ).alias("confidence_ab"),
+            round_compat(
+                F.col("n_both")
+                * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

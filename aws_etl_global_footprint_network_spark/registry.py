@@ -127,9 +127,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rolling_median_cents",
     "mad_outlier_stats",
     "cusum_changepoint",
+    "market_basket_rules",
     # -- (f) rotation: round-3 cohort (oldest external evidence) -----------
     "merge_rowlevel_cow",
-    "customer_rfm",
     "training_corpus_pipeline",
 )
 

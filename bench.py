@@ -118,6 +118,18 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "rendezvous_shard_affinity",
     "cms_frequency_estimates",
+    "bm25_topk",
+    "inverted_postings_stats",
+    "proration_largest_remainder",
+    "gap_islands_order_months",
+    "benford_first_digit",
+    "markov_event_transitions",
+    "pareto_frontier_parts",
+    "rrf_hybrid_retrieval",
+    "rolling_median_cents",
+    "mad_outlier_stats",
+    "cusum_changepoint",
+    "market_basket_rules",
 ]
 
 

@@ -124,6 +124,9 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern twice over: broadcast 1-row BM25 corpus
     # stats + broadcast 1-row dense query vector
     "rrf_hybrid_retrieval",
+    # scalar-subquery pattern: broadcast 1-row order total into the
+    # 25-row rule metrics
+    "market_basket_rules",
 }
 
 

@@ -291,3 +291,40 @@ def test_rrf_pools_are_genuinely_hybrid(spark, sf_dir):
     rows = retrieval.rrf_hybrid_retrieval(spark, sf_dir).collect()
     assert any(r.sparse_rank > 0 for r in rows)
     assert any(r.dense_rank > 0 for r in rows)
+
+
+def test_market_basket_counts_match_bruteforce(spark, sf_dir):
+    """Every reported rule's co-occurrence count equals a Python
+    re-derivation from raw baskets, and metrics follow from counts."""
+    from collections import Counter
+
+    rows = analytics_plus.market_basket_rules(spark, sf_dir).collect()
+    assert 0 < len(rows) <= analytics_plus.BASKET_TOP
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict[int, set[int]] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pair_cnt: Counter = Counter()
+    item_cnt: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            item_cnt[p] += 1
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_cnt[(a, b)] += 1
+    n_orders = len(baskets)
+    max_cnt = max(pair_cnt.values())
+    for r in rows:
+        assert r.n_both == pair_cnt[(r.part_a, r.part_b)]
+        assert r.n_a == item_cnt[r.part_a]
+        assert r.n_b == item_cnt[r.part_b]
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert abs(r.support - r.n_both / n_orders) < 1e-6
+        assert abs(r.confidence_ab - r.n_both / r.n_a) < 1e-6
+        assert abs(r.lift - r.n_both * n_orders / (r.n_a * r.n_b)) < 1e-6
+    # the cut keeps the genuinely most frequent pairs
+    assert rows[0].n_both if hasattr(rows[0], "n_both") else True
+    assert max(r.n_both for r in rows) == max_cnt

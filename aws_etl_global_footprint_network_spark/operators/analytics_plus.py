@@ -583,36 +583,48 @@ BASKET_TOP = 25
     tags=("analytics", "behavioral"),
 )
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Association-rule mining, the Apriori candidate-pair step: the
-    self-join is keyed on l_orderkey, so each basket contributes
-    C(items,2) pairs — cost scales with orders x (basket size)², a
-    constant per basket, NOT with the part catalogue squared. The
+    """Association-rule mining, the Apriori candidate-pair step: each
+    basket contributes C(items,2) pairs — cost scales with orders x
+    (basket size)², a constant per basket, NOT with the part
+    catalogue squared. The
     pair groupBy gets map-side partials; the cut is a distributed
     TakeOrdered on (count, ids); the single-row order total enters as
     a broadcast scalar (whitelisted scalar-subquery pattern) and the
     per-part counts join against the 25-row top set. All metrics are
     single divisions of exact integer counts, rounded on the shared
-    grain in both engines."""
+    grain in both engines.
+
+    Shuffle shape: the naive form (DISTINCT + keyed self-join + pair
+    groupBy) is four shuffles over fact-sized data; instead ONE
+    groupBy on l_orderkey builds each basket as a sorted distinct
+    array, pairs explode MAP-SIDE from the array (x < y for free from
+    sort order), and the persisted basket table feeds the order
+    count, the per-item counts and the pair counts without rescanning
+    lineitem."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    scope = CacheScope("market_basket_rules")
     li = read_testdata(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n = li.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    baskets = scope.persist(
+        li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
     )
-    cnt = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    a = items.alias("a")
-    b = items.alias("b")
+    pair_structs = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)),"
+        " y -> struct(x AS part_a, y AS part_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
     )
     top = pairs.orderBy(

@@ -654,3 +654,92 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# Snapshot-diff churn rules (deterministic, engine-independent):
+# deletes, updates (+1 cent) and inserts (key offset) selected by
+# modular arithmetic on the order key.
+DIFF_DEL_MOD = 97
+DIFF_UPD_MOD = 31
+DIFF_INS_MOD = 101
+DIFF_INS_OFFSET = 1_000_000_000
+
+
+@register(
+    "snapshot_diff_audit",
+    f"""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    new AS (
+      SELECT k,
+             CASE WHEN k % {DIFF_UPD_MOD} = 0 THEN c + 1 ELSE c END AS c
+      FROM old WHERE k % {DIFF_DEL_MOD} <> 0
+      UNION ALL
+      SELECT k + {DIFF_INS_OFFSET}, c FROM old WHERE k % {DIFF_INS_MOD} = 0),
+    d AS (
+      SELECT o.c AS oc, n.c AS nc
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k),
+    s AS (
+      SELECT CASE WHEN oc IS NULL THEN 'added'
+                  WHEN nc IS NULL THEN 'removed'
+                  WHEN oc <> nc THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(oc, 0) AS oc, COALESCE(nc, 0) AS nc
+      FROM d)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(oc) AS BIGINT) AS sum_old_cents,
+           CAST(SUM(nc) AS BIGINT) AS sum_new_cents
+    FROM s GROUP BY status
+    """,
+    "snapshot diff / replication reconciliation: row-level"
+    " added/removed/changed/unchanged audit between a table and its"
+    " churned next version (deterministic modular churn: deletes %"
+    f"{DIFF_DEL_MOD}, +1-cent updates %{DIFF_UPD_MOD}, key-offset"
+    f" inserts %{DIFF_INS_MOD}) via one full outer join on the key;"
+    " all-integer output",
+    tags=("analytics", "lakehouse", "dq"),
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-diff primitive behind replication validation and
+    lakehouse snapshot audits: one full outer join on the primary
+    key, per-row status from null-ness and value comparison, then a
+    4-row status aggregate. Scale: the join shuffles both snapshots
+    once on the key (bucketed layouts make it exchange-free — the
+    ``bucketed_join_colocated`` recipe); sums are exact integer
+    cents. The churned 'new' snapshot is derived deterministically
+    inside the query so both engines construct byte-identical
+    inputs."""
+    old = read_testdata(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    survivors = old.filter(F.col("k") % DIFF_DEL_MOD != 0).select(
+        "k",
+        F.when(F.col("k") % DIFF_UPD_MOD == 0, F.col("c") + 1)
+        .otherwise(F.col("c"))
+        .alias("c"),
+    )
+    inserts = old.filter(F.col("k") % DIFF_INS_MOD == 0).select(
+        (F.col("k") + F.lit(DIFF_INS_OFFSET)).alias("k"), "c"
+    )
+    new = survivors.unionByName(inserts)
+    d = old.select(F.col("k"), F.col("c").alias("oc")).join(
+        new.select(F.col("k"), F.col("c").alias("nc")), "k", "full_outer"
+    )
+    s = d.select(
+        F.when(F.col("oc").isNull(), "added")
+        .when(F.col("nc").isNull(), "removed")
+        .when(F.col("oc") != F.col("nc"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("oc", F.lit(0)).alias("oc"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    return s.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("oc").cast("bigint").alias("sum_old_cents"),
+        F.sum("nc").cast("bigint").alias("sum_new_cents"),
+    )

@@ -128,8 +128,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mad_outlier_stats",
     "cusum_changepoint",
     "market_basket_rules",
+    "snapshot_diff_audit",
     # -- (f) rotation: round-3 cohort (oldest external evidence) -----------
-    "merge_rowlevel_cow",
     "training_corpus_pipeline",
 )
 

@@ -130,6 +130,7 @@ HEADLINE = [
     "mad_outlier_stats",
     "cusum_changepoint",
     "market_basket_rules",
+    "snapshot_diff_audit",
 ]
 
 

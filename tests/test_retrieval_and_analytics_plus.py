@@ -328,3 +328,32 @@ def test_market_basket_counts_match_bruteforce(spark, sf_dir):
     # the cut keeps the genuinely most frequent pairs
     assert rows[0].n_both if hasattr(rows[0], "n_both") else True
     assert max(r.n_both for r in rows) == max_cnt
+
+
+def test_snapshot_diff_partitions_key_universe(spark, sf_dir):
+    """Status counts re-derived from the churn rules on raw keys:
+    removed = keys %97, added = keys %101, changed = (%31 and not
+    %97), and the four counts cover old ∪ new exactly."""
+    ap = analytics_plus
+    got = {r.status: r for r in ap.snapshot_diff_audit(spark, sf_dir).collect()}
+    keys = [
+        r.k
+        for r in read_testdata(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .collect()
+    ]
+    removed = sum(1 for k in keys if k % ap.DIFF_DEL_MOD == 0)
+    added = sum(1 for k in keys if k % ap.DIFF_INS_MOD == 0)
+    changed = sum(
+        1 for k in keys if k % ap.DIFF_UPD_MOD == 0 and k % ap.DIFF_DEL_MOD != 0
+    )
+    unchanged = len(keys) - removed - changed
+    assert got["removed"].n_rows == removed
+    assert got["added"].n_rows == added
+    assert got["changed"].n_rows == changed
+    assert got["unchanged"].n_rows == unchanged
+    # changed rows drift exactly +1 cent each; unchanged drift 0
+    assert (
+        got["changed"].sum_new_cents - got["changed"].sum_old_cents == changed
+    )
+    assert got["unchanged"].sum_new_cents == got["unchanged"].sum_old_cents

@@ -3,8 +3,9 @@ breadth beyond the reference's own queries, per the build brief):
 exact-cents proration (largest-remainder allocation), gap-and-islands
 streak detection, a Benford first-digit data-quality check, a Markov
 event-transition matrix, a bounded-frame exact rolling median, a
-median/MAD robust-outlier screen, and an offline CUSUM changepoint
-detector.
+median/MAD robust-outlier screen, an offline CUSUM changepoint
+detector, market-basket association rules, and a snapshot-diff
+reconciliation audit.
 
 Scale posture: every operator here partitions its windows by a natural
 high-cardinality key (order, customer, user) or aggregates to a

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    cosine_sql,
+)
 from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata, spread
 
@@ -202,12 +207,6 @@ RRF_K = 60
 RRF_POOL = 100
 RRF_TOPK = 15
 RRF_QUERY_VEC = 7
-
-from aws_etl_global_footprint_network_spark.functions.vectors import (  # noqa: E402
-    as_double_array,
-    cosine,
-    cosine_sql,
-)
 
 
 @register(

@@ -1,0 +1,376 @@
+"""Pipeline diagnostics operators ([EXT] — operator-surface breadth
+beyond the reference, per the build brief): deterministic A/B
+experiment readout, k-anonymity privacy audit, join-size estimation
+from per-key counts, and a join-key skew profile.
+
+These are the *planning and governance* queries a 100 TB pipeline runs
+before and after the heavy jobs: will this join explode (estimate it
+from key counts without running it), is this key skewed enough to need
+salting (profile it), is this release k-anonymous, did the experiment
+move conversion.
+
+Scale posture: everything reduces through keyed groupBys with map-side
+partials to constant-size or key-cardinality-size results; the only
+windows are none, and the single-row summaries come from 1-row
+aggregates. Float contract: counts are exact integers; every rate /
+z-statistic is written in the same textual arithmetic order in both
+engines and rounded on the shared grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.functions.hashing import (
+    md5_hash60,
+    md5_hash60_sql,
+)
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+# k-anonymity threshold and the account-balance bucket width (cents).
+# Balances go negative, and integer division truncates toward zero in
+# both engines (merging the first negative bucket into bucket 0), so
+# cents are shifted by BAL_OFFSET_CENTS (> |min balance|) first —
+# truncation then equals floor and buckets partition the line evenly.
+K_ANON = 5
+BAL_BUCKET_CENTS = 100_000
+BAL_OFFSET_CENTS = 1_000_000
+
+# A/B activation window: a user converts if they purchase within 7
+# days of their first event. 'Any purchase ever' saturates to ~100%
+# on this corpus (every active user eventually buys), which degenerates
+# the pooled z denominator; the windowed metric stays in (0, 1) at
+# every scale factor because per-user event density, not corpus size,
+# drives it.
+AB_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "ab_test_conversion",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST({md5_hash60_sql("('ab|' || user_id::VARCHAR)")} % 2 AS INT)
+               AS variant,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts) END)
+                       <= MIN(epoch_us(ts)) + {AB_WINDOW_US}
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM u)
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE) * 1e6, 0) / 1e6 AS rate_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE) * 1e6, 0) / 1e6 AS rate_b,
+           ROUND((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)) * 1e6, 0) / 1e6 AS z_stat
+    FROM s
+    """,
+    "deterministic A/B experiment readout: users split by salted md5"
+    " parity (stable across runs/engines/cluster layouts), conversion"
+    " = first purchase within 7 days of the user's first event"
+    " (integer-microsecond window); two-proportion pooled z-statistic"
+    " from exact integer counts, single-row result",
+    tags=("diagnostics", "analytics"),
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation readout shape: one shuffle on user_id
+    collapses events to a per-user (variant, converted) bit, then a
+    1-row conditional aggregate produces both arms at once — no
+    second pass per variant, no pivot. The variant is a pure function
+    of user_id (the ``train_test_split_hash`` md5 recipe with an
+    'ab|' salt), so assignment is reproducible anywhere. Conversion
+    is the 7-day activation window decided on integer microseconds
+    (a NULL first-purchase compares to NULL -> not converted, same in
+    both engines). The pooled z-statistic is spelled in the identical
+    textual order in both engines over exact integer counts, then
+    rounded."""
+    u = (
+        read_testdata(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.min(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.unix_micros("ts"),
+                    )
+                )
+                <= F.min(F.unix_micros("ts")) + F.lit(AB_WINDOW_US),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .withColumn(
+            "variant",
+            (
+                md5_hash60(
+                    F.concat(F.lit("ab|"), F.col("user_id").cast("string"))
+                )
+                % 2
+            ).cast("int"),
+        )
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    n_a, conv_a = F.col("n_a"), F.col("conv_a")
+    n_b, conv_b = F.col("n_b"), F.col("conv_b")
+    # try_divide mirrors DuckDB's NULL-on-zero double division, so a
+    # degenerate experiment (pooled rate 0 or 1, or an empty arm)
+    # yields z_stat NULL identically in both engines instead of a
+    # runtime error under ANSI mode.
+    p_pool = F.try_divide(conv_a + conv_b, (n_a + n_b).cast("double"))
+    z = F.try_divide(
+        F.try_divide(conv_a, n_a.cast("double"))
+        - F.try_divide(conv_b, n_b.cast("double")),
+        F.sqrt(
+            p_pool
+            * (F.lit(1.0) - p_pool)
+            * (F.try_divide(F.lit(1.0), n_a) + F.try_divide(F.lit(1.0), n_b))
+        ),
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        round_compat(F.try_divide(conv_a, n_a.cast("double")), 6).alias("rate_a"),
+        round_compat(F.try_divide(conv_b, n_b.cast("double")), 6).alias("rate_b"),
+        round_compat(z, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    f"""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {BAL_OFFSET_CENTS})
+               // {BAL_BUCKET_CENTS} AS bal_bucket
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM q GROUP BY c_nationkey, c_mktsegment, bal_bucket)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN cnt < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(cnt) AS BIGINT) AS min_group_size,
+           ROUND(SUM(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END)
+                 / CAST(SUM(cnt) AS DOUBLE) * 1e6, 0) / 1e6
+             AS suppression_rate
+    FROM g
+    """,
+    f"k-anonymity (k={K_ANON}) privacy audit over the"
+    " (nation, segment, balance-bucket) quasi-identifier: group sizes"
+    " via one groupBy, quasi-identifier groups smaller than k counted"
+    " as re-identification risk with the row-suppression rate; floor"
+    " division on integer cents buckets the balance identically in"
+    " both engines",
+    tags=("diagnostics", "dq", "privacy"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-gating privacy audit: every row whose
+    quasi-identifier combination is shared by fewer than k individuals
+    is re-identifiable and must be suppressed or generalised before
+    publication. One groupBy on the quasi-identifier (map-side
+    partials; cardinality = the QI-space, bounded far below the row
+    count) then a 1-row summary. The balance bucket comes from FLOOR
+    division of exact integer cents — engines cannot disagree at
+    bucket boundaries the way float binning can."""
+    q = read_testdata(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            f"(CAST(ROUND(c_acctbal * 100) AS BIGINT) + {BAL_OFFSET_CENTS})"
+            f" div {BAL_BUCKET_CENTS}"
+        ).alias("bal_bucket"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    risk = F.sum(F.when(F.col("cnt") < K_ANON, F.col("cnt")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("cnt") < K_ANON, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        risk.cast("bigint").alias("n_rows_at_risk"),
+        F.min("cnt").cast("bigint").alias("min_group_size"),
+        round_compat(risk / F.sum("cnt").cast("double"), 6).alias(
+            "suppression_rate"
+        ),
+    )
+
+
+@register(
+    "join_size_estimate",
+    """
+    WITH pk AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey),
+    sk AS (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey),
+    ok AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT 'l_partkey' AS join_key,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS predicted_self_join_rows
+    FROM pk
+    UNION ALL
+    SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cnt) AS BIGINT), CAST(SUM(cnt * cnt) AS BIGINT)
+    FROM sk
+    UNION ALL
+    SELECT 'l_orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cnt) AS BIGINT), CAST(SUM(cnt * cnt) AS BIGINT)
+    FROM ok
+    """,
+    "join-size estimation without running the join: for each candidate"
+    " key of lineitem, |A JOIN A on k| = SUM over keys of cnt² from"
+    " the per-key count table — the cost-based-optimizer statistic"
+    " that decides broadcast vs shuffle vs salt BEFORE the join runs;"
+    " all-integer, exactness pinned against a real bounded join in"
+    " tests",
+    tags=("diagnostics", "planning"),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a cost-based optimizer does with column statistics, as an
+    explicit operator: the exact size of an equi self-join is
+    sum(cnt_k²) over the key histogram, computable from one groupBy
+    per key — linear work that predicts a potentially quadratic join.
+    At 100 TB you run THIS (or its sketch approximation) before
+    deciding a join strategy; a predicted 10^13-row join is a plan
+    bug caught for the price of an aggregation. Three keyed groupBys
+    with map-side partials, each collapsing to one summary row."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+
+    def profile(key: str) -> DataFrame:
+        cnts = li.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        return cnts.agg(
+            F.lit(key).alias("join_key"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.sum(F.col("cnt") * F.col("cnt"))
+            .cast("bigint")
+            .alias("predicted_self_join_rows"),
+        )
+
+    return (
+        profile("l_partkey")
+        .unionByName(profile("l_suppkey"))
+        .unionByName(profile("l_orderkey"))
+    )
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH pk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey),
+    sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey),
+    ck AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey)
+    SELECT 'lineitem.l_partkey' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(SUM(cnt) / CAST(COUNT(*) AS DOUBLE) * 1e6, 0) / 1e6
+             AS avg_cnt,
+           quantile_cont(cnt, 0.99) AS p99_cnt,
+           ROUND(MAX(cnt) / (SUM(cnt) / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0)
+             / 1e6 AS skew_ratio
+    FROM pk
+    UNION ALL
+    SELECT 'lineitem.l_suppkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cnt) AS BIGINT), CAST(MAX(cnt) AS BIGINT),
+           ROUND(SUM(cnt) / CAST(COUNT(*) AS DOUBLE) * 1e6, 0) / 1e6,
+           quantile_cont(cnt, 0.99),
+           ROUND(MAX(cnt) / (SUM(cnt) / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0)
+             / 1e6
+    FROM sk
+    UNION ALL
+    SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cnt) AS BIGINT), CAST(MAX(cnt) AS BIGINT),
+           ROUND(SUM(cnt) / CAST(COUNT(*) AS DOUBLE) * 1e6, 0) / 1e6,
+           quantile_cont(cnt, 0.99),
+           ROUND(MAX(cnt) / (SUM(cnt) / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0)
+             / 1e6
+    FROM ck
+    """,
+    "join/groupBy-key skew diagnostic: per candidate key the count"
+    " histogram's cardinality, max, mean, exact p99 and max/mean skew"
+    " ratio — the number that decides whether a key needs salting or"
+    " AQE skew handling; counts are exact integers, the p99 is the"
+    " shared interpolated-percentile-of-integers grain",
+    tags=("diagnostics", "planning"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight skew check behind ``salted_join_revenue``'s
+    design decision, as data: a skew_ratio near 1 means uniform keys
+    (shuffle freely); 100x means one task drags the stage and the key
+    needs salting or AQE skew-join splitting. Per key: one groupBy
+    (map-side partials) to the key histogram, one aggregate over it.
+    The exact percentile runs over the key-cardinality-sized count
+    table, not the fact table — bounded, and swappable for
+    approx_percentile at extreme key cardinalities."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    orders = read_testdata(spark, sf_dir, "orders")
+
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        cnts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        avg = F.sum("cnt") / F.count(F.lit(1)).cast("double")
+        return cnts.agg(
+            F.lit(label).alias("key_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.max("cnt").cast("bigint").alias("max_cnt"),
+            round_compat(avg, 6).alias("avg_cnt"),
+            F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+            round_compat(F.max("cnt") / avg, 6).alias("skew_ratio"),
+        )
+
+    return (
+        profile(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(profile(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(profile(orders, "o_custkey", "orders.o_custkey"))
+    )

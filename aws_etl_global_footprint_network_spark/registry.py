@@ -133,6 +133,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "training_corpus_pipeline",
 )
 
+# Registered after the round-6 window filled: market_basket_rules is
+# IN the window (slot swapped), but ab_test_conversion,
+# k_anonymity_audit, join_size_estimate and key_skew_profile are not —
+# they are the FIRST candidates for round 7's window under the
+# never-sampled-outranks-stale rule, alongside the deferred round-3
+# ANN/multimodal cohort. All are swept locally (test_oracle_parity)
+# and at sf1 (scripts/parity_sweep.py) every round meanwhile.
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module for its registration side effects.
@@ -148,6 +156,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus_prep,
         curation,
         dedup,
+        diagnostics,
         join_accel,
         layout,
         ml_prep,

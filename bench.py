@@ -131,6 +131,10 @@ HEADLINE = [
     "cusum_changepoint",
     "market_basket_rules",
     "snapshot_diff_audit",
+    "ab_test_conversion",
+    "k_anonymity_audit",
+    "join_size_estimate",
+    "key_skew_profile",
 ]
 
 

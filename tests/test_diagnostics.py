@@ -1,0 +1,113 @@
+"""Semantic properties of the diagnostics operators — each result is
+re-derived brute-force in Python from the raw tables, so the operators
+are pinned beyond the oracle hash (which shares their SQL shape)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aws_etl_global_footprint_network_spark.operators import diagnostics
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_ab_test_matches_bruteforce(spark, sf_dir):
+    row = diagnostics.ab_test_conversion(spark, sf_dir).collect()[0]
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    first_us: dict[int, int] = {}
+    first_buy: dict[int, int] = {}
+    for r in ev:
+        first_us[r.user_id] = min(first_us.get(r.user_id, r.us), r.us)
+        if r.event_type == "purchase":
+            first_buy[r.user_id] = min(first_buy.get(r.user_id, r.us), r.us)
+    arms = {0: [0, 0], 1: [0, 0]}  # variant -> [n, conv]
+    for uid, fu in first_us.items():
+        v = _md5_60(f"ab|{uid}") % 2
+        arms[v][0] += 1
+        if uid in first_buy and first_buy[uid] <= fu + diagnostics.AB_WINDOW_US:
+            arms[v][1] += 1
+    assert (row.n_a, row.conv_a) == tuple(arms[0])
+    assert (row.n_b, row.conv_b) == tuple(arms[1])
+    # z recomputed from the reported integer counts
+    if row.z_stat is not None:
+        p = (row.conv_a + row.conv_b) / (row.n_a + row.n_b)
+        z = (row.conv_a / row.n_a - row.conv_b / row.n_b) / math.sqrt(
+            p * (1 - p) * (1 / row.n_a + 1 / row.n_b)
+        )
+        assert abs(row.z_stat - z) < 1e-6
+
+
+def test_k_anonymity_matches_bruteforce(spark, sf_dir):
+    row = diagnostics.k_anonymity_audit(spark, sf_dir).collect()[0]
+    cust = (
+        read_testdata(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    groups = Counter(
+        (
+            r.c_nationkey,
+            r.c_mktsegment,
+            (r.cents + diagnostics.BAL_OFFSET_CENTS)
+            // diagnostics.BAL_BUCKET_CENTS,
+        )
+        for r in cust
+    )
+    viol = {g: c for g, c in groups.items() if c < diagnostics.K_ANON}
+    assert row.n_groups == len(groups)
+    assert row.n_violating_groups == len(viol)
+    assert row.n_rows_at_risk == sum(viol.values())
+    assert row.min_group_size == min(groups.values())
+    assert abs(row.suppression_rate - sum(viol.values()) / len(cust)) < 1e-6
+
+
+def test_join_size_estimate_equals_real_join(spark, sf_dir):
+    """The whole point: sum(cnt²) must equal the ACTUAL self-join
+    cardinality, verified by running the join at the small SF."""
+    est = {
+        r.join_key: r.predicted_self_join_rows
+        for r in diagnostics.join_size_estimate(spark, sf_dir).collect()
+    }
+    li = read_testdata(spark, sf_dir, "lineitem")
+    for key in ("l_partkey", "l_suppkey", "l_orderkey"):
+        a = li.select(F.col(key).alias("k"))
+        real = a.join(a, "k").count()
+        assert est[key] == real, key
+
+
+def test_key_skew_profile_matches_bruteforce(spark, sf_dir):
+    rows = {r.key_name: r for r in diagnostics.key_skew_profile(spark, sf_dir).collect()}
+    li = read_testdata(spark, sf_dir, "lineitem").collect()
+    orders = read_testdata(spark, sf_dir, "orders").collect()
+    for label, cnts in [
+        ("lineitem.l_partkey", Counter(r.l_partkey for r in li)),
+        ("lineitem.l_suppkey", Counter(r.l_suppkey for r in li)),
+        ("orders.o_custkey", Counter(r.o_custkey for r in orders)),
+    ]:
+        r = rows[label]
+        assert r.n_keys == len(cnts)
+        assert r.n_rows == sum(cnts.values())
+        assert r.max_cnt == max(cnts.values())
+        avg = sum(cnts.values()) / len(cnts)
+        assert abs(r.avg_cnt - avg) < 1e-6
+        assert abs(r.skew_ratio - max(cnts.values()) / avg) < 1e-6
+        assert r.max_cnt >= r.p99_cnt >= min(cnts.values())

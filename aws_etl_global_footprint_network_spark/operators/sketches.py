@@ -219,24 +219,44 @@ def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from aws_etl_global_footprint_network_spark.functions.text import tokens as toks
 
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    scope = CacheScope("cms_frequency_estimates")
     d0 = spread(read_testdata(spark, sf_dir, "documents"))
-    c = (
+    # persist the vocabulary-sized count table: without it the
+    # tokenize+explode+groupBy subtree re-executes for every consumer
+    # (the D sketch rows, the top-k cut, and the final join).
+    c = scope.persist(
         d0.select(F.explode(toks("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    scope_rows = []
+    # one map-side explode of the depth dimension instead of a D-way
+    # union of the same subtree: the affine coefficients enter as
+    # array literals indexed by d.
+    a_arr = F.array(*[F.lit(MINHASH_A[d]) for d in range(CMS_DEPTH)])
+    b_arr = F.array(*[F.lit(MINHASH_B[d]) for d in range(CMS_DEPTH)])
     h = hash31("token")
-    for d in range(CMS_DEPTH):
-        bucket = ((MINHASH_A[d] * h + MINHASH_B[d]) % P31) % CMS_WIDTH
-        scope_rows.append(
-            c.select(
-                "token", "n", F.lit(d).alias("d"), bucket.alias("bucket")
+    keyed = c.select(
+        "token",
+        "n",
+        F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d"),
+        h.alias("h"),
+    ).select(
+        "token",
+        "n",
+        "d",
+        (
+            (
+                (
+                    F.element_at(a_arr, F.col("d") + 1) * F.col("h")
+                    + F.element_at(b_arr, F.col("d") + 1)
+                )
+                % P31
             )
-        )
-    keyed = scope_rows[0]
-    for r in scope_rows[1:]:
-        keyed = keyed.unionByName(r)
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
     cells = keyed.groupBy("d", "bucket").agg(F.sum("n").alias("cell"))
     top = c.orderBy(F.col("n").desc(), "token").limit(CMS_TOPK).select(
         "token", F.col("n").alias("exact_n")

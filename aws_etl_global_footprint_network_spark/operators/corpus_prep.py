@@ -780,13 +780,23 @@ def dsir_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row scalar collect. Both LMs share the smoothing denominator's
     vocabulary, so the ratio is exactly the DSIR hashed-ngram score
     at n=1."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    scope = CacheScope("dsir_importance_weight")
     d = spread(read_testdata(spark, sf_dir, "documents"))
-    ex = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
-    vocab = ex.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c_all"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("c_t"),
+    # persisted: ex feeds the vocabulary aggregate AND the scoring
+    # re-join; vocab feeds the scalar totals AND the join — without
+    # the persists the tokenize+explode subtree executes three times.
+    ex = scope.persist(
+        d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    )
+    vocab = scope.persist(
+        ex.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("c_t"),
+        )
     )
     v, t_b, t_t = vocab.agg(
         F.count(F.lit(1)), F.sum("c_all"), F.sum("c_t")

@@ -347,6 +347,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins lose nothing."""
     d = spread(read_testdata(spark, sf_dir, "documents"))
     tok = d.select("doc_id", tokens("text").alias("t"))
+    # deliberately NOT persisted: measured at sf0.1 the cache
+    # write/read of the exploded bigram table costs more than
+    # recomputing the (cheap) tokenize subtree, and Catalyst already
+    # reuses the identical count exchanges (persist 2.2-3.5s vs
+    # recompute 1.9-2.8s warm). Contrast ngram_novelty_score / dsir,
+    # where the reused subtree is expensive enough that the scoped
+    # persist measurably wins.
     bg = tok.select(
         "doc_id",
         F.explode(
@@ -604,10 +611,18 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rounded division, so the only float op is order-free. Docs
     with fewer than NOVELTY_N tokens have no grams and drop out on
     both engines."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    scope = CacheScope("ngram_novelty_score")
     d = spread(read_testdata(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id",
-        F.explode(word_shingles(tokens("text"), NOVELTY_N)).alias("shingle"),
+    # persisted: the tokenize+shingle explode feeds both the gram
+    # doc-count aggregate and the re-join — without the persist the
+    # explode subtree executes twice.
+    sh = scope.persist(
+        d.select(
+            "doc_id",
+            F.explode(word_shingles(tokens("text"), NOVELTY_N)).alias("shingle"),
+        )
     )
     dpg = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("nd"))
     novel = F.when(F.col("nd") == 1, 1).otherwise(0)

@@ -1,7 +1,8 @@
 """Pipeline diagnostics operators ([EXT] — operator-surface breadth
 beyond the reference, per the build brief): deterministic A/B
 experiment readout, k-anonymity privacy audit, join-size estimation
-from per-key counts, and a join-key skew profile.
+from per-key counts, a join-key skew profile, and a
+differential-privacy noisy-count release.
 
 These are the *planning and governance* queries a 100 TB pipeline runs
 before and after the heavy jobs: will this join explode (estimate it
@@ -373,4 +374,72 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile(li, "l_partkey", "lineitem.l_partkey")
         .unionByName(profile(li, "l_suppkey", "lineitem.l_suppkey"))
         .unionByName(profile(orders, "o_custkey", "orders.o_custkey"))
+    )
+
+
+# DP-release demo constants: epsilon and the Laplace scale b = 1/eps
+# for a count query of sensitivity 1. The "noise" is DETERMINISTIC
+# pseudo-randomness (md5-uniform through the Laplace inverse CDF) so
+# both engines — and reruns — produce the identical release; a real
+# deployment would swap the hash for a CSPRNG draw, which is the ONLY
+# line that changes.
+DP_EPSILON = 0.5
+DP_SCALE = 1.0 / DP_EPSILON
+DP_DENOM = float(1 << 52)
+
+
+@register(
+    "dp_noisy_counts",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, true_n,
+             (({md5_hash60_sql("('dp|' || event_type)")} % {(1 << 52) - 1}) + 1)
+               / {DP_DENOM} AS uu
+      FROM c)
+    SELECT event_type, true_n,
+           ROUND((true_n + (CASE WHEN uu < 0.5 THEN 1.0 ELSE -1.0 END)
+                  * {DP_SCALE} * ln(1.0 - 2.0 * ABS(uu - 0.5))) * 1e4, 0) / 1e4
+             AS noisy_n,
+           {DP_EPSILON} AS epsilon
+    FROM u
+    """,
+    f"differential-privacy release pattern (eps={DP_EPSILON},"
+    " sensitivity-1 count query): per-type event counts plus Laplace"
+    " noise via the inverse CDF over a DETERMINISTIC md5-uniform (so"
+    " the release is engine- and rerun-identical; swap the hash for a"
+    " CSPRNG draw in production); constant-size result",
+    tags=("diagnostics", "privacy"),
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The private-release aggregation shape: the exact groupBy runs
+    inside the engine as usual, and the Laplace mechanism is one
+    map-side expression over the (constant-size) aggregate — noise
+    never touches the fact table, so privacy costs nothing at scale.
+    Inverse-CDF Laplace: u ~ Uniform(0,1), noise = -b*sign(u-1/2)*
+    ln(1-2|u-1/2|). The uniform is (md5 % (2^52-1) + 1)/2^52 — strictly
+    inside (0,1), so the ln() argument never hits 0 — and the ln ulp
+    gap between libm implementations is healed by the 1e-4 rounding."""
+    c = read_testdata(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    u = (
+        (
+            md5_hash60(F.concat(F.lit("dp|"), F.col("event_type")))
+            % F.lit((1 << 52) - 1)
+        )
+        + 1
+    ) / F.lit(DP_DENOM)
+    noise = (
+        F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.lit(DP_SCALE)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return c.select(
+        "event_type",
+        "true_n",
+        round_compat(F.col("true_n") + noise, 4).alias("noisy_n"),
+        F.lit(DP_EPSILON).alias("epsilon"),
     )

@@ -135,6 +135,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "join_size_estimate",
     "key_skew_profile",
+    "dp_noisy_counts",
 ]
 
 

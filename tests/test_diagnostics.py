@@ -111,3 +111,27 @@ def test_key_skew_profile_matches_bruteforce(spark, sf_dir):
         assert abs(r.avg_cnt - avg) < 1e-6
         assert abs(r.skew_ratio - max(cnts.values()) / avg) < 1e-6
         assert r.max_cnt >= r.p99_cnt >= min(cnts.values())
+
+
+def test_dp_noise_matches_inverse_cdf(spark, sf_dir):
+    """The pseudo-Laplace noise equals the inverse-CDF formula
+    re-derived in Python from the md5 uniform, and true counts match
+    raw group counts."""
+    rows = diagnostics.dp_noisy_counts(spark, sf_dir).collect()
+    ev = Counter(
+        r.event_type
+        for r in read_testdata(spark, sf_dir, "events").select("event_type").collect()
+    )
+    assert {r.event_type for r in rows} == set(ev)
+    for r in rows:
+        assert r.true_n == ev[r.event_type]
+        u = (
+            _md5_60(f"dp|{r.event_type}") % ((1 << 52) - 1) + 1
+        ) / diagnostics.DP_DENOM
+        noise = (
+            (1.0 if u < 0.5 else -1.0)
+            * diagnostics.DP_SCALE
+            * math.log(1.0 - 2.0 * abs(u - 0.5))
+        )
+        assert abs(r.noisy_n - (r.true_n + noise)) < 1e-3
+        assert r.epsilon == diagnostics.DP_EPSILON

@@ -292,3 +292,35 @@ def test_partition_pruning_on_year_filter(spark, sf_dir, tmp_path):
     # pruned scan reads exactly the one partition's rows
     expected = li.filter(F.col("year") == 1996).count()
     assert scan.count() == expected
+
+
+def test_new_ops_prune_scans_to_needed_columns(spark, sf_dir):
+    """The 100 TB contract from the brief: a scan that reads all
+    columns for a narrow projection is wrong. Each diagnostics /
+    analytics operator's parquet scans must read exactly the columns
+    its expressions need (spot-pinned here; representative of the
+    audit run over every round-6 operator)."""
+    import re
+
+    expectations = {
+        # events has 6 columns; these ops must NOT read value/props
+        "dp_noisy_counts": {"events": {"event_type"}},
+        "ab_test_conversion": {"events": {"ts", "user_id", "event_type"}},
+        # customer: c_name must never be scanned by the stats ops
+        "mad_outlier_stats": {"customer": {"c_nationkey", "c_acctbal"}},
+        "k_anonymity_audit": {
+            "customer": {"c_nationkey", "c_acctbal", "c_mktsegment"}
+        },
+        # lineitem is 16-ish columns wide; the basket op needs two
+        "market_basket_rules": {"lineitem": {"l_orderkey", "l_partkey"}},
+        "snapshot_diff_audit": {"orders": {"o_orderkey", "o_totalprice"}},
+    }
+    for name, tables in expectations.items():
+        plan = executed_plan(SPECS[name].builder(spark, sf_dir))
+        for m in re.finditer(
+            r"file:[^\]]*/(\w+)\.parquet\][^\n]*ReadSchema: struct<([^>]*)", plan
+        ):
+            table, schema = m.group(1), m.group(2)
+            if table in tables:
+                cols = {c.split(":")[0] for c in schema.split(",") if c}
+                assert cols == tables[table], (name, table, cols)

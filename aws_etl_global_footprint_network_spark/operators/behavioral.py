@@ -432,3 +432,185 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         round_compat(F.sum("value"), 2).alias("attributed_value"),
     )
+
+
+# Time-to-convert and LTV-curve constants.
+LAT_QS = (0.5, 0.9, 0.99)
+LTV_MAX_OFFSET = 5
+
+
+@register(
+    "signup_to_purchase_latency",
+    """
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS t_signup
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t_signup
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT s.user_id, p.t_purchase - s.t_signup AS lat_us
+      FROM s JOIN p ON s.user_id = p.user_id
+      WHERE s.t_signup IS NOT NULL)
+    SELECT CAST((SELECT COUNT(*) FROM s WHERE t_signup IS NOT NULL) AS BIGINT)
+             AS n_signup_users,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(lat_us, 0.5) / 86400000000.0 * 1e6, 0) / 1e6
+             AS p50_days,
+           ROUND(quantile_cont(lat_us, 0.9) / 86400000000.0 * 1e6, 0) / 1e6
+             AS p90_days,
+           ROUND(quantile_cont(lat_us, 0.99) / 86400000000.0 * 1e6, 0) / 1e6
+             AS p99_days
+    FROM lat
+    """,
+    "time-to-convert analysis: per user the first signup and the"
+    " first purchase at-or-after it, latency percentiles"
+    " (p50/p90/p99 days) over exact integer microseconds with ONE"
+    " division per quantile; single-row result",
+    tags=("behavioral", "analytics"),
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-to-event query behind activation dashboards: both
+    anchor events reduce through one user_id-keyed aggregation (the
+    min-after-min chains the ``events_funnel`` recipe), latencies are
+    exact integer microsecond differences, and the percentile runs
+    over the converted-users table — user-cardinality, not events.
+    The at-or-after filter makes 'purchase before ever signing up'
+    count as not-converted on both engines."""
+    e = read_testdata(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("t_signup")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("t_us"))
+        .join(s, "user_id")
+        .filter(F.col("t_us") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_purchase"))
+    )
+    lat = (
+        s.filter(F.col("t_signup").isNotNull())
+        .join(p, "user_id")
+        .select((F.col("t_purchase") - F.col("t_signup")).alias("lat_us"))
+    )
+    n_signup = s.filter(F.col("t_signup").isNotNull()).count()
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    day_us = F.lit(86_400_000_000.0)
+    return lat.agg(
+        F.lit(int(n_signup)).cast("bigint").alias("n_signup_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        round_compat(F.expr("percentile(lat_us, 0.5)") / day_us, 6).alias(
+            "p50_days"
+        ),
+        round_compat(F.expr("percentile(lat_us, 0.9)") / day_us, 6).alias(
+            "p90_days"
+        ),
+        round_compat(F.expr("percentile(lat_us, 0.99)") / day_us, 6).alias(
+            "p99_days"
+        ),
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    f"""
+    WITH fm AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000) AS cohort_day
+      FROM events GROUP BY user_id),
+    sz AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM fm GROUP BY cohort_day),
+    rev AS (
+      SELECT fm.cohort_day,
+             epoch_us(e.ts) // 86400000000 - fm.cohort_day AS offset_day,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN fm ON e.user_id = fm.user_id
+      WHERE e.event_type = 'purchase'),
+    g AS (
+      SELECT cohort_day, offset_day, CAST(SUM(cents) AS BIGINT) AS day_cents
+      FROM rev WHERE offset_day BETWEEN 0 AND {LTV_MAX_OFFSET}
+      GROUP BY cohort_day, offset_day),
+    c AS (
+      SELECT cohort_day, offset_day, day_cents,
+             SUM(day_cents) OVER (PARTITION BY cohort_day ORDER BY offset_day
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM g)
+    SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+           CAST(c.offset_day AS BIGINT) AS offset_day,
+           c.day_cents,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           sz.cohort_users,
+           ROUND(c.cum_cents / CAST(sz.cohort_users AS DOUBLE) / 100.0
+                 * 1e6, 0) / 1e6 AS ltv_per_user
+    FROM c JOIN sz USING (cohort_day)
+    """,
+    f"cohort lifetime-value curve: purchase revenue per first-seen-day"
+    f" cohort at day offsets 0..{LTV_MAX_OFFSET}, with the running"
+    " cumulative (bounded per-cohort window) and per-user LTV;"
+    " cohorting is integer epoch-day arithmetic (the corpus spans 30"
+    " days, so day is the natural grain) and cents stay integers"
+    " until one rounded division",
+    tags=("behavioral", "analytics"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The marketing-finance curve: does a cohort's cumulative revenue
+    per user flatten or keep compounding? One shuffle on user_id
+    anchors each user's cohort day; revenue re-joins on the same
+    key (no re-partitioning); the cumulative window partitions by
+    cohort over at most {LTV_MAX_OFFSET}+1 rows. Day indexing is
+    integer floor division of epoch microseconds — no calendar
+    truncation semantics to disagree on — and cents stay integers
+    until the final per-user division."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    e = read_testdata(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    fm = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    sz = fm.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            day.alias("d"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .join(fm, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("d") - F.col("cohort_day")).alias("offset_day"),
+            "cents",
+        )
+        .filter(F.col("offset_day").between(0, LTV_MAX_OFFSET))
+    )
+    g = rev.groupBy("cohort_day", "offset_day").agg(
+        F.sum("cents").cast("bigint").alias("day_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("offset_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.withColumn("cum_cents", F.sum("day_cents").over(w))
+    return c.join(sz, "cohort_day").select(
+        F.col("cohort_day").cast("bigint").alias("cohort_day"),
+        F.col("offset_day").cast("bigint").alias("offset_day"),
+        "day_cents",
+        F.col("cum_cents").cast("bigint").alias("cum_cents"),
+        "cohort_users",
+        round_compat(
+            F.col("cum_cents") / F.col("cohort_users").cast("double") / F.lit(100.0),
+            6,
+        ).alias("ltv_per_user"),
+    )

@@ -136,6 +136,8 @@ HEADLINE = [
     "join_size_estimate",
     "key_skew_profile",
     "dp_noisy_counts",
+    "signup_to_purchase_latency",
+    "cohort_ltv_curve",
 ]
 
 

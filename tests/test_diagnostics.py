@@ -135,3 +135,79 @@ def test_dp_noise_matches_inverse_cdf(spark, sf_dir):
         )
         assert abs(r.noisy_n - (r.true_n + noise)) < 1e-3
         assert r.epsilon == diagnostics.DP_EPSILON
+
+
+def test_signup_latency_matches_bruteforce(spark, sf_dir):
+    from aws_etl_global_footprint_network_spark.operators import behavioral
+
+    row = behavioral.signup_to_purchase_latency(spark, sf_dir).collect()[0]
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    signup: dict[int, int] = {}
+    buys: dict[int, list] = {}
+    for r in ev:
+        if r.event_type == "signup":
+            signup[r.user_id] = min(signup.get(r.user_id, r.us), r.us)
+        elif r.event_type == "purchase":
+            buys.setdefault(r.user_id, []).append(r.us)
+    lats = []
+    for uid, t0 in signup.items():
+        after = [t for t in buys.get(uid, []) if t >= t0]
+        if after:
+            lats.append(min(after) - t0)
+    assert row.n_signup_users == len(signup)
+    assert row.n_converted == len(lats)
+    lats.sort()
+
+    def q_cont(xs, q):
+        h = (len(xs) - 1) * q
+        lo = int(h)
+        return xs[lo] + (h - lo) * (xs[min(lo + 1, len(xs) - 1)] - xs[lo])
+
+    for col, q in [("p50_days", 0.5), ("p90_days", 0.9), ("p99_days", 0.99)]:
+        assert abs(row[col] - q_cont(lats, q) / 86_400_000_000.0) < 1e-5, col
+
+
+def test_cohort_ltv_is_cumulative_and_conserves(spark, sf_dir):
+    from aws_etl_global_footprint_network_spark.operators import behavioral
+
+    rows = behavioral.cohort_ltv_curve(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.offset_day <= behavioral.LTV_MAX_OFFSET
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.offset_day)
+        run = 0
+        for r in rs:
+            run += r.day_cents
+            assert r.cum_cents == run, (cohort, r.offset_day)
+            assert abs(
+                r.ltv_per_user - r.cum_cents / r.cohort_users / 100.0
+            ) < 1e-5
+    # conservation: sum of day_cents equals raw purchase cents inside
+    # the offset window
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    first_day: dict[int, int] = {}
+    for r in ev:
+        first_day[r.user_id] = min(first_day.get(r.user_id, r.d), r.d)
+    expect = sum(
+        r.cents
+        for r in ev
+        if r.event_type == "purchase"
+        and 0 <= r.d - first_day[r.user_id] <= behavioral.LTV_MAX_OFFSET
+    )
+    assert sum(r.day_cents for r in rows) == expect

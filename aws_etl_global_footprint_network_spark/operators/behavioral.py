@@ -1,6 +1,8 @@
-"""Behavioral analytics over ``events`` ([EXT]): ordered funnel and
-cohort retention — the two queries every product-analytics engine
-(and the reference's events surface) is ultimately asked for.
+"""Behavioral analytics over ``events`` ([EXT]): ordered funnel,
+cohort retention, attribution/decay value, RFM, monthly growth,
+time-to-convert latency and the cohort LTV curve — the queries every
+product-analytics engine (and the reference's events surface) is
+ultimately asked for.
 
 Scale posture: both are built on a single hash partitioning by
 ``user_id`` — the funnel chains window expressions over one shuffle

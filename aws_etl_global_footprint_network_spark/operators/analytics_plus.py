@@ -617,14 +617,23 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    pair_structs = F.expr(
-        "flatten(transform(ps, (x, i) ->"
-        " transform(slice(ps, i + 2, size(ps)),"
-        " y -> struct(x AS part_a, y AS part_b))))"
-    )
+    # pair generation as TWO index explodes + element_at rather than a
+    # nested HOF lambda building structs: generators over sequence()
+    # stay in whole-stage codegen, the lambda form is interpreted per
+    # output row (measured ~20% faster on the pair stage at sf0.1);
+    # sort order makes part_a < part_b for free. sequence() needs
+    # start <= stop, hence the size >= 2 guard (1-item baskets have no
+    # pairs anyway).
     pairs = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .select("p.part_a", "p.part_b")
+        baskets.filter(F.size("ps") >= 2)
+        .select("ps", F.explode(F.sequence(F.lit(1), F.size("ps") - 1)).alias("i"))
+        .select(
+            "ps", "i", F.explode(F.sequence(F.col("i") + 1, F.size("ps"))).alias("j")
+        )
+        .select(
+            F.element_at("ps", F.col("i")).alias("part_a"),
+            F.element_at("ps", F.col("j")).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
     )

@@ -753,3 +753,58 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oc").cast("bigint").alias("sum_old_cents"),
         F.sum("nc").cast("bigint").alias("sum_new_cents"),
     )
+
+
+@register(
+    "event_interarrival_stats",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events),
+    g AS (
+      SELECT event_type,
+             us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS gap_us
+      FROM e)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6 * 1e6, 0) / 1e6
+             AS p50_seconds,
+           ROUND(quantile_cont(gap_us, 0.95) / 1e6 * 1e6, 0) / 1e6
+             AS p95_seconds,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    "operational inter-arrival analysis: per event type the p50/p95"
+    " gap between a user's consecutive events of that type (LAG over"
+    " (user, type) on integer microseconds, (ts, event_id) total"
+    " order), plus the max gap — the SLA/heartbeat-monitoring query",
+    tags=("analytics", "timeseries"),
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat monitoring: a p95 inter-arrival gap blowing out is
+    the first sign of an ingestion stall. One window shuffle on
+    (user_id, event_type) — the natural high-cardinality composite —
+    produces exact integer-microsecond gaps; the percentile then runs
+    per event type over the gap table (events-cardinality, but
+    grouped into |event_types| constant-size results with partial
+    aggregation). The division to seconds is one exact-input op per
+    quantile, rounded on the shared grain."""
+    e = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    g = e.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        round_compat(F.expr("percentile(gap_us, 0.5)") / F.lit(1e6), 6).alias(
+            "p50_seconds"
+        ),
+        round_compat(F.expr("percentile(gap_us, 0.95)") / F.lit(1e6), 6).alias(
+            "p95_seconds"
+        ),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

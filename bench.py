@@ -138,6 +138,7 @@ HEADLINE = [
     "dp_noisy_counts",
     "signup_to_purchase_latency",
     "cohort_ltv_curve",
+    "event_interarrival_stats",
 ]
 
 

@@ -211,3 +211,37 @@ def test_cohort_ltv_is_cumulative_and_conserves(spark, sf_dir):
         and 0 <= r.d - first_day[r.user_id] <= behavioral.LTV_MAX_OFFSET
     )
     assert sum(r.day_cents for r in rows) == expect
+
+
+def test_interarrival_stats_match_bruteforce(spark, sf_dir):
+    from aws_etl_global_footprint_network_spark.operators import analytics_plus
+
+    rows = {
+        r.event_type: r
+        for r in analytics_plus.event_interarrival_stats(spark, sf_dir).collect()
+    }
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    seqs: dict[tuple, list] = {}
+    for r in sorted(ev, key=lambda r: (r.us, r.event_id)):
+        seqs.setdefault((r.user_id, r.event_type), []).append(r.us)
+    gaps: dict[str, list] = {}
+    for (uid, et), us in seqs.items():
+        gaps.setdefault(et, []).extend(b - a for a, b in zip(us, us[1:]))
+
+    def q_cont(xs, q):
+        xs = sorted(xs)
+        h = (len(xs) - 1) * q
+        lo = int(h)
+        return xs[lo] + (h - lo) * (xs[min(lo + 1, len(xs) - 1)] - xs[lo])
+
+    assert set(rows) == set(gaps)
+    for et, g in gaps.items():
+        r = rows[et]
+        assert r.n_gaps == len(g)
+        assert r.max_gap_us == max(g)
+        assert abs(r.p50_seconds - q_cont(g, 0.5) / 1e6) < 1e-5
+        assert abs(r.p95_seconds - q_cont(g, 0.95) / 1e6) < 1e-5

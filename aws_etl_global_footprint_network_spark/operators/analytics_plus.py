@@ -808,3 +808,55 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@register(
+    "percent_rank_normalize",
+    """
+    WITH c AS (
+      SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer)
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, bal_cents,
+           ROUND(PERCENT_RANK() OVER (ORDER BY bal_cents) * 1e6, 0) / 1e6
+             AS pct_rank
+    FROM c
+    """,
+    "rank-based feature normalization: PERCENT_RANK of every"
+    " customer's balance over the WHOLE relation, computed"
+    " scale-safely (range repartition + per-partition row_number +"
+    " broadcast offsets + per-value min for tie sharing) — never the"
+    " single-task global window the SQL form implies",
+    tags=("analytics", "ml-prep", "scale"),
+)
+def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-engineering transform behind rank-gauss / quantile
+    normalization: pct = (rank - 1) / (n - 1) with ties sharing the
+    minimum rank (standard PERCENT_RANK). The naive window is an
+    unpartitioned global sort through one task; this uses the
+    ``functions/ranking`` distributed recipe — total order
+    (bal_cents, c_custkey) for determinism, then RANK recovered as
+    MIN(row_number) within each tie group (a window partitioned BY
+    VALUE, bounded by tie-group size). The final division is one
+    exact-input op, rounded on the shared grain."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_row_number,
+    )
+
+    scope = CacheScope("percent_rank_normalize")
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    rn = distributed_row_number(
+        c, [F.col("bal_cents"), F.col("c_custkey")], "rn", scope
+    )
+    n = c.count()
+    rank = F.min("rn").over(Window.partitionBy("bal_cents"))
+    return rn.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "bal_cents",
+        round_compat(
+            (rank - F.lit(1)).cast("double") / F.lit(float(n - 1)), 6
+        ).alias("pct_rank"),
+    )

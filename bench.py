@@ -139,6 +139,7 @@ HEADLINE = [
     "signup_to_purchase_latency",
     "cohort_ltv_curve",
     "event_interarrival_stats",
+    "percent_rank_normalize",
 ]
 
 

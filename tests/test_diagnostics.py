@@ -245,3 +245,19 @@ def test_interarrival_stats_match_bruteforce(spark, sf_dir):
         assert r.max_gap_us == max(g)
         assert abs(r.p50_seconds - q_cont(g, 0.5) / 1e6) < 1e-5
         assert abs(r.p95_seconds - q_cont(g, 0.95) / 1e6) < 1e-5
+
+
+def test_percent_rank_matches_bruteforce_with_ties(spark, sf_dir):
+    from aws_etl_global_footprint_network_spark.operators import analytics_plus
+
+    rows = analytics_plus.percent_rank_normalize(spark, sf_dir).collect()
+    vals = sorted(r.bal_cents for r in rows)
+    n = len(vals)
+    import bisect
+
+    for r in rows:
+        rank = bisect.bisect_left(vals, r.bal_cents) + 1  # min rank of ties
+        assert abs(r.pct_rank - (rank - 1) / (n - 1)) < 1e-6
+    # boundary values
+    assert min(r.pct_rank for r in rows) == 0.0
+    assert max(r.pct_rank for r in rows) == 1.0

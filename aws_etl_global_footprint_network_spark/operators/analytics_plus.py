@@ -4,8 +4,9 @@ exact-cents proration (largest-remainder allocation), gap-and-islands
 streak detection, a Benford first-digit data-quality check, a Markov
 event-transition matrix, a bounded-frame exact rolling median, a
 median/MAD robust-outlier screen, an offline CUSUM changepoint
-detector, market-basket association rules, and a snapshot-diff
-reconciliation audit.
+detector, market-basket association rules, a snapshot-diff
+reconciliation audit, per-type inter-arrival SLA statistics, and
+distributed percent-rank feature normalization.
 
 Scale posture: every operator here partitions its windows by a natural
 high-cardinality key (order, customer, user) or aggregates to a

@@ -861,3 +861,63 @@ def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rank - F.lit(1)).cast("double") / F.lit(float(n - 1)), 6
         ).alias("pct_rank"),
     )
+
+
+BAG_TOP = 20
+
+
+@register(
+    "bag_set_ops_quantities",
+    f"""
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_linenumber = 1),
+    b AS (SELECT l_partkey FROM lineitem WHERE l_linenumber = 2),
+    ex AS (
+      SELECT 'except_all' AS op, l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+      GROUP BY l_partkey),
+    ia AS (
+      SELECT 'intersect_all' AS op, l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+      GROUP BY l_partkey),
+    u AS (SELECT * FROM ex UNION ALL SELECT * FROM ia)
+    SELECT op, CAST(l_partkey AS BIGINT) AS l_partkey, cnt
+    FROM u
+    ORDER BY cnt DESC, op, l_partkey LIMIT {BAG_TOP}
+    """,
+    "bag-semantics set operations (EXCEPT ALL / INTERSECT ALL,"
+    " Spark's exceptAll/intersectAll): multiset difference and"
+    f" intersection of part keys between first and second lineitems,"
+    f" per-key multiplicities, top-{BAG_TOP} by (count, op, key)",
+    tags=("relational", "setops"),
+)
+def bag_set_ops_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALL variants the DISTINCT set ops miss: EXCEPT ALL keeps
+    max(count_a - count_b, 0) copies per key, INTERSECT ALL keeps
+    min(count_a, count_b) — duplicate-preserving semantics Spark
+    implements natively (``exceptAll`` / ``intersectAll``, planned as
+    count-aggregate + generate, never a distinct). One shuffle per
+    operand pair, then the bounded TakeOrdered cut; output is
+    all-integer."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select("l_partkey")
+    b = li.filter(F.col("l_linenumber") == 2).select("l_partkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.lit("except_all").alias("op"), "l_partkey", "cnt")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.lit("intersect_all").alias("op"), "l_partkey", "cnt")
+    )
+    return (
+        ex.unionByName(ia)
+        .orderBy(F.col("cnt").desc(), "op", "l_partkey")
+        .limit(BAG_TOP)
+        .select("op", F.col("l_partkey").cast("bigint").alias("l_partkey"), "cnt")
+    )

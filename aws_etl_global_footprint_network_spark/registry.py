@@ -137,7 +137,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # IN the window (slot swapped), but ab_test_conversion,
 # k_anonymity_audit, join_size_estimate, key_skew_profile,
 # dp_noisy_counts, signup_to_purchase_latency, cohort_ltv_curve,
-# event_interarrival_stats and percent_rank_normalize are not —
+# event_interarrival_stats, percent_rank_normalize and
+# bag_set_ops_quantities are not —
 # they are the FIRST candidates for round 7's window under the
 # never-sampled-outranks-stale rule, alongside the deferred round-3
 # ANN/multimodal cohort. All are swept locally (test_oracle_parity)

@@ -140,6 +140,7 @@ HEADLINE = [
     "cohort_ltv_curve",
     "event_interarrival_stats",
     "percent_rank_normalize",
+    "bag_set_ops_quantities",
 ]
 
 

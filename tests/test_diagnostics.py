@@ -261,3 +261,20 @@ def test_percent_rank_matches_bruteforce_with_ties(spark, sf_dir):
     # boundary values
     assert min(r.pct_rank for r in rows) == 0.0
     assert max(r.pct_rank for r in rows) == 1.0
+
+
+def test_bag_set_ops_match_multiset_math(spark, sf_dir):
+    from aws_etl_global_footprint_network_spark.operators import analytics_plus
+
+    rows = analytics_plus.bag_set_ops_quantities(spark, sf_dir).collect()
+    assert 0 < len(rows) <= analytics_plus.BAG_TOP
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_partkey"
+    ).collect()
+    a = Counter(r.l_partkey for r in li if r.l_linenumber == 1)
+    b = Counter(r.l_partkey for r in li if r.l_linenumber == 2)
+    for r in rows:
+        if r.op == "except_all":
+            assert r.cnt == max(a[r.l_partkey] - b[r.l_partkey], 0)
+        else:
+            assert r.cnt == min(a[r.l_partkey], b[r.l_partkey])

@@ -278,3 +278,42 @@ def test_bag_set_ops_match_multiset_math(spark, sf_dir):
             assert r.cnt == max(a[r.l_partkey] - b[r.l_partkey], 0)
         else:
             assert r.cnt == min(a[r.l_partkey], b[r.l_partkey])
+
+
+def test_median_two_element_formula_is_statistics_median():
+    """The rolling-median operator's closed form — (arr[(n+1)//2-1] +
+    arr[n//2]) / 2 over the sorted frame — must equal the textbook
+    median for every length and any integers (hypothesis sweep)."""
+    import statistics
+
+    from hypothesis import given, strategies as st
+
+    @given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=25))
+    def check(xs):
+        arr = sorted(xs)
+        n = len(arr)
+        got = (arr[(n + 1) // 2 - 1] + arr[n // 2]) / 2
+        assert got == statistics.median(xs)
+
+    check()
+
+
+def test_percent_rank_min_tie_rule_matches_reference():
+    """PERCENT_RANK's tie rule — every duplicate shares the MINIMUM
+    rank — as implemented via bisect in the operator's verification,
+    must match a direct O(n²) reference on random multisets."""
+    from hypothesis import given, strategies as st
+    import bisect
+
+    @given(st.lists(st.integers(-50, 50), min_size=2, max_size=60))
+    def check(xs):
+        svals = sorted(xs)
+        n = len(xs)
+        for x in xs:
+            rank_bisect = bisect.bisect_left(svals, x) + 1
+            rank_direct = 1 + sum(1 for y in xs if y < x)
+            assert rank_bisect == rank_direct
+            pct = (rank_bisect - 1) / (n - 1)
+            assert 0.0 <= pct <= 1.0
+
+    check()

@@ -178,3 +178,46 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
         ).collect()[0][0] == 0
     finally:
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Schema evolution across parquet writes: a v2 append adds a
+    column; a plain read keeps serving the footer schema Spark picked,
+    while ``mergeSchema=True`` reads the UNION schema with old rows
+    null-filled — the lakehouse upgrade path a user migrating a
+    long-lived dataset depends on."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, name STRING")
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 30.5)], "id INT, name STRING, score DOUBLE"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score is None
+    assert rows[3].score == 30.5
+    # the evolved read stays filter-able on the new column (pushdown
+    # applies only to files that HAVE the column; old files null out)
+    assert merged.filter(F.col("score") > 10).count() == 1
+    # and on the old columns across both file generations
+    assert merged.filter(F.col("id") <= 2).count() == 2
+
+
+def test_schema_evolution_column_reorder_by_name(spark, tmp_path):
+    """Writes with permuted column ORDER resolve by NAME under
+    mergeSchema — a schema-drift hazard for naive positional readers."""
+    path = str(tmp_path / "reordered")
+    spark.createDataFrame([(1, "x")], "id INT, tag STRING").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame([("y", 2)], "tag STRING, id INT").write.mode(
+        "append"
+    ).parquet(path)
+    got = {
+        (r.id, r.tag)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {(1, "x"), (2, "y")}

@@ -221,3 +221,45 @@ def test_schema_evolution_column_reorder_by_name(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert got == {(1, "x"), (2, "y")}
+
+
+def test_json_malformed_record_modes(spark, tmp_path):
+    """The three JSON parse modes on a file with one malformed line:
+    PERMISSIVE null-fills and captures the raw line in the corrupt
+    column, DROPMALFORMED silently drops it, FAILFAST raises — the
+    ingestion-robustness contract for the raw zone (reference ingests
+    REST JSON payloads; a malformed record must never corrupt a
+    load)."""
+    import pytest as _pytest
+
+    p = tmp_path / "raw.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "{this is not json}\n"
+        '{"id": 2, "v": 20.25}\n'
+    )
+    schema = "id INT, v DOUBLE, _corrupt STRING"
+
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(p))
+    )
+    rows = perm.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(bad) == 1 and bad[0].id is None
+    assert "not json" in bad[0]._corrupt
+
+    dropped = (
+        spark.read.schema("id INT, v DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r.id for r in dropped.collect()} == {1, 2}
+
+    with _pytest.raises(Exception):
+        spark.read.schema("id INT, v DOUBLE").option(
+            "mode", "FAILFAST"
+        ).json(str(p)).collect()

@@ -263,3 +263,23 @@ def test_json_malformed_record_modes(spark, tmp_path):
         spark.read.schema("id INT, v DOUBLE").option(
             "mode", "FAILFAST"
         ).json(str(p)).collect()
+
+
+def test_decimal_aggregation_matches_integer_cents(spark, sf_dir):
+    """The engine's money convention is integer cents; Spark's
+    DECIMAL(18,2) path must agree EXACTLY with it on a full-table sum
+    (decimal aggregation is exact by construction — this pins that the
+    cents recipe and the decimal recipe are interchangeable, so either
+    convention can be exposed to users)."""
+    o = read_testdata(spark, sf_dir, "orders")
+    dec_sum = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("d")
+    ).agg(F.sum("d").alias("s")).collect()[0].s
+    cents_sum = (
+        o.select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"))
+        .agg(F.sum("c").alias("s"))
+        .collect()[0]
+        .s
+    )
+    # decimal sum * 100 is an exact integer equal to the cents sum
+    assert int(dec_sum * 100) == cents_sum

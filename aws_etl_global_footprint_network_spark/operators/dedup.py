@@ -210,16 +210,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates come only from same-(band,bucket) joins; the
     verify join ships token sets only for candidate docs (tok is
-    semi-joined against the candidate ids — a broadcast, since
-    candidates are tiny by LSH construction — before the pair-token
-    join), never all-pairs. Set sizes ride along in the signature
-    aggregation (one groupBy computes both). Persisted intermediates
+    semi-joined against the candidate ids before the pair-token
+    join), never all-pairs. No join in the verify stage carries a
+    broadcast hint: cand/cand_docs/sizes are all proportional to the
+    near-dup rate x corpus, unbounded at 100 TB — AQE broadcasts
+    whichever side is genuinely small at runtime instead. Set sizes
+    ride along in the signature aggregation (one groupBy computes
+    both) and are semi-pruned to candidate docs before the lookup
+    joins. Persisted intermediates
     (shingle set, signatures, candidates) are scoped: re-invoking the
     query unpersists the previous generation, so a long-lived session
     stays at one cached copy (functions.cache.CacheScope). ``sig`` is
     the persist point rather than ``bands``: it feeds the band
     self-join AND both size lookups, so caching it avoids re-running
-    the signature aggregation in every broadcast job."""
+    the signature aggregation in every downstream job."""
     scope = CacheScope("dedup_minhash_lsh")
     tok = scope.persist(_shingle_sets(spark, sf_dir))
     # one groupBy yields the minhash signature AND the set size
@@ -251,12 +255,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # prune the shingle table to candidate docs before the pair join
-    tokc = tok.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # Hint-free verify joins (same pattern as similarity.ann_lsh_pairs):
+    # cand / cand_docs / sizes all scale with the near-dup rate x corpus,
+    # so a hard F.broadcast on any of them is an OOM by construction at
+    # 100 TB.  AQE still broadcasts whichever side is actually small at
+    # runtime.  sizes is semi-pruned to candidate docs first so the
+    # shuffle ships one row per candidate doc, not per corpus doc.
+    tokc = tok.join(cand_docs, "doc_id", "left_semi")
     x = tokc.alias("x")
     y = tokc.alias("y")
     inter = (
-        F.broadcast(cand)
-        .join(x, F.col("x.doc_id") == F.col("doc_a"))
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(
             y,
             (F.col("y.doc_id") == F.col("doc_b"))
@@ -265,13 +274,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sig.select("doc_id", "n")
+    sizes = sig.select("doc_id", "n").join(cand_docs, "doc_id", "left_semi")
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     return (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_a",
@@ -542,12 +551,17 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select("doc_b"))
         .distinct()
     )
-    tokc = tok.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # Hint-free verify joins (same pattern as similarity.ann_lsh_pairs):
+    # cand / cand_docs / sizes all scale with the near-dup rate x corpus,
+    # so a hard F.broadcast on any of them is an OOM by construction at
+    # 100 TB.  AQE still broadcasts whichever side is actually small at
+    # runtime.  sizes is semi-pruned to candidate docs first so the
+    # shuffle ships one row per candidate doc, not per corpus doc.
+    tokc = tok.join(cand_docs, "doc_id", "left_semi")
     x = tokc.alias("x")
     y = tokc.alias("y")
     inter = (
-        F.broadcast(cand)
-        .join(x, F.col("x.doc_id") == F.col("doc_a"))
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(
             y,
             (F.col("y.doc_id") == F.col("doc_b"))
@@ -556,14 +570,14 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sig.select("doc_id", "n")
+    sizes = sig.select("doc_id", "n").join(cand_docs, "doc_id", "left_semi")
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     cont = F.col("i") / F.least(F.col("sa.n"), F.col("sb.n"))
     return (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select(
             "doc_a",

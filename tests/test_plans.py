@@ -324,3 +324,22 @@ def test_new_ops_prune_scans_to_needed_columns(spark, sf_dir):
             if table in tables:
                 cols = {c.split(":")[0] for c in schema.split(",") if c}
                 assert cols == tables[table], (name, table, cols)
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_containment_pairs"])
+def test_dedup_verify_stage_hint_free(spark, sf_dir, name):
+    """The lexical-dedup verify stages must NOT carry user broadcast
+    hints: cand (candidate pairs), cand_docs, and the per-doc size
+    table all scale with near-dup-rate x corpus — a hard F.broadcast on
+    any of them is a driver/executor OOM by construction at 100 TB
+    (round-6 verdict item 1). AQE is still free to broadcast whichever
+    side is genuinely small at runtime, so this gate checks the
+    *declared* plan (no ResolvedHint anywhere), not the executed join
+    strategy. It also pins the semi-prune shape: the plan must carry
+    LeftSemi joins (token table AND size table pruned to candidate
+    docs) so the size lookup ships one row per candidate doc, not per
+    corpus doc."""
+    df = SPECS[name].builder(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:800]
+    assert analyzed.count("LeftSemi") >= 2, analyzed[:800]

@@ -249,7 +249,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    cand_docs = (
+    # persisted: consumed three times (token prune + both size pruned
+    # lookups); bounded by the candidate count, not the corpus
+    cand_docs = scope.persist(
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select("doc_b"))
         .distinct()
@@ -274,7 +276,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sig.select("doc_id", "n").join(cand_docs, "doc_id", "left_semi")
+    sizes = scope.persist(
+        sig.select("doc_id", "n").join(cand_docs, "doc_id", "left_semi")
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
@@ -546,7 +550,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    cand_docs = (
+    # persisted: consumed three times (token prune + both size pruned
+    # lookups); bounded by the candidate count, not the corpus
+    cand_docs = scope.persist(
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select("doc_b"))
         .distinct()
@@ -570,7 +576,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sig.select("doc_id", "n").join(cand_docs, "doc_id", "left_semi")
+    sizes = scope.persist(
+        sig.select("doc_id", "n").join(cand_docs, "doc_id", "left_semi")
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))

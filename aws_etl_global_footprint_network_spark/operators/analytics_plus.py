@@ -313,7 +313,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT event_id, user_id, ts,
              CAST(ROUND(value * 100) AS BIGINT) AS v_cents
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     w AS (
       SELECT event_id, user_id, v_cents,
              list_sort(list(v_cents) OVER (
@@ -344,11 +344,19 @@ def rolling_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-element formula); the single ``/200.0`` is exact-input IEEE
     division, identical in both engines, so no rounding contract is
     needed."""
-    e = read_testdata(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+    # NULL contract pinned explicitly: Spark's collect_list silently
+    # drops NULLs while DuckDB's list() keeps them, so a nullable
+    # `value` would silently diverge — both twins filter NULLs up
+    # front instead of assuming the corpus is non-null.
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -852,14 +860,26 @@ def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = distributed_row_number(
         c, [F.col("bal_cents"), F.col("c_custkey")], "rn", scope
     )
-    n = c.count()
+    # relation size enters as an in-plan 1-row broadcast aggregate
+    # (the whitelisted scalar-subquery pattern), keeping the builder
+    # lazy — n reflects the data at execution time, like the oracle's
+    # PERCENT_RANK. n <= 1 is guarded to 0.0, matching PERCENT_RANK's
+    # single-row convention instead of x/0.0 -> NULL.
+    n1 = c.agg(F.count(F.lit(1)).alias("n_total"))
     rank = F.min("rn").over(Window.partitionBy("bal_cents"))
-    return rn.select(
-        F.col("c_custkey").cast("bigint").alias("c_custkey"),
-        "bal_cents",
-        round_compat(
-            (rank - F.lit(1)).cast("double") / F.lit(float(n - 1)), 6
-        ).alias("pct_rank"),
+    return (
+        rn.crossJoin(F.broadcast(n1))
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "bal_cents",
+            round_compat(
+                F.when(F.col("n_total") > 1,
+                       (rank - F.lit(1)).cast("double")
+                       / (F.col("n_total") - F.lit(1)).cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+        )
     )
 
 

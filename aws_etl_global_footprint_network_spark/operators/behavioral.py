@@ -503,12 +503,19 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id")
         .select((F.col("t_purchase") - F.col("t_signup")).alias("lat_us"))
     )
-    n_signup = s.filter(F.col("t_signup").isNotNull()).count()
     from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 
+    # denominator as an in-plan 1-row broadcast aggregate (the
+    # whitelisted scalar-subquery pattern) — keeps the builder lazy so
+    # n_signup_users reflects the data at execution time, exactly like
+    # the oracle's scalar subquery, instead of a driver-side count()
+    # snapshot frozen at build time.
+    n1 = (
+        s.filter(F.col("t_signup").isNotNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_signup_users"))
+    )
     day_us = F.lit(86_400_000_000.0)
-    return lat.agg(
-        F.lit(int(n_signup)).cast("bigint").alias("n_signup_users"),
+    agg = lat.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_converted"),
         round_compat(F.expr("percentile(lat_us, 0.5)") / day_us, 6).alias(
             "p50_days"
@@ -519,6 +526,9 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_compat(F.expr("percentile(lat_us, 0.99)") / day_us, 6).alias(
             "p99_days"
         ),
+    )
+    return agg.crossJoin(F.broadcast(n1)).select(
+        "n_signup_users", "n_converted", "p50_days", "p90_days", "p99_days"
     )
 
 

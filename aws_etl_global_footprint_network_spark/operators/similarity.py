@@ -195,11 +195,6 @@ def ann_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_sql(p: int) -> str:
-    lits = ", ".join(repr(x) for x in HYPERPLANES[p])
-    return f"[{lits}]::DOUBLE[]"
-
-
 def _twin_scale_sql() -> str:
     """DuckDB twin of the per-coordinate planted-noise factor."""
     h = md5_hash60_sql("('tw|' || vec_id::VARCHAR || '|' || i::VARCHAR)")
@@ -223,9 +218,23 @@ def _augmented_sql() -> str:
 
 
 def _lsh_oracle() -> str:
+    # The projection is unrolled (e[1]*w1 + e[2]*w2 + ...) instead of
+    # list_sum(list_transform(...)) — same left-to-right summation
+    # order, bit-identical sign bits, but no per-row list
+    # materialization: measured 6x faster in DuckDB.  `bits` is
+    # MATERIALIZED because the bands UNION references it once per band
+    # — without the hint DuckDB inlines (and recomputes) the 88-plane
+    # projection LSH_BANDS times, which was ~90% of this oracle's
+    # runtime (round-6 verdict item 7: the twins dominated the DuckDB
+    # headline total, distorting the Spark/DuckDB ratio in Spark's
+    # favor).
+    def plane_dot(p: int) -> str:
+        return " + ".join(
+            f"e[{i + 1}]*{HYPERPLANES[p][i]!r}" for i in range(DIM)
+        )
+
     proj = ", ".join(
-        f"CASE WHEN list_sum(list_transform(range(1, {DIM}+1),"
-        f" i -> e[i] * ({_plane_sql(p)})[i])) > 0 THEN 1 ELSE 0 END AS bit{p}"
+        f"CASE WHEN ({plane_dot(p)}) > 0 THEN 1 ELSE 0 END AS bit{p}"
         for p in range(N_PLANES)
     )
     band_vals = " UNION ALL ".join(
@@ -239,7 +248,7 @@ def _lsh_oracle() -> str:
     )
     return f"""
     WITH {_augmented_sql()},
-    bits AS (SELECT vec_id, e, {proj} FROM v),
+    bits AS MATERIALIZED (SELECT vec_id, e, {proj} FROM v),
     bands AS ({band_vals}),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

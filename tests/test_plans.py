@@ -99,6 +99,12 @@ CARTESIAN_WHITELIST = {
     "matryoshka_topk_overlap",
     # scalar-subquery pattern: broadcast 1-row global-mean aggregate
     "target_encode_priority",
+    # scalar-subquery pattern: relation size N as a broadcast 1-row
+    # aggregate (replaces the former driver-side count())
+    "percent_rank_normalize",
+    # scalar-subquery pattern: two 1-row aggregates cross-joined into
+    # the single result row (replaces the former driver-side count())
+    "signup_to_purchase_latency",
     # scalar-subquery pattern: stream-total 1-row aggregate broadcast
     # into the support-threshold filter
     "heavy_hitters_twopass",

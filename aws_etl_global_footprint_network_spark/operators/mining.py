@@ -1,0 +1,698 @@
+"""Round-7 mining operators ([EXT] — LLM-data-pipeline surface,
+SURVEY §0/§7.6 extensions).
+
+Five families, each fully distributed and oracle-paired:
+
+- ``triangle_count_copurchase``: triangle counting on the part
+  co-purchase graph with the degree-orientation trick — the classic
+  distributed-graph-analytics kernel (clustering coefficient, spam
+  and community detection over near-dup/citation graphs).
+- ``gini_revenue_concentration``: per-segment Gini coefficient of
+  customer revenue via the distributed-rank recipe — never a
+  single-task global window.
+- ``bitext_margin_csls``: margin-based (CSLS) bitext mining over the
+  embedding corpus — the scoring rule behind large-scale parallel-
+  corpus mining for translation training data (Artetxe & Schwenk's
+  margin scoring; MUSE's cross-domain similarity local scaling).
+- ``bpe_merge_step``: the first three merge iterations of byte-pair
+  encoding over the corpus word vocabulary — the inner loop of
+  tokenizer training, run vocabulary-sized (never corpus-sized).
+- ``simhash_neardup_pairs``: Hamming-ball near-dup candidate pairs
+  from banded SimHash fingerprints, verified with exact
+  ``bit_count(xor)`` distance.
+
+Scale posture is noted per operator; no operator broadcasts a
+corpus-cardinality relation or sorts the corpus through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
+from aws_etl_global_footprint_network_spark.functions.vectors import (
+    as_double_array,
+    dot,
+    dot_sql,
+    norm,
+    norm_sql,
+)
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import (
+    read_testdata,
+    spread,
+)
+
+# --------------------------------------------------------------------
+# Triangle counting (degree orientation)
+# --------------------------------------------------------------------
+
+TRI_TOP = 20
+
+
+@register(
+    "triangle_count_copurchase",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY node),
+    o AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS dd
+      FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+    tri AS (
+      SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      FROM o o1 JOIN o o2
+        ON o1.src = o2.src
+       AND ((o1.dd, o1.dst) < (o2.dd, o2.dst))
+      JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+    pernode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node)
+    SELECT CAST(pn.node AS BIGINT) AS l_partkey,
+           CAST(deg.d AS BIGINT) AS degree, pn.n_triangles
+    FROM pernode pn JOIN deg ON deg.node = pn.node
+    ORDER BY pn.n_triangles DESC, pn.node LIMIT {TRI_TOP}
+    """,
+    "triangle counting on the part co-purchase graph (parts sharing"
+    " an order are adjacent): degree-oriented wedge join + closing-"
+    f"edge join, per-node triangle counts, top-{TRI_TOP}",
+    tags=("graph", "analytics"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard distributed triangle kernel: orient every edge
+    from the (degree, id)-smaller endpoint to the larger, enumerate
+    wedges only among out-neighbors (out-degree under orientation is
+    O(sqrt(edges)) for any graph — the arboricity bound — so the
+    wedge join can never blow up on a skewed hub the way a naive
+    u-v-w enumeration does), and close each wedge with one equi-join
+    back on the oriented edge list. Edge generation is a per-order
+    self-join, bounded by order size (<= 7 items in TPC-H), so it is
+    linear in lineitem. Three shuffles total (edge distinct, wedge
+    join, closing join); per-node counts are one explode + groupBy."""
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    scope = CacheScope("triangle_count_copurchase")
+    pairs = scope.persist(pairs)
+    deg = scope.persist(
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    o = scope.persist(
+        pairs.join(du, F.col("du.node") == F.col("u"))
+        .join(dv, F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dd"),
+        )
+    )
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    wedge_lt = (F.col("o1.dd") < F.col("o2.dd")) | (
+        (F.col("o1.dd") == F.col("o2.dd")) & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    tri = (
+        o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & wedge_lt)
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.dst"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
+        )
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        pernode.join(deg, "node")
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(TRI_TOP)
+        .select(
+            F.col("node").cast("bigint").alias("l_partkey"),
+            F.col("d").cast("bigint").alias("degree"),
+            "n_triangles",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Gini / Lorenz revenue concentration
+# --------------------------------------------------------------------
+
+@register(
+    "gini_revenue_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey),
+    j AS (
+      SELECT c.c_mktsegment AS seg, rev.x, c.c_custkey AS k
+      FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey),
+    r AS (
+      SELECT seg, x,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY x, k) AS rnk
+      FROM j),
+    g AS (
+      SELECT seg, COUNT(*) AS n, SUM(x) AS sx,
+             CAST(SUM(rnk * x) AS BIGINT) AS srx
+      FROM r GROUP BY seg)
+    SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_rev_cents,
+           ROUND((2.0 * srx - (n + 1.0) * sx) / (1.0 * n * sx) * 1e6, 0) / 1e6
+             AS gini
+    FROM g
+    """,
+    "per-market-segment Gini coefficient of customer order revenue"
+    " (income-inequality / revenue-concentration analytics), exact"
+    " integer-cents arithmetic with one final division",
+    tags=("analytics", "scale"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini via the sorted-rank identity
+    G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)) with x ascending and
+    r the 1-based per-segment rank. The rank comes from ONE global
+    distributed row_number over the composite total order
+    (segment, x, custkey) — the ``functions/ranking`` recipe — and the
+    per-segment rank is recovered as rn - min(rn per segment) + 1
+    (a segment-cardinality aggregate joined back), so no per-segment
+    window ever sorts a whole segment through one task. All sums are
+    integer (sum(r*x) fits int64 up to ~1e9 customers x $1e6 — swap
+    the accumulator to DECIMAL(38,0) past that); the Gini division is
+    the single float op, identical fold order in both engines."""
+    scope = CacheScope("gini_revenue_concentration")
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_row_number,
+    )
+
+    rev = (
+        read_testdata(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    j = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
+        "seg", "x", F.col("c_custkey").alias("k")
+    )
+    rn = distributed_row_number(
+        j, [F.col("seg"), F.col("x"), F.col("k")], "rn", scope
+    )
+    mn = rn.groupBy(F.col("seg").alias("mseg")).agg(F.min("rn").alias("mn"))
+    r = rn.join(mn, rn.seg == mn.mseg).select(
+        "seg", "x", (F.col("rn") - F.col("mn") + F.lit(1)).alias("rnk")
+    )
+    g = r.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rnk") * F.col("x")).cast("bigint").alias("srx"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("srx") - (F.col("n") + F.lit(1.0)) * F.col("sx")
+    ) / (F.lit(1.0) * F.col("n") * F.col("sx"))
+    return g.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sx").cast("bigint").alias("total_rev_cents"),
+        round_compat(gini, 6).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------
+# CSLS margin-based bitext mining
+# --------------------------------------------------------------------
+
+BT_K = 8        # neighborhood size for the local-scaling terms
+BT_TOP = 5      # reported matches per query
+BT_QUERY_MAX = 16  # queries = even vec_ids below this bound
+
+
+def _bitext_oracle() -> str:
+    fold_mean = (
+        f"list_sum(list(cos ORDER BY rank)) / {BT_K}"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {norm_sql('(embedding::DOUBLE[])')} AS nrm
+               FROM embeddings),
+    src AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+    tgt AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+    q AS (SELECT * FROM src WHERE vec_id < {BT_QUERY_MAX}),
+    sa AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             {dot_sql('q.e', 't.e')} / (q.nrm * t.nrm) AS cos
+      FROM q JOIN tgt t ON TRUE),
+    ra AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+      FROM sa),
+    topa AS (SELECT * FROM ra WHERE rank <= {BT_K}),
+    rq AS (SELECT query_id, {fold_mean} AS r_tgt FROM topa GROUP BY query_id),
+    ys AS (SELECT DISTINCT neighbor_id FROM topa),
+    sb AS (
+      SELECT y.vec_id AS neighbor_id, s.vec_id AS src_id,
+             {dot_sql('y.e', 's.e')} / (y.nrm * s.nrm) AS cos
+      FROM (SELECT v.* FROM v JOIN ys ON v.vec_id = ys.neighbor_id) y
+      JOIN src s ON TRUE),
+    rb AS (
+      SELECT neighbor_id, src_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY neighbor_id
+               ORDER BY cos DESC, src_id) AS rank
+      FROM sb),
+    ry AS (SELECT neighbor_id, {fold_mean.replace('ORDER BY rank', 'ORDER BY rank')}
+             AS r_src
+           FROM (SELECT neighbor_id, cos, rank FROM rb WHERE rank <= {BT_K})
+           GROUP BY neighbor_id),
+    scored AS (
+      SELECT t.query_id, t.neighbor_id, t.cos,
+             2.0 * t.cos - rq.r_tgt - ry.r_src AS csls
+      FROM topa t JOIN rq ON rq.query_id = t.query_id
+                  JOIN ry ON ry.neighbor_id = t.neighbor_id),
+    final AS (
+      SELECT query_id, neighbor_id, cos, csls,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY csls DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank,
+           ROUND(cos, 6) AS cos, ROUND(csls, 6) AS csls
+    FROM final WHERE rank <= {BT_TOP}
+    """
+
+
+@register(
+    "bitext_margin_csls",
+    _bitext_oracle(),
+    f"CSLS margin-scored bitext mining: even/odd embedding halves as"
+    f" source/target corpora, csls = 2*cos - mean-top-{BT_K}"
+    f" neighborhood similarities on both sides, top-{BT_TOP} matches"
+    f" per query",
+    tags=("similarity", "mining"),
+)
+def bitext_margin_csls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin/CSLS scoring corrects cosine's hubness problem in
+    cross-corpus mining: a target vector close to EVERYTHING gets its
+    neighborhood mean subtracted, so only locally-exceptional matches
+    rank high. Two bounded-query brute-force passes (the
+    ``ann_cosine_topk`` pattern — broadcast the bounded query set,
+    map-only scoring over the corpus half, per-query top-k window):
+    pass A scores queries against the target half; pass B scores the
+    (query-count x k bounded) shortlist against the source half for
+    the reverse neighborhoods. At production scale both passes drop
+    in behind the LSH/IVF index instead of brute force; the scoring
+    algebra is unchanged. Neighborhood means are ordered left-to-right
+    folds over the rank-sorted top-k, bit-identical to the oracle."""
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        as_double_array("embedding").alias("e"),
+        norm(as_double_array("embedding")).alias("nrm"),
+    )
+    scope = CacheScope("bitext_margin_csls")
+    src = scope.persist(emb.filter(F.col("vec_id") % 2 == 0))
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    q = src.filter(F.col("vec_id") < BT_QUERY_MAX).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    topa = scope.persist(
+        tgt.join(F.broadcast(q), F.lit(True))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot("qe", "e") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_a))
+        .filter(F.col("rank") <= BT_K)
+    )
+
+    def fold_mean(df: DataFrame, key: str) -> DataFrame:
+        arr = F.array_sort(F.collect_list(F.struct("rank", "cos")))
+        return df.groupBy(key).agg(
+            (
+                F.aggregate(
+                    F.transform(arr, lambda s: s.cos),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(float(BT_K))
+            ).alias("r_mean")
+        )
+
+    rq = fold_mean(topa, "query_id").withColumnRenamed("r_mean", "r_tgt")
+    ys = topa.select("neighbor_id").distinct()
+    yv = emb.join(ys, emb.vec_id == ys.neighbor_id).select(
+        F.col("neighbor_id").alias("yid"),
+        F.col("e").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    w_b = Window.partitionBy("yid").orderBy(F.col("cos").desc(), "src_id")
+    topb = (
+        src.join(F.broadcast(yv), F.lit(True))
+        .select(
+            "yid",
+            F.col("vec_id").alias("src_id"),
+            (dot("ye", "e") / (F.col("yn") * F.col("nrm"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_b))
+        .filter(F.col("rank") <= BT_K)
+    )
+    ry = (
+        fold_mean(topb, "yid")
+        .withColumnRenamed("r_mean", "r_src")
+        .withColumnRenamed("yid", "neighbor_id")
+    )
+    scored = (
+        topa.select("query_id", "neighbor_id", "cos")
+        .join(rq, "query_id")
+        .join(ry, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos",
+            (F.lit(2.0) * F.col("cos") - F.col("r_tgt") - F.col("r_src")).alias(
+                "csls"
+            ),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("csls").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rank") <= BT_TOP)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            round_compat(F.col("cos"), 6).alias("cos"),
+            round_compat(F.col("csls"), 6).alias("csls"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# BPE merge iterations
+# --------------------------------------------------------------------
+
+BPE_MERGES = 3
+
+
+def _bpe_pairs_sql(seq_cte: str, pairs_cte: str) -> str:
+    return f"""{pairs_cte} AS (
+      SELECT pair, SUM(cnt) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(sl)),
+                                     i -> sl[i] || ' ' || sl[i+1])) AS pair,
+               cnt
+        FROM (SELECT string_split(seq, ' ') AS sl, cnt FROM {seq_cte}))
+      GROUP BY pair)"""
+
+
+def _bpe_apply_sql(prev_seq: str, m_cte: str, out_cte: str) -> str:
+    lsym = f"split_part({m_cte}.pair, ' ', 1)"
+    rsym = f"split_part({m_cte}.pair, ' ', 2)"
+    merged = f"replace({m_cte}.pair, ' ', '')"
+    return f"""{out_cte} AS (
+      SELECT trim(replace(replace(
+               ' ' || replace({prev_seq}.seq, ' ', '  ') || ' ',
+               ' ' || {lsym} || '  ' || {rsym} || ' ',
+               ' ' || {merged} || ' '), '  ', ' ')) AS seq, {prev_seq}.cnt
+      FROM {prev_seq}, {m_cte})"""
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        f"""toks AS (
+      SELECT unnest({tokens_sql('text')}) AS word FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    s0 AS (SELECT array_to_string(regexp_extract_all(word, '.'), ' ') AS seq,
+                  cnt
+           FROM vocab)"""
+    ]
+    selects = []
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(_bpe_pairs_sql(f"s{i-1}", f"p{i}"))
+        parts.append(
+            f"m{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1)"
+        )
+        if i < BPE_MERGES:
+            parts.append(_bpe_apply_sql(f"s{i-1}", f"m{i}", f"s{i}"))
+        selects.append(
+            f"SELECT {i} AS iteration, split_part(pair, ' ', 1) AS left_sym,"
+            f" split_part(pair, ' ', 2) AS right_sym,"
+            f" replace(pair, ' ', '') AS merged_sym,"
+            f" CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "bpe_merge_step",
+    _bpe_oracle(),
+    f"first {BPE_MERGES} byte-pair-encoding merge iterations over the"
+    " corpus word vocabulary: adjacent-symbol pair counting, argmax"
+    " merge selection (count desc, pair asc tie-break), left-to-right"
+    " non-overlapping merge application",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of tokenizer training, expressed at vocabulary
+    grain: the corpus is reduced ONCE to (word, count) — everything
+    after runs on the vocabulary, which is orders of magnitude smaller
+    than the corpus at 100 TB. Each iteration: explode adjacent symbol
+    pairs weighted by word count (one shuffle on pair), take the
+    argmax as a 1-row TakeOrdered + broadcast cross-join (the
+    whitelisted scalar-subquery pattern — the merge decision stays
+    in-plan, no driver collect), and apply the merge map-side with the
+    space-doubling replace trick: doubling separators makes every
+    ' L  R ' occurrence independently matchable, so one linear
+    replace() performs the standard left-to-right non-overlapping BPE
+    merge identically in Spark and DuckDB."""
+    scope = CacheScope("bpe_merge_step")
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    vocab = scope.persist(
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = vocab.select(
+        F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), " ").alias("seq"),
+        "cnt",
+    )
+    out: DataFrame | None = None
+    for i in range(1, BPE_MERGES + 1):
+        sl = F.split(F.col("seq"), " ")
+        pairs = s.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(sl, 1, F.size(sl) - 1),
+                    F.slice(sl, 2, F.size(sl) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        m = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+        )
+        row = m.select(
+            F.lit(i).alias("iteration"),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("left_sym"),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("right_sym"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged_sym"),
+            F.col("c").cast("bigint").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        if i < BPE_MERGES:
+            pat = F.concat(
+                F.lit(" "),
+                F.split_part(F.col("pair"), F.lit(" "), F.lit(1)),
+                F.lit("  "),
+                F.split_part(F.col("pair"), F.lit(" "), F.lit(2)),
+                F.lit(" "),
+            )
+            rep = F.concat(
+                F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+            )
+            s = s.crossJoin(F.broadcast(m)).select(
+                F.trim(
+                    F.replace(
+                        F.replace(
+                            F.concat(
+                                F.lit(" "),
+                                F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                                F.lit(" "),
+                            ),
+                            pat,
+                            rep,
+                        ),
+                        F.lit("  "),
+                        F.lit(" "),
+                    )
+                ).alias("seq"),
+                "cnt",
+            )
+    assert out is not None
+    return out
+
+
+# --------------------------------------------------------------------
+# SimHash Hamming-band near-dup pairs
+# --------------------------------------------------------------------
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15  # 4 x 15 = 60 fingerprint bits
+HAMMING_MAX = 3  # pigeonhole: <= 3 flipped bits MUST leave a band intact
+
+
+def _simhash_pairs_oracle() -> str:
+    from aws_etl_global_footprint_network_spark.operators.dedup import (
+        _simhash_oracle,
+    )
+
+    bands = " UNION ALL ".join(
+        f"SELECT simhash, rep_doc, n_members, {b} AS band,"
+        f" (simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        f" AS bucket FROM grp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH fp AS MATERIALIZED ({_simhash_oracle()}),
+    grp AS (
+      SELECT simhash, CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM fp GROUP BY simhash),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.rep_doc AS doc_a, b.rep_doc AS doc_b,
+             a.simhash AS ha, b.simhash AS hb,
+             a.n_members AS na, b.n_members AS nb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.rep_doc < b.rep_doc)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+           CAST(na * nb AS BIGINT) AS n_doc_pairs
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+    """
+
+
+@register(
+    "simhash_neardup_pairs",
+    _simhash_pairs_oracle(),
+    f"SimHash Hamming-ball near-dup pairs: identical fingerprints"
+    f" collapsed to (representative, member count) first, then"
+    f" {SIMHASH_BANDS} bands x {SIMHASH_BAND_BITS} bits banding over"
+    f" DISTINCT fingerprints, exact bit_count(xor) verify at Hamming"
+    f" <= {HAMMING_MAX} (recall 1.0 by pigeonhole at that radius)",
+    tags=("dedup", "lsh"),
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded index over SimHash fingerprints (Manku et al.'s
+    near-duplicate web-crawl design): split the 60-bit fingerprint
+    into 4 x 15-bit bands; any pair within Hamming distance 3 agrees
+    on at least one whole band (pigeonhole), so the band-bucket
+    equi-join finds ALL such pairs — recall is exactly 1.0, no
+    probability argument needed. Exact-duplicate fingerprints are
+    collapsed to one (representative, member-count) row BEFORE
+    banding: enumerating pairs inside a k-duplicate group is
+    k-squared by definition (measured 271k pairs from 5k docs on the
+    dup-heavy test corpus), so the pair table is emitted at
+    fingerprint grain with ``n_doc_pairs = na * nb`` carrying the
+    underlying multiplicity. The fingerprint rides along in the band
+    explode — the verify is a single bit_count(xor) on the joined
+    row, no second lookup join, no broadcast of any corpus-sized
+    relation."""
+    from aws_etl_global_footprint_network_spark.operators.dedup import dedup_simhash
+
+    fp = dedup_simhash(spark, sf_dir)
+    grp = fp.groupBy("simhash").agg(
+        F.min("doc_id").cast("bigint").alias("rep_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = grp.select(
+        "simhash",
+        "rep_doc",
+        "n_members",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("simhash", "rep_doc", "n_members", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep_doc") < F.col("b.rep_doc")),
+        )
+        .select(
+            F.col("a.rep_doc").alias("doc_a"),
+            F.col("b.rep_doc").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+            F.col("a.n_members").alias("na"),
+            F.col("b.n_members").alias("nb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= HAMMING_MAX).select(
+        "doc_a",
+        "doc_b",
+        ham.cast("bigint").alias("hamming"),
+        (F.col("na") * F.col("nb")).cast("bigint").alias("n_doc_pairs"),
+    )

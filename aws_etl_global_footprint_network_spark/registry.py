@@ -49,100 +49,87 @@ def register(
 
 # External correctness harnesses sample the FIRST 50 registry entries in
 # iteration order, so ordering is part of the contract.  DRIVER_WINDOW pins
-# those 50 slots explicitly.  Round-6 composition: (a) the ten queries
-# whose latest external evidence was round 2 — the cohort the round-5
-# rotation deferred — plus bucketed_join_colocated, the only registered
-# query with no external row in any round (the round-5 verdict's item 2,
-# verbatim); (b) queries whose executed plan or oracle text changed this
-# round and therefore need fresh hashes: bloom_semi_join_prune (residual
-# semi join un-broadcast + exact-cents revenue), star_denormalize_revenue
-# (exact-cents revenue), heavy_hitters_twopass (vectorized pass 1),
-# pq_adc_topk / pq_adc_rerank_topk (partition-bounded ADC shortlist),
-# ann_cosine_topk_vectorized (rank on rounded score + id tie-break),
-# and streaming_user_totals_stateful (integer-cents GroupState —
-# upgraded from the sheet's last rows-only row to oracle-paired);
-# (c) the fifteen operators new this round (first external rows);
-# (d) three flagship regressions; (e) rotation: remaining slots go to
-# the round-3 cohort, now the oldest evidence (the rest of it waits
-# for round 7 and stays green in the local all-query parity sweep
-# every test run, as does the whole 160-query registry in the sf1
-# sweep). Everything else keeps local coverage via
-# tests/test_oracle_parity.py, which sweeps ALL registered queries.
+# those 50 slots explicitly.  Round-7 composition, per the round-6
+# verdict's items 2-3 (never-sampled outranks stale, then the oldest
+# evidence rotates in): (a) the ten late-round-6 governance operators
+# that have never been externally sampled; (b) the five operators new
+# this round (first external rows); (c) every query whose executed plan
+# or oracle text changed this round — the two lexical-dedup verify
+# stages lost their broadcast hints (verdict item 1), the LSH oracle
+# twin was rewritten 20x faster (verdict item 7), rolling_median_cents
+# pinned its NULL contract (advisor); (d) the round-3-stale
+# ANN/multimodal cohort named verbatim in verdict item 3; (e) the rest
+# of the round-3 cohort — all but four of the 36 r3-stale queries
+# rotate in (the four held back have independent exact-twin or
+# plan-gate coverage: approx_* validated against exact twins per run,
+# salted_join_revenue plan-gated, merge_rowlevel_cow writer-path
+# tested). Everything else keeps local coverage via
+# tests/test_oracle_parity.py (all queries, every test run) and the
+# per-round sf1 sweep (scripts/parity_sweep.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) round-2-stale cohort + never-sampled --------------------------
-    "set_intersect_segments",
-    "set_except_segments",
-    "nation_region_cross",
-    "set_union_segments",
-    "customers_without_orders_anti",
-    "priority_distinct_customers",
-    "events_lag_delta",
-    "events_running_sum",
-    "grouping_sets_events",
-    "events_sessionization",
-    "bucketed_join_colocated",
-    # -- (b) executed plan or oracle changed this round --------------------
-    "bloom_semi_join_prune",
-    "star_denormalize_revenue",
-    "heavy_hitters_twopass",
-    "pq_adc_topk",
-    "pq_adc_rerank_topk",
-    "ann_cosine_topk_vectorized",
-    "streaming_user_totals_stateful",  # rows-only -> oracle-paired (cents state)
-    # -- (c) new this round (first external rows) --------------------------
-    "cdc_apply_compaction",
-    "file_compaction_plan",
-    "weighted_sample_topk",
-    "token_entropy_gate",
-    "bigram_lm_score",
-    "hard_negative_mining",
-    "shard_assignment_balanced",
-    "semantic_dedup_drop",
-    "ngram_novelty_score",
-    "streaming_cdc_compaction",
-    "source_jsd_divergence",
-    "winsorized_acctbal_stats",
-    "incremental_agg_maintenance",
-    "rendezvous_shard_affinity",
-    "cms_frequency_estimates",
-    # -- (d) flagship regression -------------------------------------------
-    "weekly_compound_by_user",
-    "q1_pricing_summary",
+    # -- (a) never-sampled governance cohort (registered after the r6
+    # window was laid down) ------------------------------------------------
+    "ab_test_conversion",
+    "k_anonymity_audit",
+    "join_size_estimate",
+    "key_skew_profile",
+    "dp_noisy_counts",
+    "signup_to_purchase_latency",
+    "cohort_ltv_curve",
+    "event_interarrival_stats",
+    "percent_rank_normalize",
+    "bag_set_ops_quantities",
+    # -- (b) new this round (first external rows) --------------------------
+    "triangle_count_copurchase",
+    "gini_revenue_concentration",
+    "bitext_margin_csls",
+    "bpe_merge_step",
+    "simhash_neardup_pairs",
+    # -- (c) executed plan or oracle changed this round --------------------
     "dedup_minhash_lsh",
-    # -- (e) queries registered AFTER the window above was first laid
-    # down — zero external evidence in any round, which outranks the
-    # round-3-stale rotation (never-sampled was the round-5 verdict's
-    # sharpest staleness finding).  The r3 ANN/multimodal cohort
-    # (ann_*, ivf_*, dedup_embedding_cosine, dedup_clusters,
-    # pagerank_neardup_graph, image/audio/video) waits for round 7 and
-    # stays green in the local all-query and sf1 sweeps meanwhile.
-    "bm25_topk",
-    "inverted_postings_stats",
-    "proration_largest_remainder",
-    "gap_islands_order_months",
-    "benford_first_digit",
-    "markov_event_transitions",
-    "pareto_frontier_parts",
-    "rrf_hybrid_retrieval",
+    "dedup_containment_pairs",
+    "ann_lsh_pairs",
+    "dedup_embedding_cosine",
     "rolling_median_cents",
-    "mad_outlier_stats",
-    "cusum_changepoint",
-    "market_basket_rules",
-    "snapshot_diff_audit",
-    # -- (f) rotation: round-3 cohort (oldest external evidence) -----------
-    "training_corpus_pipeline",
+    # -- (d) round-3-stale ANN/multimodal cohort (verdict item 3) ----------
+    "ann_cosine_topk",
+    "ann_threshold_pairs",
+    "ivf_label_centroids",
+    "ivf_assignments",
+    "dedup_clusters",
+    "pagerank_neardup_graph",
+    "image_resize_thumbs",
+    "audio_wav_features",
+    "video_frame_sample",
+    "window_analytic_suite",
+    "null_semantics_suite",
+    "part_regex_funcs",
+    # -- (e) remaining round-3 cohort (oldest external evidence) -----------
+    "bpe_token_stats",
+    "compound_evolution_by_user",
+    "customer_rfm",
+    "date_functions_suite",
+    "doc_fingerprint",
+    "key_uniqueness_checks",
+    "lang_id_heuristic",
+    "lineitem_ship_window_range",
+    "lineitem_unpivot",
+    "order_value_histogram",
+    "referential_integrity_checks",
+    "session_window_native",
+    "streaming_first_seen_stateful",
+    "streaming_foreachbatch_upsert",
+    "text_quality_stats",
+    "time_rollup_multi_grain",
+    "token_count_per_source",
+    "weekly_vs_window_equivalence",
 )
 
-# Registered after the round-6 window filled: market_basket_rules is
-# IN the window (slot swapped), but ab_test_conversion,
-# k_anonymity_audit, join_size_estimate, key_skew_profile,
-# dp_noisy_counts, signup_to_purchase_latency, cohort_ltv_curve,
-# event_interarrival_stats, percent_rank_normalize and
-# bag_set_ops_quantities are not —
-# they are the FIRST candidates for round 7's window under the
-# never-sampled-outranks-stale rule, alongside the deferred round-3
-# ANN/multimodal cohort. All are swept locally (test_oracle_parity)
-# and at sf1 (scripts/parity_sweep.py) every round meanwhile.
+# Still r3-stale after this window (4, each with independent per-run
+# verification): approx_distinct_parts and approx_percentile_prices
+# (exact-twin validation in tests), salted_join_revenue (plan gate),
+# merge_rowlevel_cow (writer round-trip tests). First candidates for
+# round 8 alongside whatever round 7 registers late.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -162,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         diagnostics,
         join_accel,
         layout,
+        mining,
         ml_prep,
         multimodal,
         multimodal_codecs,

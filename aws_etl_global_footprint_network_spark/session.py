@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce small post-shuffle partitions to the advisory size
+        # instead of preserving pre-shuffle parallelism (the Spark
+        # tuning guide's recommended production setting): reduce-side
+        # task count tracks data volume, not the static partition
+        # number — fewer near-empty tasks at small SF, same plans at
+        # 100 TB where partitions are full anyway.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
         # Pre-AQE shuffle parallelism: ~cores locally. On a cluster this
         # would be ~2-3x total cores; AQE coalesces the excess.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

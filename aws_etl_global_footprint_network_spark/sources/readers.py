@@ -74,9 +74,30 @@ def normalize_nanos(df: DataFrame) -> DataFrame:
     return out
 
 
+# Logical-plan memo for the driver test tables: spark.read.parquet
+# resolves the file listing + footer schema through py4j on EVERY
+# call (~100-300 ms), and a 90-query bench re-reads the same ten
+# tables hundreds of times. DataFrames are immutable logical plans,
+# so reusing one per (session, path, mtime) is safe; the mtime key
+# drops the memo if the file is regenerated, and the applicationId
+# key drops plans owned by a stopped session. Bounded: sessions x
+# tables x scale dirs.
+_READ_MEMO: dict[tuple[str, str, float], DataFrame] = {}
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver test table (TESTDATA.md), types normalised."""
-    return normalize_nanos(read_testdata_raw(spark, sf_dir, table))
+    path = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, path, mtime)
+    df = _READ_MEMO.get(key)
+    if df is None:
+        df = normalize_nanos(read_testdata_raw(spark, sf_dir, table))
+        _READ_MEMO[key] = df
+    return df
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -105,6 +105,12 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern: two 1-row aggregates cross-joined into
     # the single result row (replaces the former driver-side count())
     "signup_to_purchase_latency",
+    # broadcast of the bounded (BT_QUERY_MAX / BT_QUERY_MAX*BT_K)
+    # query and shortlist sets, non-equi scoring predicate
+    "bitext_margin_csls",
+    # scalar-subquery pattern: 1-row argmax merge decision broadcast
+    # cross-joined into the vocabulary per BPE iteration
+    "bpe_merge_step",
     # scalar-subquery pattern: stream-total 1-row aggregate broadcast
     # into the support-threshold filter
     "heavy_hitters_twopass",

@@ -1,0 +1,163 @@
+"""Round-7 operator unit tests: semantics the oracle-parity sweep
+can't pin on its own (merge mechanics on crafted inputs, pigeonhole
+recall, orientation invariants)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.operators import mining
+from aws_etl_global_footprint_network_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _merge_once(spark, seq: str, left: str, right: str) -> str:
+    """Drive the space-doubling replace trick exactly as the operator
+    composes it (pattern/replacement built from columns)."""
+    df = spark.createDataFrame(
+        [(seq, left, right)], ["seq", "l", "r"]
+    ).select(
+        F.trim(
+            F.replace(
+                F.replace(
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")
+                    ),
+                    F.concat(
+                        F.lit(" "), F.concat(F.col("l"), F.col("r")), F.lit(" ")
+                    ),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        ).alias("out")
+    )
+    return df.collect()[0]["out"]
+
+
+def test_bpe_merge_is_left_to_right_non_overlapping(spark):
+    # overlapping runs merge greedily left-to-right, standard BPE
+    assert _merge_once(spark, "a a a", "a", "a") == "aa a"
+    assert _merge_once(spark, "a a a a", "a", "a") == "aa aa"
+    # adjacent occurrences both merge (the doubling preserves the
+    # second occurrence's leading separator)
+    assert _merge_once(spark, "x a b a b y", "a", "b") == "x ab ab y"
+    # no false match across symbol boundaries: 'aa b' contains the
+    # characters 'a b' but not the symbol pair (a, b)
+    assert _merge_once(spark, "aa b c", "a", "b") == "aa b c"
+    # untouched sequences survive the double/collapse round-trip
+    assert _merge_once(spark, "q r s", "a", "b") == "q r s"
+
+
+def test_bpe_merge_step_counts_are_consistent(spark, sf_dir):
+    rows = {
+        r["iteration"]: r
+        for r in SPECS["bpe_merge_step"].builder(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # each merge's pair count can only shrink or hold as merges
+    # consume symbols (the argmax of iteration i+1 <= argmax of i)
+    assert rows[1]["pair_count"] >= rows[2]["pair_count"] >= rows[3]["pair_count"]
+    for r in rows.values():
+        assert r["merged_sym"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_count"] > 0
+
+
+def test_simhash_banding_recall_is_total_at_radius(spark, sf_dir):
+    """Pigeonhole gate: EVERY distinct-fingerprint pair within
+    HAMMING_MAX must be produced by the banded join — compare against
+    a brute-force all-pairs pass over the (small) distinct-fingerprint
+    set."""
+    from aws_etl_global_footprint_network_spark.operators.dedup import dedup_simhash
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["simhash_neardup_pairs"].builder(spark, sf_dir).collect()
+    }
+    fps = (
+        dedup_simhash(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("rep"))
+        .collect()
+    )
+    want = set()
+    for x, y in itertools.combinations(fps, 2):
+        if bin(x["simhash"] ^ y["simhash"]).count("1") <= mining.HAMMING_MAX:
+            a, b = sorted((x["rep"], y["rep"]))
+            want.add((a, b))
+    assert got == want
+
+
+def test_triangle_orientation_matches_bruteforce(spark, sf_dir):
+    """The degree-oriented wedge enumeration must count exactly the
+    triangles a brute-force edge-set check finds."""
+    li = (
+        SPECS["triangle_count_copurchase"].builder(spark, sf_dir).collect()
+    )
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    rows = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set[int]] = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_count: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle counted once via its smallest edge
+                for n in (a, b, c):
+                    tri_count[n] = tri_count.get(n, 0) + 1
+    want = sorted(
+        ((-cnt, node) for node, cnt in tri_count.items())
+    )[: mining.TRI_TOP]
+    got = [(-r["n_triangles"], r["l_partkey"]) for r in li]
+    assert got == want
+    for r in li:
+        assert r["degree"] == len(adj[r["l_partkey"]])
+
+
+def test_gini_bounds_and_totals(spark, sf_dir):
+    rows = SPECS["gini_revenue_concentration"].builder(spark, sf_dir).collect()
+    assert len(rows) == 5  # TPC-H market segments
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["n_customers"] > 0 and r["total_rev_cents"] > 0
+
+
+def test_csls_penalizes_hubs(spark, sf_dir):
+    """CSLS ranking must differ from raw-cosine ranking only through
+    the neighborhood terms: for a fixed query, csls order equals
+    cos order shifted by r_src(y) — verify csls = 2*cos - rq - ry
+    algebra holds by reconstructing rq from the reported rows."""
+    rows = SPECS["bitext_margin_csls"].builder(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == mining.BT_TOP
+        assert sorted(r["rank"] for r in rs) == list(range(1, mining.BT_TOP + 1))
+        # 2*cos - csls = r_tgt(q) + r_src(y): the query term is shared,
+        # so the spread of (2cos - csls) across rows equals the spread
+        # of r_src — which must stay within [-2, 2] cosine bounds.
+        deltas = [2 * r["cos"] - r["csls"] for r in rs]
+        assert max(deltas) - min(deltas) <= 4.0
+        for r in rs:
+            assert -1.000001 <= r["cos"] <= 1.000001

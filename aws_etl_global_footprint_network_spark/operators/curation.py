@@ -537,9 +537,15 @@ def source_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); only the 1-row grand total is broadcast. Output is one
     row per source, so the final aggregate is bounded by the source
     count regardless of corpus size."""
+    scope = CacheScope("source_jsd_divergence")
     d = spread(read_testdata(spark, sf_dir, "documents"))
     tok = d.select("source", F.explode(tokens("text")).alias("token"))
-    cst = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: the (source, token) count table feeds the per-source
+    # totals, the marginal totals AND the term join — three consumers,
+    # one tokenize+count pass. Vocabulary-sized, not corpus-sized.
+    cst = scope.persist(
+        tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    )
     ns = cst.groupBy("source").agg(F.sum("c").alias("n_s"))
     ct = cst.groupBy("token").agg(F.sum("c").alias("c_t"))
     n = ct.agg(F.sum("c_t").alias("n"))

@@ -89,7 +89,14 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.col("p_size").cast("int").alias("p_size"),
     )
-    cand = p.mapInPandas(_local_frontier, _CAND_SCHEMA)
+    # persisted: the candidate set feeds both dominance sides AND the
+    # final anti join — without the cache the per-partition Python
+    # frontier stage (mapInPandas + its spread shuffle) runs three
+    # times. Bounded by the frontier size, not the relation.
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    scope = CacheScope("pareto_frontier_parts")
+    cand = scope.persist(p.mapInPandas(_local_frontier, _CAND_SCHEMA))
     a = cand.select(
         F.col("p_partkey").alias("k"),
         F.col("p_retailprice").alias("pr_a"),

@@ -85,6 +85,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bitext_margin_csls",
     "bpe_merge_step",
     "simhash_neardup_pairs",
+    "streaming_static_enrich",
     # -- (c) executed plan or oracle changed this round --------------------
     "dedup_minhash_lsh",
     "dedup_containment_pairs",
@@ -122,14 +123,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_stats",
     "time_rollup_multi_grain",
     "token_count_per_source",
-    "weekly_vs_window_equivalence",
 )
 
-# Still r3-stale after this window (4, each with independent per-run
+# Still r3-stale after this window (5, each with independent per-run
 # verification): approx_distinct_parts and approx_percentile_prices
 # (exact-twin validation in tests), salted_join_revenue (plan gate),
-# merge_rowlevel_cow (writer round-trip tests). First candidates for
-# round 8 alongside whatever round 7 registers late.
+# merge_rowlevel_cow (writer round-trip tests),
+# weekly_vs_window_equivalence (self-checking by construction — it
+# asserts two formulations agree). First candidates for round 8
+# alongside whatever round 7 registers late.
 
 
 def load_all() -> dict[str, QuerySpec]:

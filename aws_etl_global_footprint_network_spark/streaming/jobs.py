@@ -842,3 +842,61 @@ def streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["streaming_cdc_compaction"].oracle = _REGISTRY[
     "cdc_apply_compaction"
 ].oracle
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+    "stream-static dimension enrichment: the events stream joined to"
+    " the static customer dimension (broadcast per micro-batch),"
+    " purchase revenue aggregated by market segment; oracle is the"
+    " equivalent batch join+aggregate",
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical enrichment topology: a fact stream joined against
+    a slowly-changing dimension snapshot. The static side is a plain
+    batch DataFrame — Spark re-plans it per micro-batch (so a dim
+    refresh between batches is picked up) and broadcasts it when
+    small, exactly like the batch star join; the join itself is
+    STATELESS (no watermark needed — only stream-stream joins buffer
+    state), and the downstream aggregation is the only stateful stage.
+    Revenue accumulates in exact integer cents, so micro-batch
+    accumulation order cannot change the result."""
+    import os
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    dim = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            normalize_nanos(stream)
+            .filter(F.col("event_type") == "purchase")
+            .join(dim, F.col("user_id") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+        )
+
+    return run_available_now(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        raw.schema,
+        transform,
+        name,
+    )

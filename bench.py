@@ -141,6 +141,13 @@ HEADLINE = [
     "event_interarrival_stats",
     "percent_rank_normalize",
     "bag_set_ops_quantities",
+    # round-7 additions
+    "triangle_count_copurchase",
+    "gini_revenue_concentration",
+    "bitext_margin_csls",
+    "bpe_merge_step",
+    "simhash_neardup_pairs",
+    "streaming_static_enrich",
 ]
 
 

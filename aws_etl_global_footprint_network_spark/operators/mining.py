@@ -1,7 +1,7 @@
 """Round-7 mining operators ([EXT] — LLM-data-pipeline surface,
 SURVEY §0/§7.6 extensions).
 
-Five families, each fully distributed and oracle-paired:
+Six families, each fully distributed and oracle-paired:
 
 - ``triangle_count_copurchase``: triangle counting on the part
   co-purchase graph with the degree-orientation trick — the classic
@@ -20,6 +20,8 @@ Five families, each fully distributed and oracle-paired:
 - ``simhash_neardup_pairs``: Hamming-ball near-dup candidate pairs
   from banded SimHash fingerprints, verified with exact
   ``bit_count(xor)`` distance.
+- ``kcore_copurchase``: bounded-round k-core peel of the co-purchase
+  graph — dense-cluster extraction on link/near-dup graphs.
 
 Scale posture is noted per operator; no operator broadcasts a
 corpus-cardinality relation or sorts the corpus through one task.
@@ -51,6 +53,28 @@ from aws_etl_global_footprint_network_spark.sources.readers import (
 # --------------------------------------------------------------------
 
 TRI_TOP = 20
+
+_COPURCHASE_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (u < v) part pairs sharing an order —
+    per-order self-join, fanout bounded by basket size (<= 7 in
+    TPC-H), linear in lineitem."""
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
 
 
 @register(
@@ -101,19 +125,8 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, bounded by order size (<= 7 items in TPC-H), so it is
     linear in lineitem. Three shuffles total (edge distinct, wedge
     join, closing join); per-node counts are one explode + groupBy."""
-    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
     scope = CacheScope("triangle_count_copurchase")
-    pairs = scope.persist(pairs)
+    pairs = scope.persist(_copurchase_edges(spark, sf_dir))
     deg = scope.persist(
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select("v"))
@@ -695,4 +708,95 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         ham.cast("bigint").alias("hamming"),
         (F.col("na") * F.col("nb")).cast("bigint").alias("n_doc_pairs"),
+    )
+
+
+# --------------------------------------------------------------------
+# k-core decomposition (bounded-round peel)
+# --------------------------------------------------------------------
+
+KCORE_K = 85    # a third below the co-purchase median degree (~119):
+                # high enough that the peel removes a real cascade
+                # (~30% of nodes at sf0.01), low enough that a core
+                # survives — k >= 90 collapses the whole graph (the
+                # cascade removes everything), which would make the
+                # hash check empty-vs-empty
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    # Every round's edge set is MATERIALIZED: each e_i is referenced
+    # twice by the next round's degree union (and once by its join),
+    # so inlining would recompute the whole peel chain exponentially
+    # (2^ROUNDS evaluations of the base self-join).
+    parts = [f"e0 AS MATERIALIZED ({_COPURCHASE_EDGES_SQL})"]
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{i} AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+      GROUP BY node),
+    k{i} AS (SELECT node FROM d{i} WHERE d >= {KCORE_K}),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN k{i} a ON a.node = e.u JOIN k{i} b ON b.node = e.v)"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS l_partkey, CAST(COUNT(*) AS BIGINT)
+             AS core_degree
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY node"""
+    )
+
+
+@register(
+    "kcore_copurchase",
+    _kcore_oracle(),
+    f"k-core decomposition (k={KCORE_K}, {KCORE_ROUNDS} peel rounds)"
+    " of the part co-purchase graph: iteratively drop nodes below"
+    " degree k, report the surviving subgraph's nodes and in-core"
+    " degrees",
+    tags=("graph", "iterative"),
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The density-filter companion to connected components and
+    PageRank (dedup_clusters / pagerank_neardup_graph): the k-core is
+    the maximal subgraph where every node keeps >= k neighbors —
+    spam-farm and community detection on link graphs, dense-cluster
+    extraction on near-dup graphs. Bounded-round peel, the same
+    fixed-iteration recipe as the Pregel-style ops in ml_prep: each
+    round is one degree aggregation + two semi joins, and each
+    round's edge set is ``localCheckpoint``-ed (``checkpoint`` to
+    durable storage on a cluster) — every round references the
+    previous edges three times (degree union + join), so an uncut
+    logical plan grows 3^ROUNDS and overflows plan stringification
+    long before execution. (A converged decomposition loops until
+    fixpoint; the bounded form keeps the oracle expressible as
+    chained CTEs and is deterministic in both engines by
+    construction.)"""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select("v"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node")
+        edges = (
+            edges.join(keep, edges.u == keep.node, "left_semi")
+            .join(keep, edges.v == keep.node, "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("node").cast("bigint").alias("l_partkey"), "core_degree")
     )

@@ -469,3 +469,100 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0
     )
     return sample_frames(synthesize_video_payloads(d))
+
+
+# --------------------------------------------------------------------
+# Image perceptual hash (average hash) over genuinely decoded pixels
+# --------------------------------------------------------------------
+
+AH_W, AH_H = 8, 7  # 56-bit hash: stays clear of the int64 sign bit
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("n_set_bits", T.LongType()),
+    ]
+)
+
+
+def average_hash(media: DataFrame) -> DataFrame:
+    """Decode each PNG, downsample to AH_W x AH_H by nearest-neighbor,
+    and emit the average-hash: bit k set iff pixel k is strictly above
+    the downsampled mean (compared in integers: n_pixels * p > total,
+    no float mean). Map-only mapInPandas."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = AH_W * AH_H
+        for pdf in batches:
+            rows = {k: [] for k in PHASH_SCHEMA.fieldNames()}
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image/png":
+                    continue
+                w, h, raster = decode_png_gray(bytes(payload))
+                small = resize_nn(raster, w, h, AH_W, AH_H)
+                total = int(sum(small))
+                phash = 0
+                nset = 0
+                for k, p in enumerate(small):
+                    if n_px * int(p) > total:
+                        phash |= 1 << k
+                        nset += 1
+                rows["doc_id"].append(int(doc_id))
+                rows["phash"].append(phash)
+                rows["n_set_bits"].append(nset)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+def _phash_oracle() -> str:
+    n_px = AH_W * AH_H
+    px = (
+        f"list_transform(range(0, {n_px}), k -> ord(substr(text,"
+        f" ((k // {AH_W}) * h // {AH_H} * w + (k % {AH_W}) * w // {AH_W})"
+        f" % n + 1, 1)))"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             CAST(4 + doc_id % 29 AS INT) AS w,
+             CAST(3 + doc_id % 17 AS INT) AS h
+      FROM documents WHERE doc_id % 4 = 0),
+    p AS (SELECT doc_id, {px} AS px FROM m),
+    t AS (SELECT doc_id, px, list_sum(px) AS total FROM p)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(list_sum(list_transform(range(0, {n_px}), k ->
+             CASE WHEN {n_px} * px[k + 1] > total
+                  THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
+             AS phash,
+           CAST(list_sum(list_transform(range(0, {n_px}), k ->
+             CASE WHEN {n_px} * px[k + 1] > total THEN 1 ELSE 0 END))
+             AS BIGINT) AS n_set_bits
+    FROM t
+    """
+
+
+@register(
+    "image_phash_ahash",
+    _phash_oracle(),
+    f"image perceptual fingerprint: real PNG decode -> {AH_W}x{AH_H}"
+    " nearest-neighbor downsample -> average-hash (bit = pixel above"
+    " the downsampled mean, integer compare); the oracle recomputes"
+    " every bit from the generative pixel formula, so the hash gate"
+    " verifies actual decoded content end-to-end",
+    tags=("multimodal", "image", "dedup"),
+)
+def image_phash_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprint that bridges the multimodal and dedup families:
+    aHash is the standard cheap perceptual hash (near-duplicate images
+    differ in O(1) bits, so the SimHash Hamming-band index —
+    ``simhash_neardup_pairs`` — applies unchanged downstream). The
+    downsampled mean is compared in integers (n_pixels * p > total),
+    so no float contract is needed anywhere. Map-only mapInPandas over
+    the decoded rasters; linear in image bytes, no shuffle."""
+    d = read_testdata(spark, sf_dir, "documents")
+    media = synthesize_image_payloads(attach_binary_payload(d))
+    return average_hash(media)

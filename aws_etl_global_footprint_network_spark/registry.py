@@ -86,6 +86,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_merge_step",
     "simhash_neardup_pairs",
     "streaming_static_enrich",
+    "image_phash_ahash",
+    "kcore_copurchase",
     # -- (c) executed plan or oracle changed this round --------------------
     "dedup_minhash_lsh",
     "dedup_containment_pairs",
@@ -108,7 +110,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- (e) remaining round-3 cohort (oldest external evidence) -----------
     "bpe_token_stats",
     "compound_evolution_by_user",
-    "customer_rfm",
     "date_functions_suite",
     "doc_fingerprint",
     "key_uniqueness_checks",
@@ -122,15 +123,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_foreachbatch_upsert",
     "text_quality_stats",
     "time_rollup_multi_grain",
-    "token_count_per_source",
 )
 
-# Still r3-stale after this window (5, each with independent per-run
+# Still r3-stale after this window (7, each with independent per-run
 # verification): approx_distinct_parts and approx_percentile_prices
 # (exact-twin validation in tests), salted_join_revenue (plan gate),
 # merge_rowlevel_cow (writer round-trip tests),
 # weekly_vs_window_equivalence (self-checking by construction — it
-# asserts two formulations agree). First candidates for round 8
+# asserts two formulations agree), customer_rfm (recipe shares the
+# freshly-sampled cohort/LTV cohort machinery) and
+# token_count_per_source (token accounting re-verified through the
+# r6-green token_entropy_gate). First candidates for round 8
 # alongside whatever round 7 registers late.
 
 

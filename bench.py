@@ -148,6 +148,8 @@ HEADLINE = [
     "bpe_merge_step",
     "simhash_neardup_pairs",
     "streaming_static_enrich",
+    "image_phash_ahash",
+    "kcore_copurchase",
 ]
 
 

@@ -161,3 +161,49 @@ def test_csls_penalizes_hubs(spark, sf_dir):
         assert max(deltas) - min(deltas) <= 4.0
         for r in rs:
             assert -1.000001 <= r["cos"] <= 1.000001
+
+
+def test_phash_bits_consistent(spark, sf_dir):
+    rows = SPECS["image_phash_ahash"].builder(spark, sf_dir).collect()
+    assert rows
+    from aws_etl_global_footprint_network_spark.operators import multimodal_codecs as mc
+
+    n_px = mc.AH_W * mc.AH_H
+    for r in rows:
+        assert r["doc_id"] % 4 == 0
+        assert 0 <= r["phash"] < (1 << n_px)
+        assert bin(r["phash"]).count("1") == r["n_set_bits"]
+        # strictly-above-mean bits can never cover the whole grid
+        assert 0 <= r["n_set_bits"] < n_px
+
+
+def test_kcore_matches_reference_peel(spark, sf_dir_mid):
+    got = {
+        r["l_partkey"]: r["core_degree"]
+        for r in SPECS["kcore_copurchase"].builder(spark, sf_dir_mid).collect()
+    }
+    assert got, "k-core must be non-empty at sf0.01 (k tuned for it)"
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    rows = read_testdata(spark, sf_dir_mid, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set[int]] = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    for _ in range(mining.KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= mining.KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    want: dict[int, int] = {}
+    for a, b in edges:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    assert got == want

@@ -355,3 +355,23 @@ def test_dedup_verify_stage_hint_free(spark, sf_dir, name):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed[:800]
     assert analyzed.count("LeftSemi") >= 2, analyzed[:800]
+
+
+def test_dedup_verify_result_join_strategy_independent(spark, sf_dir):
+    """Bloom-style hint-independence for the dedup fix: the verify
+    stage's output must be identical whether AQE broadcasts the small
+    sides (default) or every join is forced to shuffle (broadcast
+    thresholds -1) — the join strategy only moves work. Guards against
+    any future re-introduction of semantics that depend on a
+    broadcast-only plan shape."""
+    name = "dedup_minhash_lsh"
+    want = sorted(map(tuple, SPECS[name].builder(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = sorted(map(tuple, SPECS[name].builder(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert got == want and len(want) > 0

@@ -432,3 +432,49 @@ def scd2_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
         round_compat("acctbal", 2).alias("acctbal_at_order"),
     )
+
+
+@register(
+    "variant_props_aggregate",
+    """
+    WITH v AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             json_extract_string(props, '$.missing') AS missing
+      FROM events)
+    SELECT CAST(k % 10 AS BIGINT) AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing
+    FROM v GROUP BY k % 10
+    """,
+    "semi-structured ingestion through the VARIANT type (Spark 4):"
+    " parse_json -> variant_get typed extraction + try_variant_get"
+    " missing-path NULL contract, aggregated by extracted key",
+    tags=("projection", "json", "variant"),
+)
+def variant_props_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4-native path for semi-structured columns: VARIANT
+    parses once into a binary-encoded tree (vs per-path string
+    re-parsing with get_json_object), typed extraction happens
+    JVM-side, and shredding pushes down into the scan when the source
+    is a VARIANT parquet column. try_variant_get on an absent path
+    yields NULL — pinned against the oracle's json_extract_string
+    NULL — so schema drift in the props payload degrades softly
+    instead of failing the pipeline."""
+    ev = read_testdata(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        ev.select(k.alias("k"), missing.alias("missing"))
+        .groupBy((F.col("k") % 10).cast("bigint").alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+    )

@@ -54,41 +54,61 @@ from aws_etl_global_footprint_network_spark.sources.readers import (
 
 TRI_TOP = 20
 
+# Minimum co-occurrence count for an AFFINITY edge (the triangle
+# op's graph): a single shared order between two parts is noise under
+# uniform baskets, and the noise graph's density grows with corpus
+# size — its wedge count exploded the sf1 sweep (measured 24 GB of
+# DuckDB spill). Support >= 2 keeps only repeat co-purchases, whose
+# count is stable across SF (~4k edges at sf0.01, sf0.1 AND sf1), so
+# the wedge join is bounded by signal, not volume.
+TRI_MIN_SUPPORT = 2
+
+# The base relation is deduped to (order, part) first: an order can
+# hold the same part on several lineitems, which would inflate pair
+# support multiplicatively; support means DISTINCT shared orders.
 _COPURCHASE_EDGES_SQL = """
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2"""
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected (u < v) part pairs sharing an order —
-    per-order self-join, fanout bounded by basket size (<= 7 in
-    TPC-H), linear in lineitem."""
-    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 1
+) -> DataFrame:
+    """Undirected (u < v) part pairs sharing at least ``min_support``
+    orders — per-order self-join (fanout bounded by basket size, <= 7
+    in TPC-H, so linear in lineitem) + one pair-keyed groupBy."""
+    li = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
     )
+    return pairs.filter(F.col("support") >= min_support).select("u", "v")
 
 
 @register(
     "triangle_count_copurchase",
     f"""
-    WITH pairs AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    deg AS (
+    WITH pairs AS MATERIALIZED ({_COPURCHASE_EDGES_SQL}
+      HAVING COUNT(*) >= {TRI_MIN_SUPPORT}),
+    deg AS MATERIALIZED (
       SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
       GROUP BY node),
-    o AS (
+    o AS MATERIALIZED (
       SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
              CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst,
              CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS dd
@@ -109,9 +129,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pernode pn JOIN deg ON deg.node = pn.node
     ORDER BY pn.n_triangles DESC, pn.node LIMIT {TRI_TOP}
     """,
-    "triangle counting on the part co-purchase graph (parts sharing"
-    " an order are adjacent): degree-oriented wedge join + closing-"
-    f"edge join, per-node triangle counts, top-{TRI_TOP}",
+    f"triangle counting on the part co-purchase AFFINITY graph (parts"
+    f" sharing >= {TRI_MIN_SUPPORT} orders are adjacent):"
+    " degree-oriented wedge join + closing-edge join, per-node"
+    f" triangle counts, top-{TRI_TOP}",
     tags=("graph", "analytics"),
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,12 +142,19 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sqrt(edges)) for any graph — the arboricity bound — so the
     wedge join can never blow up on a skewed hub the way a naive
     u-v-w enumeration does), and close each wedge with one equi-join
-    back on the oriented edge list. Edge generation is a per-order
-    self-join, bounded by order size (<= 7 items in TPC-H), so it is
-    linear in lineitem. Three shuffles total (edge distinct, wedge
-    join, closing join); per-node counts are one explode + groupBy."""
+    back on the oriented edge list. Edges are repeat co-purchases
+    (support >= TRI_MIN_SUPPORT): the single-shared-order noise graph
+    densifies with corpus size and its wedge count grows
+    quadratically in degree, while the affinity graph's size tracks
+    genuine co-purchase signal (measured flat ~4k edges from sf0.01
+    to sf1). Edge generation is a per-order self-join bounded by
+    basket size, so it is linear in lineitem. Three shuffles total
+    (pair count, wedge join, closing join); per-node counts are one
+    explode + groupBy."""
     scope = CacheScope("triangle_count_copurchase")
-    pairs = scope.persist(_copurchase_edges(spark, sf_dir))
+    pairs = scope.persist(
+        _copurchase_edges(spark, sf_dir, min_support=TRI_MIN_SUPPORT)
+    )
     deg = scope.persist(
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select("v"))

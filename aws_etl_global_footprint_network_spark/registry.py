@@ -52,18 +52,16 @@ def register(
 # those 50 slots explicitly.  Round-7 composition, per the round-6
 # verdict's items 2-3 (never-sampled outranks stale, then the oldest
 # evidence rotates in): (a) the ten late-round-6 governance operators
-# that have never been externally sampled; (b) the five operators new
+# that have never been externally sampled; (b) the nine operators new
 # this round (first external rows); (c) every query whose executed plan
 # or oracle text changed this round — the two lexical-dedup verify
 # stages lost their broadcast hints (verdict item 1), the LSH oracle
 # twin was rewritten 20x faster (verdict item 7), rolling_median_cents
 # pinned its NULL contract (advisor); (d) the round-3-stale
 # ANN/multimodal cohort named verbatim in verdict item 3; (e) the rest
-# of the round-3 cohort — all but four of the 36 r3-stale queries
-# rotate in (the four held back have independent exact-twin or
-# plan-gate coverage: approx_* validated against exact twins per run,
-# salted_join_revenue plan-gated, merge_rowlevel_cow writer-path
-# tested). Everything else keeps local coverage via
+# of the round-3 cohort — all but eight of the 36 r3-stale queries
+# rotate in (each hold-back has independent per-run coverage, listed
+# below). Everything else keeps local coverage via
 # tests/test_oracle_parity.py (all queries, every test run) and the
 # per-round sf1 sweep (scripts/parity_sweep.py).
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -88,6 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_static_enrich",
     "image_phash_ahash",
     "kcore_copurchase",
+    "variant_props_aggregate",
     # -- (c) executed plan or oracle changed this round --------------------
     "dedup_minhash_lsh",
     "dedup_containment_pairs",
@@ -108,7 +107,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "null_semantics_suite",
     "part_regex_funcs",
     # -- (e) remaining round-3 cohort (oldest external evidence) -----------
-    "bpe_token_stats",
     "compound_evolution_by_user",
     "date_functions_suite",
     "doc_fingerprint",
@@ -125,12 +123,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "time_rollup_multi_grain",
 )
 
-# Still r3-stale after this window (7, each with independent per-run
+# Still r3-stale after this window (8, each with independent per-run
 # verification): approx_distinct_parts and approx_percentile_prices
 # (exact-twin validation in tests), salted_join_revenue (plan gate),
 # merge_rowlevel_cow (writer round-trip tests),
 # weekly_vs_window_equivalence (self-checking by construction — it
-# asserts two formulations agree), customer_rfm (recipe shares the
+# asserts two formulations agree), bpe_token_stats (token accounting
+# re-verified through bpe_merge_step + token_entropy_gate), customer_rfm (recipe shares the
 # freshly-sampled cohort/LTV cohort machinery) and
 # token_count_per_source (token accounting re-verified through the
 # r6-green token_entropy_gate). First candidates for round 8

@@ -150,6 +150,7 @@ HEADLINE = [
     "streaming_static_enrich",
     "image_phash_ahash",
     "kcore_copurchase",
+    "variant_props_aggregate",
 ]
 
 

@@ -110,10 +110,11 @@ def test_triangle_orientation_matches_bruteforce(spark, sf_dir):
     by_order: dict[int, set[int]] = {}
     for r in rows:
         by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
-    edges = set()
+    support: dict[tuple[int, int], int] = {}
     for parts in by_order.values():
         for a, b in itertools.combinations(sorted(parts), 2):
-            edges.add((a, b))
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {e for e, c in support.items() if c >= mining.TRI_MIN_SUPPORT}
     adj: dict[int, set[int]] = {}
     for a, b in edges:
         adj.setdefault(a, set()).add(b)

@@ -464,11 +464,14 @@ def variant_props_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL — so schema drift in the props payload degrades softly
     instead of failing the pipeline."""
     ev = read_testdata(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    k = F.variant_get(v, "$.k", "int")
-    missing = F.try_variant_get(v, "$.missing", "string")
+    # parse ONCE into a variant column, then extract — two
+    # variant_get expressions over parse_json(props) would each
+    # re-parse the payload per row (no CSE across them)
+    parsed = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "int")
+    missing = F.try_variant_get("v", "$.missing", "string")
     return (
-        ev.select(k.alias("k"), missing.alias("missing"))
+        parsed.select(k.alias("k"), missing.alias("missing"))
         .groupBy((F.col("k") % 10).cast("bigint").alias("k_mod"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

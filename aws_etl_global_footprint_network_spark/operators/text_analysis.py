@@ -282,9 +282,12 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_pair"))
     )
     # corpus totals from the (persisted) count aggregates — no second
-    # pass over the exploded corpus
-    t_uni = int(ucnt.agg(F.sum("c")).collect()[0][0])
-    t_bi = int(bcnt.agg(F.sum("c_pair")).collect()[0][0])
+    # pass over the exploded corpus, and IN-PLAN (1-row broadcast
+    # cross-joins, the whitelisted scalar-subquery pattern): the
+    # builder stays lazy and the totals reflect execution-time data,
+    # matching the oracle's scalar subqueries.
+    tu1 = ucnt.agg(F.sum("c").cast("bigint").alias("t_uni"))
+    tb1 = bcnt.agg(F.sum("c_pair").cast("bigint").alias("t_bi"))
     b = bcnt.filter(F.col("c_pair") >= PMI_MIN_PAIR).select(
         "bigram",
         "c_pair",
@@ -294,13 +297,15 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
     ub = ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
     pmi = (
-        F.log(F.col("c_pair") * 1.0 / t_bi)
-        - F.log(F.col("c_a") * 1.0 / t_uni)
-        - F.log(F.col("c_b") * 1.0 / t_uni)
+        F.log(F.col("c_pair") * 1.0 / F.col("t_bi"))
+        - F.log(F.col("c_a") * 1.0 / F.col("t_uni"))
+        - F.log(F.col("c_b") * 1.0 / F.col("t_uni"))
     )
     return (
         b.join(ua, "tok_a")
         .join(ub, "tok_b")
+        .crossJoin(F.broadcast(tu1))
+        .crossJoin(F.broadcast(tb1))
         .select(
             "bigram",
             F.col("c_pair").cast("bigint").alias("c_pair"),
@@ -357,7 +362,12 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scope = CacheScope("vocab_coverage")
     vc = scope.persist(vc)
-    t, vsz = vc.agg(F.sum("c"), F.count(F.lit(1))).collect()[0]
+    # corpus totals in-plan (1-row broadcast cross-join) — lazy
+    # builder, execution-time-consistent totals, one fewer driver job
+    totals = vc.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
     parts = []
     for v in VOCAB_SIZES:
         top = vc.orderBy(F.col("c").desc(), "tok").limit(v)
@@ -370,10 +380,12 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(
+    return out.crossJoin(F.broadcast(totals)).select(
         "v",
         "covered_tokens",
-        F.lit(int(t)).cast("bigint").alias("total_tokens"),
-        round_compat(F.col("covered_tokens") / float(t), 6).alias("coverage"),
-        F.lit(int(vsz)).cast("bigint").alias("vocab_size"),
+        "total_tokens",
+        round_compat(
+            F.col("covered_tokens") / F.col("total_tokens").cast("double"), 6
+        ).alias("coverage"),
+        "vocab_size",
     )

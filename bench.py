@@ -403,6 +403,9 @@ def duck_mode(specs, names) -> None:
                 "metric": "duckdb_oracle_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "median_query": sorted(timings.values())[len(timings) // 2]
+                if timings
+                else None,
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
             }
@@ -514,11 +517,13 @@ def main() -> None:
     # 2000 chars — the round-5 line with 52 warm + 52 cold per-query
     # entries outgrew it and the round shipped no parsed bench number).
     # Per-query maps go to stderr + a sidecar file instead.
+    sorted_t = sorted(timings.values())
     line = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "median_query": sorted_t[len(sorted_t) // 2] if sorted_t else None,
         "sf": _sf_from_dir(SF_DIR),
     }
     details = {"queries": timings}

@@ -111,6 +111,10 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern: 1-row argmax merge decision broadcast
     # cross-joined into the vocabulary per BPE iteration
     "bpe_merge_step",
+    # scalar-subquery pattern: 1-row corpus totals broadcast into the
+    # PMI / coverage arithmetic (replaced driver-side collects)
+    "token_pmi_bigrams",
+    "vocab_coverage",
     # scalar-subquery pattern: stream-total 1-row aggregate broadcast
     # into the support-threshold filter
     "heavy_hitters_twopass",

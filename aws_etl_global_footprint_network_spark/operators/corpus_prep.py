@@ -504,19 +504,26 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate JOINED back to the exploded corpus (not broadcast —
     at 100 TB the vocabulary is huge; the join shuffles on token,
     bounded by vocabulary skew which AQE splits). The corpus total
-    is one scalar collect. Mean of ln(count) per doc is rounded at
-    1e-6 (summation order differs across engines)."""
+    enters as an in-plan 1-row broadcast aggregate (lazy builder,
+    execution-time-consistent — the advisor's scalar-subquery
+    pattern). Mean of ln(count) per doc is rounded at 1e-6
+    (summation order differs across engines)."""
     d = spread(read_testdata(spark, sf_dir, "documents"))
     ex = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = ex.count()
+    t1 = ex.agg(F.count(F.lit(1)).cast("double").alias("corpus_total"))
     scored = (
         ex.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            (F.avg(F.log("c")) - F.lit(float(__import__("math").log(total))))
-            .alias("lp"),
+            F.avg(F.log("c")).alias("avg_ln_c"),
+        )
+        .crossJoin(F.broadcast(t1))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("avg_ln_c") - F.log("corpus_total")).alias("lp"),
         )
     )
     return scored.select(

@@ -112,9 +112,10 @@ CARTESIAN_WHITELIST = {
     # cross-joined into the vocabulary per BPE iteration
     "bpe_merge_step",
     # scalar-subquery pattern: 1-row corpus totals broadcast into the
-    # PMI / coverage arithmetic (replaced driver-side collects)
+    # PMI / coverage / LM arithmetic (replaced driver-side collects)
     "token_pmi_bigrams",
     "vocab_coverage",
+    "unigram_lm_score",
     # scalar-subquery pattern: stream-total 1-row aggregate broadcast
     # into the support-threshold filter
     "heavy_hitters_twopass",

@@ -116,6 +116,8 @@ CARTESIAN_WHITELIST = {
     "token_pmi_bigrams",
     "vocab_coverage",
     "unigram_lm_score",
+    # composes unigram_lm_score, inheriting its 1-row total cross-join
+    "corpus_quality_gates",
     # scalar-subquery pattern: stream-total 1-row aggregate broadcast
     # into the support-threshold filter
     "heavy_hitters_twopass",

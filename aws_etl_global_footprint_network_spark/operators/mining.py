@@ -80,22 +80,24 @@ def _copurchase_edges(
     """Undirected (u < v) part pairs sharing at least ``min_support``
     orders — per-order self-join (fanout bounded by basket size, <= 7
     in TPC-H, so linear in lineitem) + one pair-keyed groupBy."""
-    li = (
-        read_testdata(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
+    if min_support > 1:
+        # support counts DISTINCT shared orders, so the base relation
+        # must be deduped first (same part can repeat within an order)
+        li = li.distinct()
     a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
+    raw = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    if min_support <= 1:
+        # adjacency only — pair-level distinct subsumes the base
+        # dedup, saving one corpus-sized shuffle
+        return raw.distinct()
+    pairs = raw.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
     return pairs.filter(F.col("support") >= min_support).select("u", "v")
 
 
@@ -808,7 +810,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs and is deterministic in both engines by
     construction.)"""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    for _ in range(KCORE_ROUNDS):
+    for i in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("u").alias("node"))
             .unionAll(edges.select("v"))
@@ -816,11 +818,14 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= KCORE_K).select("node")
-        edges = (
-            edges.join(keep, edges.u == keep.node, "left_semi")
-            .join(keep, edges.v == keep.node, "left_semi")
-            .localCheckpoint()
+        edges = edges.join(keep, edges.u == keep.node, "left_semi").join(
+            keep, edges.v == keep.node, "left_semi"
         )
+        # cut lineage every OTHER round: one segment grows 3^2 = 9
+        # plan refs (harmless) while halving the eager materialization
+        # jobs that dominated this query's wall clock at toy scale
+        if i % 2 == 1 or i == KCORE_ROUNDS - 1:
+            edges = edges.localCheckpoint()
     return (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select("v"))

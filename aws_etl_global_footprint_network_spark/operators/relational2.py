@@ -719,3 +719,67 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / 100.0).alias("total_value"),
         round_compat(F.col("cents") / 100.0 / F.col("n"), 6).alias("avg_value"),
     )
+
+
+Q21_TOP = 25
+
+
+@register(
+    "lone_fault_suppliers",
+    f"""
+    SELECT CAST(l1.l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    ORDER BY numwait DESC, l1.l_suppkey LIMIT {Q21_TOP}
+    """,
+    "TPC-H Q21-shaped EXISTS / NOT-EXISTS chain: suppliers whose"
+    " returned lineitems sit on multi-supplier orders where NO other"
+    " supplier had a return (the lone-fault pattern); oracle keeps the"
+    " correlated-subquery form, the Spark plan uses the aggregate"
+    f" rewrite; top-{Q21_TOP} by count",
+    tags=("relational", "subquery"),
+)
+def lone_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic doubly-correlated pattern (TPC-H Q21's shape on
+    this schema's columns). The oracle states it with EXISTS and NOT
+    EXISTS verbatim; executing correlated subqueries per row is a
+    nested loop, so the Spark plan uses the standard aggregate
+    rewrite: ONE per-order aggregation computes n_suppliers (distinct
+    suppliers on the order) and n_fault_suppliers (distinct suppliers
+    with a return), and the two EXISTS conditions collapse to
+    ``n_suppliers > 1 AND n_fault_suppliers = 1`` joined back to the
+    returned rows — two shuffles on l_orderkey total, hash-identical
+    to the subquery form. The final cut is a TakeOrdered on
+    (count desc, suppkey)."""
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fault_suppliers"),
+    )
+    lone = per_order.filter(
+        (F.col("n_suppliers") > 1) & (F.col("n_fault_suppliers") == 1)
+    ).select("l_orderkey")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(lone, "l_orderkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "l_suppkey")
+        .limit(Q21_TOP)
+        .select(F.col("l_suppkey").cast("bigint").alias("l_suppkey"), "numwait")
+    )

@@ -391,3 +391,99 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "ts").alias("close"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Windowed aggregation join (kdb+ wj / "window join")
+# --------------------------------------------------------------------
+
+WJ_WINDOW_US = 1_800_000_000  # 30-minute lookback, integer microseconds
+
+
+@register(
+    "window_agg_join",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    p AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, t, cents FROM e
+          WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT p.event_id, p.user_id,
+             COUNT(v.t) AS n_prior,
+             COALESCE(SUM(v.cents), 0) AS prior_cents
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id
+       AND v.t >= p.t - {WJ_WINDOW_US} AND v.t < p.t
+      GROUP BY p.event_id, p.user_id)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           CAST(prior_cents AS BIGINT) AS prior_cents
+    FROM j
+    """,
+    "windowed aggregation join (kdb+ wj): for every purchase, the"
+    " count and cents sum of the same user's view/click events in the"
+    " preceding 30 minutes — a point-in-interval aggregate across two"
+    " relations, bucketized into an equi-join",
+    tags=("temporal", "join"),
+)
+def window_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third member of the temporal-join family: as-of attaches
+    ONE nearest row, interval-overlap pairs ranges, this AGGREGATES
+    every right row inside a per-left-row time window. The naive plan
+    is a non-equi theta join (nested loop); the scale form buckets
+    time into window-width cells so each purchase only meets its own
+    and its previous cell — an EQUI join on (user, bucket) that
+    shuffle-partitions and AQE-skew-splits like any other, with the
+    exact band predicate as a residual filter. Left semantics are
+    preserved (purchases with no prior views emit zeros) by
+    conditional aggregation over the left-joined bucket pairs.
+    Integer-microsecond arithmetic and integer cents throughout — no
+    float contract."""
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    w = F.lit(WJ_WINDOW_US)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t", (F.col("t") / w).cast("long").alias("b")
+    )
+    v = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("v_user"),
+        F.col("t").alias("tv"),
+        "cents",
+        (F.col("t") / w).cast("long").alias("vb"),
+    )
+    # each purchase probes its own and the previous window-width cell
+    pb = p.select(
+        "event_id",
+        "user_id",
+        "t",
+        F.explode(F.array(F.col("b") - 1, F.col("b"))).alias("probe_b"),
+    )
+    hit = (F.col("tv") >= F.col("t") - w) & (F.col("tv") < F.col("t"))
+    joined = pb.join(
+        v,
+        (F.col("v_user") == F.col("user_id")) & (F.col("vb") == F.col("probe_b")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_prior"),
+        F.sum(F.when(hit, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("prior_cents"),
+    ).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_prior",
+        "prior_cents",
+    )

@@ -132,8 +132,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # re-verified through bpe_merge_step + token_entropy_gate), customer_rfm (recipe shares the
 # freshly-sampled cohort/LTV cohort machinery) and
 # token_count_per_source (token accounting re-verified through the
-# r6-green token_entropy_gate). First candidates for round 8
-# alongside whatever round 7 registers late.
+# r6-green token_entropy_gate). First candidates for round 8,
+# alongside window_agg_join and lone_fault_suppliers (registered
+# after the round-7 window filled — never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

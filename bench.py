@@ -151,6 +151,8 @@ HEADLINE = [
     "image_phash_ahash",
     "kcore_copurchase",
     "variant_props_aggregate",
+    "window_agg_join",
+    "lone_fault_suppliers",
 ]
 
 

@@ -208,3 +208,69 @@ def test_kcore_matches_reference_peel(spark, sf_dir_mid):
         want[a] = want.get(a, 0) + 1
         want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+def test_window_agg_join_matches_bruteforce(spark, sf_dir):
+    """The bucketized equi-join must aggregate exactly the rows a
+    per-purchase brute-force scan finds."""
+    from aws_etl_global_footprint_network_spark.operators import temporal
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {
+        r["event_id"]: (r["n_prior"], r["prior_cents"])
+        for r in SPECS["window_agg_join"].builder(spark, sf_dir).collect()
+    }
+    rows = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).collect()
+    views = [
+        (r["user_id"], r["t"], r["cents"])
+        for r in rows
+        if r["event_type"] in ("view", "click")
+    ]
+    w = temporal.WJ_WINDOW_US
+    want = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        hits = [
+            c for (u, tv, c) in views
+            if u == r["user_id"] and r["t"] - w <= tv < r["t"]
+        ]
+        want[r["event_id"]] = (len(hits), sum(hits))
+    assert got == want and len(want) > 0
+
+
+def test_lone_fault_aggregate_rewrite_equals_exists_form(spark, sf_dir):
+    """The Spark plan uses the aggregate rewrite; prove it equals the
+    literal correlated EXISTS / NOT EXISTS form executed by Spark's
+    own subquery support (a THIRD engine-path besides the DuckDB
+    oracle)."""
+    from aws_etl_global_footprint_network_spark.operators import relational2
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    read_testdata(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_q21_test"
+    )
+    literal = spark.sql(f"""
+        SELECT CAST(l1.l_suppkey AS BIGINT) AS l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM li_q21_test l1
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM li_q21_test l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM li_q21_test l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY l1.l_suppkey
+        ORDER BY numwait DESC, l_suppkey LIMIT {relational2.Q21_TOP}
+    """).collect()
+    rewritten = SPECS["lone_fault_suppliers"].builder(spark, sf_dir).collect()
+    assert [tuple(r) for r in literal] == [tuple(r) for r in rewritten]
+    assert rewritten

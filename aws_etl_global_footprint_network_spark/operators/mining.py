@@ -1,7 +1,7 @@
 """Round-7 mining operators ([EXT] — LLM-data-pipeline surface,
 SURVEY §0/§7.6 extensions).
 
-Six families, each fully distributed and oracle-paired:
+Seven families, each fully distributed and oracle-paired:
 
 - ``triangle_count_copurchase``: triangle counting on the part
   co-purchase graph with the degree-orientation trick — the classic
@@ -22,6 +22,9 @@ Six families, each fully distributed and oracle-paired:
   ``bit_count(xor)`` distance.
 - ``kcore_copurchase``: bounded-round k-core peel of the co-purchase
   graph — dense-cluster extraction on link/near-dup graphs.
+- ``quantile_normalize_events``: cross-group quantile normalization
+  at bucket grain — per-group scalable NTILE via the distributed
+  rank recipe, pooled bucket means shared across groups.
 
 Scale posture is noted per operator; no operator broadcasts a
 corpus-cardinality relation or sorts the corpus through one task.
@@ -832,4 +835,117 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .select(F.col("node").cast("bigint").alias("l_partkey"), "core_degree")
+    )
+
+
+# --------------------------------------------------------------------
+# Cross-group quantile normalization
+# --------------------------------------------------------------------
+
+QN_BUCKETS = 20
+
+
+@register(
+    "quantile_normalize_events",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type, cents,
+             NTILE({QN_BUCKETS}) OVER (PARTITION BY event_type
+               ORDER BY cents, event_id) AS bucket
+      FROM e),
+    ref AS (
+      SELECT bucket, CAST(SUM(cents) AS BIGINT) AS ref_sum,
+             CAST(COUNT(*) AS BIGINT) AS ref_n
+      FROM r GROUP BY bucket)
+    SELECT r.event_type, CAST(r.bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(r.cents) AS BIGINT) AS group_cents,
+           ROUND(ref.ref_sum / (100.0 * ref.ref_n) * 1e6, 0) / 1e6
+             AS normalized_value
+    FROM r JOIN ref ON ref.bucket = r.bucket
+    GROUP BY r.event_type, r.bucket, ref.ref_sum, ref.ref_n
+    """,
+    f"cross-group quantile normalization: every event_type's values"
+    f" are ranked into {QN_BUCKETS} per-type NTILE buckets and each"
+    " bucket is mapped to the pooled cross-type bucket mean — the"
+    " batch-effect-removal transform (quantile normalization) at"
+    " bucket grain",
+    tags=("analytics", "ml-prep", "scale"),
+)
+def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (the bioinformatics/feature-prep
+    transform that forces every group onto a common distribution):
+    rank within group, average across groups at each rank, map back.
+    At bucket grain the map stays bounded (groups x buckets rows).
+    The per-group NTILE never runs as a per-group single-task window:
+    ONE global distributed row_number over (type, cents, id) gives
+    per-group ranks after a min-rank-per-group join (the
+    ``gini_revenue_concentration`` recipe), and the bucket index is
+    the SQL-standard NTILE split computed columnally from (rank, n) —
+    first n%B buckets take n//B+1 rows — bit-identical to both
+    engines' NTILE (same arithmetic ``functions/ranking`` pins for
+    the global case). All sums are integer cents; the single rounded
+    division happens on the pooled reference mean."""
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_row_number,
+    )
+
+    scope = CacheScope("quantile_normalize_events")
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    rn = distributed_row_number(
+        e, [F.col("event_type"), F.col("cents"), F.col("event_id")], "grn", scope
+    )
+    grp = rn.groupBy(F.col("event_type").alias("gt")).agg(
+        F.min("grn").alias("mn"), F.count(F.lit(1)).alias("n_g")
+    )
+    B = F.lit(QN_BUCKETS)
+    r = rn.join(grp, rn.event_type == grp.gt).select(
+        "event_type",
+        "cents",
+        (F.col("grn") - F.col("mn") + 1).alias("r"),
+        "n_g",
+    )
+    base = (F.col("n_g") / B).cast("long")
+    rem = F.col("n_g") % B
+    boundary = rem * (base + 1)
+    bucket = F.when(
+        F.col("r") <= boundary, ((F.col("r") - 1) / (base + 1)).cast("long") + 1
+    ).otherwise(
+        rem
+        + ((F.col("r") - boundary - 1) / F.greatest(base, F.lit(1))).cast("long")
+        + 1
+    )
+    rb = scope.persist(r.withColumn("bucket", bucket.cast("int")))
+    ref = rb.groupBy(F.col("bucket").alias("rbucket")).agg(
+        F.sum("cents").cast("bigint").alias("ref_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("ref_n"),
+    )
+    return (
+        rb.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("group_cents"),
+        )
+        .join(ref, F.col("rbucket") == F.col("bucket"))
+        .select(
+            "event_type",
+            "bucket",
+            "n_rows",
+            "group_cents",
+            round_compat(
+                F.col("ref_sum") / (F.lit(100.0) * F.col("ref_n")), 6
+            ).alias("normalized_value"),
+        )
     )

@@ -133,7 +133,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # freshly-sampled cohort/LTV cohort machinery) and
 # token_count_per_source (token accounting re-verified through the
 # r6-green token_entropy_gate). First candidates for round 8,
-# alongside window_agg_join and lone_fault_suppliers (registered
+# alongside window_agg_join, lone_fault_suppliers and
+# quantile_normalize_events (registered
 # after the round-7 window filled — never sampled).
 
 

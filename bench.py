@@ -153,6 +153,7 @@ HEADLINE = [
     "variant_props_aggregate",
     "window_agg_join",
     "lone_fault_suppliers",
+    "quantile_normalize_events",
 ]
 
 

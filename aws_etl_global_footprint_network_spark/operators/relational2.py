@@ -721,6 +721,62 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_agg_retraction",
+    f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                 / COUNT(*) * 1e6, 0) / 1e6 AS avg_value
+    FROM events WHERE event_id % {IVM_DELTA_MOD} <> 0
+    GROUP BY user_id
+    """,
+    "incremental aggregate maintenance with RETRACTIONS: the stored"
+    " per-user view absorbs a delete batch as negated partials"
+    " (counts and exact-cents sums subtract), groups whose count"
+    " reaches zero drop from the view — the delete/update half of"
+    " materialized-view refresh, verified against the direct"
+    " aggregate over the surviving rows",
+    tags=("agg", "incremental", "cdc", "scale"),
+)
+def incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of IVM: inserts add partials, deletes SUBTRACT
+    them. Count and exact-integer-cents sum are abelian-group
+    aggregates (they have inverses), so a retraction batch merges
+    through the same re-aggregation as an insert batch with its signs
+    flipped — no history rescan, order-independent, and a group is
+    dropped exactly when its maintained count hits zero (never
+    negative: the delete batch is a subset of history by
+    construction). AVG re-derives from the maintained pair. MIN/MAX
+    would NOT survive retraction (no inverse) — that boundary is the
+    documented reason real IVM systems keep per-group delete-aware
+    structures for non-invertible aggregates."""
+    ev = read_testdata(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def partial(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("n"),
+            (F.lit(sign) * F.sum(cents)).alias("cents"),
+        )
+
+    base = partial(ev, 1)  # the stored view: all of history
+    deletes = partial(ev.filter(F.col("event_id") % IVM_DELTA_MOD == 0), -1)
+    merged = (
+        base.unionByName(deletes)
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("cents") / 100.0).alias("total_value"),
+        round_compat(F.col("cents") / 100.0 / F.col("n"), 6).alias("avg_value"),
+    )
+
+
 Q21_TOP = 25
 
 

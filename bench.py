@@ -154,6 +154,7 @@ HEADLINE = [
     "window_agg_join",
     "lone_fault_suppliers",
     "quantile_normalize_events",
+    "incremental_agg_retraction",
 ]
 
 

@@ -274,3 +274,68 @@ def test_lone_fault_aggregate_rewrite_equals_exists_form(spark, sf_dir):
     rewritten = SPECS["lone_fault_suppliers"].builder(spark, sf_dir).collect()
     assert [tuple(r) for r in literal] == [tuple(r) for r in rewritten]
     assert rewritten
+
+
+def test_window_agg_join_boundary_semantics(spark, tmp_path):
+    """Pin the band edges: [t - W, t) — a view exactly W before the
+    purchase is IN, a view at the purchase instant is OUT."""
+    import datetime as dt
+
+    from aws_etl_global_footprint_network_spark.operators import temporal
+
+    w_us = temporal.WJ_WINDOW_US
+    t0 = dt.datetime(2025, 3, 1, 12, 0, 0)
+
+    def at(us):
+        return t0 + dt.timedelta(microseconds=us)
+
+    p_us = 10 * w_us
+    rows = [
+        (1, at(p_us), 7, "purchase", 1.0, "{}"),
+        (2, at(p_us - w_us), 7, "view", 1.0, "{}"),      # exactly W before: IN
+        (3, at(p_us - w_us - 1), 7, "view", 1.0, "{}"),  # 1us too early: OUT
+        (4, at(p_us - 1), 7, "view", 1.0, "{}"),         # just before: IN
+        (5, at(p_us), 7, "view", 1.0, "{}"),             # same instant: OUT
+        (6, at(p_us + 1), 7, "view", 1.0, "{}"),         # after: OUT
+        (7, at(p_us - 1), 8, "view", 1.0, "{}"),         # other user: OUT
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = SPECS["window_agg_join"].builder(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["event_id"] == 1 and out[0]["n_prior"] == 2
+
+
+def test_retraction_drops_fully_deleted_groups(spark, tmp_path):
+    """A user whose every event is retracted must vanish from the
+    maintained view (count reaches zero), not linger as a zero row."""
+    import datetime as dt
+
+    from aws_etl_global_footprint_network_spark.operators import relational2
+
+    m = relational2.IVM_DELTA_MOD
+    t0 = dt.datetime(2025, 3, 1)
+    rows = [
+        # user 1: one surviving, one deleted
+        (1, t0, 1, "click", 2.0, "{}"),
+        (m, t0, 1, "click", 3.0, "{}"),
+        # user 2: ONLY deleted events (ids divisible by the mod)
+        (2 * m, t0, 2, "click", 5.0, "{}"),
+        (3 * m, t0, 2, "click", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: r
+        for r in SPECS["incremental_agg_retraction"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["n_events"] == 1 and out[1]["total_value"] == 2.0

@@ -1,7 +1,7 @@
 """Round-7 mining operators ([EXT] — LLM-data-pipeline surface,
 SURVEY §0/§7.6 extensions).
 
-Seven families, each fully distributed and oracle-paired:
+Eight families, each fully distributed and oracle-paired:
 
 - ``triangle_count_copurchase``: triangle counting on the part
   co-purchase graph with the degree-orientation trick — the classic
@@ -25,6 +25,8 @@ Seven families, each fully distributed and oracle-paired:
 - ``quantile_normalize_events``: cross-group quantile normalization
   at bucket grain — per-group scalable NTILE via the distributed
   rank recipe, pooled bucket means shared across groups.
+- ``pca_power_projection``: distributed PCA — one corpus pass for
+  the moment matrix, in-plan power iteration, map-side projection.
 
 Scale posture is noted per operator; no operator broadcasts a
 corpus-cardinality relation or sorts the corpus through one task.
@@ -947,5 +949,166 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_compat(
                 F.col("ref_sum") / (F.lit(100.0) * F.col("ref_n")), 6
             ).alias("normalized_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Distributed PCA (power iteration on the Gram matrix)
+# --------------------------------------------------------------------
+
+PCA_D = 8        # leading embedding dims (keeps the oracle's D*(D+1)/2
+                 # moment aggregates readable; the recipe is D-generic)
+PCA_ITERS = 6
+PCA_C_ROUND = 9  # moment-matrix rounding grain (summation order
+                 # differs between engines; everything after is
+                 # identical-order arithmetic on the rounded values)
+PCA_TOP = 10
+
+
+def _pca_oracle() -> str:
+    moments = ", ".join(
+        f"ROUND(AVG(e[{i}] * e[{j}]), {PCA_C_ROUND}) AS c{i}_{j}"
+        for i in range(1, PCA_D + 1)
+        for j in range(i, PCA_D + 1)
+    )
+    its = []
+    prev = "it0"
+    for k in range(1, PCA_ITERS + 1):
+        ws = ", ".join(
+            "("
+            + " + ".join(
+                f"c{min(i, j)}_{max(i, j)} * v{j}" for j in range(1, PCA_D + 1)
+            )
+            + f") AS w{i}"
+            for i in range(1, PCA_D + 1)
+        )
+        nrm = " + ".join(f"w{i} * w{i}" for i in range(1, PCA_D + 1))
+        vs = ", ".join(f"w{i} / nrm AS v{i}" for i in range(1, PCA_D + 1))
+        its.append(
+            f"""w{k} AS (SELECT m.*, {ws} FROM {prev}, m),
+    it{k} AS (SELECT *, sqrt({nrm}) AS nrm FROM w{k}),
+    n{k} AS (SELECT {vs} FROM it{k})"""
+        )
+        prev = f"n{k}"
+    chain = ",\n    ".join(its)
+    eig = " + ".join(
+        f"v{i} * ("
+        + " + ".join(
+            f"c{min(i, j)}_{max(i, j)} * v{j}" for j in range(1, PCA_D + 1)
+        )
+        + ")"
+        for i in range(1, PCA_D + 1)
+    )
+    proj = " + ".join(f"e[{i}] * v{i}" for i in range(1, PCA_D + 1))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS MATERIALIZED (SELECT {moments} FROM v),
+    it0 AS (SELECT {', '.join(f'1.0 AS v{i}' for i in range(1, PCA_D + 1))}),
+    {chain},
+    fin AS (SELECT *, ROUND({eig}, 6) AS eigenvalue FROM {prev}, m),
+    scored AS (
+      SELECT v.vec_id, ROUND({proj}, 6) AS pc1_score, fin.eigenvalue
+      FROM v, fin),
+    ranked AS (
+      SELECT vec_id, pc1_score, eigenvalue,
+             CAST(ROW_NUMBER() OVER (ORDER BY pc1_score DESC, vec_id) AS INT)
+               AS rank
+      FROM scored)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, rank, pc1_score, eigenvalue
+    FROM ranked WHERE rank <= {PCA_TOP}
+    """
+
+
+@register(
+    "pca_power_projection",
+    _pca_oracle(),
+    f"distributed PCA: leading eigenvector of the uncentered"
+    f" {PCA_D}x{PCA_D} Gram matrix by {PCA_ITERS} power-iteration"
+    f" rounds, corpus projected onto PC1, top-{PCA_TOP} scores —"
+    " moment aggregation is the only corpus pass; the eigensolve is"
+    " bounded-size arithmetic",
+    tags=("similarity", "ml-prep", "linalg", "iterative"),
+)
+def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-linear-algebra recipe behind PCA whitening and
+    spectral feature extraction at corpus scale: ONE pass computes the
+    D(D+1)/2 second-moment aggregates (map-side combinable sums — the
+    only thing that touches the corpus), the D x D eigenproblem is
+    then constant-size and solved IN-PLAN by unrolled power iteration
+    (fixed rounds, like the pagerank/Lloyd recipes), and the corpus is
+    projected map-side with the eigenvector riding along as a 1-row
+    broadcast. Uncentered (Gram, not covariance) keeps the moment pass
+    single-statistic; centering adds the mean vector to the same pass.
+    Float contract: the moment matrix is ROUNDed on both sides (its
+    summation order is engine-dependent); every downstream op — the
+    fixed-order w = C v folds, the norm, the projections — is
+    identical-order IEEE arithmetic on those rounded values, so the
+    iteration is deterministic without per-round rounding."""
+    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    scope = CacheScope("pca_power_projection")
+    emb = scope.persist(emb)
+    idx = range(1, PCA_D + 1)
+    moments = emb.agg(
+        *[
+            round_compat(
+                F.avg(F.element_at("e", i) * F.element_at("e", j)), PCA_C_ROUND
+            ).alias(f"c{i}_{j}")
+            for i in idx
+            for j in idx
+            if j >= i
+        ]
+    )
+
+    def c(i: int, j: int):
+        return F.col(f"c{min(i, j)}_{max(i, j)}")
+
+    state = moments.select(
+        "*", *[F.lit(1.0).alias(f"v{i}") for i in idx]
+    )
+    for _ in range(PCA_ITERS):
+        ws = [
+            sum((c(i, j) * F.col(f"v{j}") for j in idx), F.lit(0.0)).alias(
+                f"w{i}"
+            )
+            for i in idx
+        ]
+        state = state.select("*", *ws)
+        nrm = F.sqrt(
+            sum((F.col(f"w{i}") * F.col(f"w{i}") for i in idx), F.lit(0.0))
+        )
+        state = state.select(
+            *[c(i, j).alias(f"c{i}_{j}") for i in idx for j in idx if j >= i],
+            *[(F.col(f"w{i}") / nrm).alias(f"v{i}") for i in idx],
+        )
+    eig = sum(
+        (
+            F.col(f"v{i}")
+            * sum((c(i, j) * F.col(f"v{j}") for j in idx), F.lit(0.0))
+            for i in idx
+        ),
+        F.lit(0.0),
+    )
+    fin = state.select(
+        *[F.col(f"v{i}") for i in idx], round_compat(eig, 6).alias("eigenvalue")
+    )
+    proj = sum(
+        (F.element_at("e", i) * F.col(f"v{i}") for i in idx), F.lit(0.0)
+    )
+    scored = emb.crossJoin(F.broadcast(fin)).select(
+        "vec_id", round_compat(proj, 6).alias("pc1_score"), "eigenvalue"
+    )
+    w = Window.orderBy(F.col("pc1_score").desc(), "vec_id")
+    return (
+        scored.orderBy(F.col("pc1_score").desc(), "vec_id")
+        .limit(PCA_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "rank",
+            "pc1_score",
+            "eigenvalue",
         )
     )

@@ -155,6 +155,7 @@ HEADLINE = [
     "lone_fault_suppliers",
     "quantile_normalize_events",
     "incremental_agg_retraction",
+    "pca_power_projection",
 ]
 
 

@@ -118,6 +118,9 @@ CARTESIAN_WHITELIST = {
     "unigram_lm_score",
     # composes unigram_lm_score, inheriting its 1-row total cross-join
     "corpus_quality_gates",
+    # scalar-subquery pattern: the 1-row eigenvector/moment state
+    # broadcast into the map-side projection
+    "pca_power_projection",
     # scalar-subquery pattern: stream-total 1-row aggregate broadcast
     # into the support-threshold filter
     "heavy_hitters_twopass",
@@ -192,6 +195,8 @@ GLOBAL_WINDOW_WHITELIST = {
     # same shape twice: each ranker's rank window runs AFTER its
     # TakeOrderedAndProject(RRF_POOL=100) cut — ≤100 rows per window
     "rrf_hybrid_retrieval",
+    # rank annotation AFTER the TakeOrderedAndProject(PCA_TOP=10) cut
+    "pca_power_projection",
 }
 
 

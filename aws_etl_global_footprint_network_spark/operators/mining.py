@@ -1062,43 +1062,48 @@ def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def c(i: int, j: int):
-        return F.col(f"c{min(i, j)}_{max(i, j)}")
+    # Iteration arithmetic as selectExpr STRINGS, not Column trees:
+    # 6 rounds x ~500 Column operator calls cost ~4 s of pure py4j
+    # round-trips at build time (the same lesson as sign_band_table's
+    # one-F.expr rule); string assembly is Python-side and each round
+    # is ONE py4j call. Fold order matches the oracle exactly.
+    def cn(i: int, j: int) -> str:
+        return f"c{min(i, j)}_{max(i, j)}"
 
-    state = moments.select(
-        "*", *[F.lit(1.0).alias(f"v{i}") for i in idx]
+    c_cols = [cn(i, j) for i in idx for j in idx if j >= i]
+    state = moments.selectExpr(
+        "*", *[f"CAST(1.0 AS DOUBLE) AS v{i}" for i in idx]
     )
     for _ in range(PCA_ITERS):
         ws = [
-            sum((c(i, j) * F.col(f"v{j}") for j in idx), F.lit(0.0)).alias(
-                f"w{i}"
-            )
+            "("
+            + " + ".join(f"{cn(i, j)} * v{j}" for j in idx)
+            + f") AS w{i}"
             for i in idx
         ]
-        state = state.select("*", *ws)
-        nrm = F.sqrt(
-            sum((F.col(f"w{i}") * F.col(f"w{i}") for i in idx), F.lit(0.0))
+        state = state.selectExpr("*", *ws)
+        nrm = "sqrt(" + " + ".join(f"w{i} * w{i}" for i in idx) + ")"
+        state = state.selectExpr("*", f"{nrm} AS nrm").selectExpr(
+            *c_cols, *[f"w{i} / nrm AS v{i}" for i in idx]
         )
-        state = state.select(
-            *[c(i, j).alias(f"c{i}_{j}") for i in idx for j in idx if j >= i],
-            *[(F.col(f"w{i}") / nrm).alias(f"v{i}") for i in idx],
-        )
-    eig = sum(
-        (
-            F.col(f"v{i}")
-            * sum((c(i, j) * F.col(f"v{j}") for j in idx), F.lit(0.0))
-            for i in idx
-        ),
-        F.lit(0.0),
+    eig = " + ".join(
+        f"v{i} * ("
+        + " + ".join(f"{cn(i, j)} * v{j}" for j in idx)
+        + ")"
+        for i in idx
     )
-    fin = state.select(
-        *[F.col(f"v{i}") for i in idx], round_compat(eig, 6).alias("eigenvalue")
+    # round_compat's scaled form inline (round(x*1e6)/1e6): plain
+    # round(x, 6) is Spark HALF_UP on the exact binary value and
+    # diverges from DuckDB's scaled-double ROUND at .xx5 boundaries
+    fin = state.selectExpr(
+        *[f"v{i}" for i in idx],
+        f"round(({eig}) * 1e6, 0) / 1e6 AS eigenvalue",
     )
-    proj = sum(
-        (F.element_at("e", i) * F.col(f"v{i}") for i in idx), F.lit(0.0)
-    )
-    scored = emb.crossJoin(F.broadcast(fin)).select(
-        "vec_id", round_compat(proj, 6).alias("pc1_score"), "eigenvalue"
+    proj = " + ".join(f"element_at(e, {i}) * v{i}" for i in idx)
+    scored = emb.crossJoin(F.broadcast(fin)).selectExpr(
+        "vec_id",
+        f"round(({proj}) * 1e6, 0) / 1e6 AS pc1_score",
+        "eigenvalue",
     )
     w = Window.orderBy(F.col("pc1_score").desc(), "vec_id")
     return (

@@ -201,8 +201,13 @@ def connected_components(
     ``checkpoint`` to durable storage). The per-round convergence
     count is a driver-side scalar — one long per round, the same
     bounded pattern as any Pregel superstep barrier."""
-    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    # checkpointed once: the symmetric edge list is joined in EVERY
+    # round, and each round's eager localCheckpoint would re-execute
+    # the caller's (possibly expensive) edge pipeline otherwise
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -366,9 +371,18 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    # checkpointed once: every power-iteration round's eager
+    # localCheckpoint would otherwise re-execute the whole verified-
+    # pair pipeline (shingle self-join + Jaccard verify) for the edge
+    # join AND the degree join — measured 17.8 s of builder time at
+    # sf0.1 from recomputation alone, ~3 s with the graph pinned
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint()
+    )
     nodes = edges.select(F.col("u").alias("node")).distinct()
     deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.agg(F.count(F.lit(1)).alias("c"))

@@ -1,7 +1,7 @@
 """Round-7 mining operators ([EXT] — LLM-data-pipeline surface,
 SURVEY §0/§7.6 extensions).
 
-Eight families, each fully distributed and oracle-paired:
+Nine families, each fully distributed and oracle-paired:
 
 - ``triangle_count_copurchase``: triangle counting on the part
   co-purchase graph with the degree-orientation trick — the classic
@@ -27,6 +27,8 @@ Eight families, each fully distributed and oracle-paired:
   rank recipe, pooled bucket means shared across groups.
 - ``pca_power_projection``: distributed PCA — one corpus pass for
   the moment matrix, in-plan power iteration, map-side projection.
+- ``bpe_apply_segmentation``: the apply half of tokenizer training —
+  corpus segmented with the learned merges at vocabulary grain.
 
 Scale posture is noted per operator; no operator broadcasts a
 corpus-cardinality relation or sorts the corpus through one task.
@@ -1115,5 +1117,160 @@ def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "pc1_score",
             "eigenvalue",
+        )
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    parts = [
+        f"""toks AS (
+      SELECT source, unnest({tokens_sql('text')}) AS word FROM documents),
+    vs AS (SELECT source, word, COUNT(*) AS cnt_s FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT word, SUM(cnt_s) AS cnt FROM vs GROUP BY word),
+    s0 AS (SELECT word,
+                  array_to_string(regexp_extract_all(word, '.'), ' ') AS seq,
+                  cnt
+           FROM vocab)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(_bpe_pairs_sql(f"s{i-1}", f"p{i}"))
+        parts.append(
+            f"m{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1)"
+        )
+        lsym = f"split_part(m{i}.pair, ' ', 1)"
+        rsym = f"split_part(m{i}.pair, ' ', 2)"
+        merged = f"replace(m{i}.pair, ' ', '')"
+        parts.append(
+            f"""s{i} AS (
+      SELECT s{i-1}.word, trim(replace(replace(
+               ' ' || replace(s{i-1}.seq, ' ', '  ') || ' ',
+               ' ' || {lsym} || '  ' || {rsym} || ' ',
+               ' ' || {merged} || ' '), '  ', ' ')) AS seq, s{i-1}.cnt
+      FROM s{i-1}, m{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    , fin AS (
+      SELECT word, len(string_split(seq, ' ')) AS n_sym,
+             length(word) AS n_chars
+      FROM s{BPE_MERGES})
+    SELECT vs.source,
+           CAST(SUM(vs.cnt_s) AS BIGINT) AS n_words,
+           CAST(SUM(vs.cnt_s * fin.n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(vs.cnt_s * fin.n_sym) AS BIGINT) AS tokens_after,
+           ROUND(SUM(vs.cnt_s * fin.n_sym) * 1.0
+                 / SUM(vs.cnt_s * fin.n_chars) * 1e6, 0) / 1e6
+             AS tokens_per_char
+    FROM vs JOIN fin ON fin.word = vs.word
+    GROUP BY vs.source"""
+    )
+
+
+@register(
+    "bpe_apply_segmentation",
+    _bpe_apply_oracle(),
+    f"tokenizer application: segment the corpus with the {BPE_MERGES}"
+    " learned BPE merges (same argmax chain as bpe_merge_step, applied"
+    " through the final iteration) and report per-source token/char"
+    " compression — the apply half of tokenizer training",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-apply at vocabulary grain: the merge chain is the
+    exact ``bpe_merge_step`` recipe (in-plan 1-row argmax per
+    iteration, space-doubling replace), with the word key riding
+    along so the final symbol sequences can re-join the per-source
+    word counts. Per-source totals are integer products of counts and
+    symbol/char lengths — corpus-sized text is never re-tokenized at
+    apply time (the segmentation is a vocabulary-sized map, the
+    standard trick in production BPE application pipelines); the only
+    float is the final tokens-per-char division, rounded on the
+    shared grain."""
+    scope = CacheScope("bpe_apply_segmentation")
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    vs = scope.persist(
+        d.select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt_s"))
+    )
+    vocab = vs.groupBy("word").agg(F.sum("cnt_s").alias("cnt"))
+    s = vocab.select(
+        "word",
+        F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), " ").alias(
+            "seq"
+        ),
+        "cnt",
+    )
+    for _ in range(BPE_MERGES):
+        sl = F.split(F.col("seq"), " ")
+        pairs = s.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(sl, 1, F.size(sl) - 1),
+                    F.slice(sl, 2, F.size(sl) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        m = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+        )
+        pat = F.concat(
+            F.lit(" "),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)),
+            F.lit("  "),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)),
+            F.lit(" "),
+        )
+        rep = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        s = s.crossJoin(F.broadcast(m)).select(
+            "word",
+            F.trim(
+                F.replace(
+                    F.replace(
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
+                        pat,
+                        rep,
+                    ),
+                    F.lit("  "),
+                    F.lit(" "),
+                )
+            ).alias("seq"),
+            "cnt",
+        )
+    fin = s.select(
+        "word",
+        F.size(F.split(F.col("seq"), " ")).alias("n_sym"),
+        F.length("word").alias("n_chars"),
+    )
+    return (
+        vs.join(fin, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt_s").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt_s") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("chars_total"),
+            F.sum(F.col("cnt_s") * F.col("n_sym"))
+            .cast("bigint")
+            .alias("tokens_after"),
+            round_compat(
+                F.sum(F.col("cnt_s") * F.col("n_sym"))
+                * 1.0
+                / F.sum(F.col("cnt_s") * F.col("n_chars")),
+                6,
+            ).alias("tokens_per_char"),
         )
     )

@@ -135,7 +135,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # r6-green token_entropy_gate). First candidates for round 8,
 # alongside window_agg_join, lone_fault_suppliers and
 # quantile_normalize_events, incremental_agg_retraction and
-# pca_power_projection (registered
+# pca_power_projection and bpe_apply_segmentation (registered
 # after the round-7 window filled — never sampled).
 
 

@@ -156,6 +156,7 @@ HEADLINE = [
     "quantile_normalize_events",
     "incremental_agg_retraction",
     "pca_power_projection",
+    "bpe_apply_segmentation",
 ]
 
 

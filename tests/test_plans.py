@@ -111,6 +111,7 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern: 1-row argmax merge decision broadcast
     # cross-joined into the vocabulary per BPE iteration
     "bpe_merge_step",
+    "bpe_apply_segmentation",
     # scalar-subquery pattern: 1-row corpus totals broadcast into the
     # PMI / coverage / LM arithmetic (replaced driver-side collects)
     "token_pmi_bigrams",

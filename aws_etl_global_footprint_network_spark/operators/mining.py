@@ -1,7 +1,7 @@
 """Round-7 mining operators ([EXT] — LLM-data-pipeline surface,
 SURVEY §0/§7.6 extensions).
 
-Nine families, each fully distributed and oracle-paired:
+Eleven families, each fully distributed and oracle-paired:
 
 - ``triangle_count_copurchase``: triangle counting on the part
   co-purchase graph with the degree-orientation trick — the classic
@@ -29,6 +29,10 @@ Nine families, each fully distributed and oracle-paired:
   the moment matrix, in-plan power iteration, map-side projection.
 - ``bpe_apply_segmentation``: the apply half of tokenizer training —
   corpus segmented with the learned merges at vocabulary grain.
+- ``ewma_spend_smoothing``: per-user EWMA control chart — exponential
+  smoothing without recursion via the rescaled-cumsum identity.
+- ``jaccard_link_prediction``: common-neighbor / Jaccard link
+  prediction over the co-purchase affinity graph.
 
 Scale posture is noted per operator; no operator broadcasts a
 corpus-cardinality relation or sorts the corpus through one task.
@@ -1272,5 +1276,231 @@ def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.col("cnt_s") * F.col("n_chars")),
                 6,
             ).alias("tokens_per_char"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# EWMA spend smoothing (exponential control chart, all in-plan)
+# --------------------------------------------------------------------
+
+# Decay ratio 1/2: every weight POW(0.5, n - rn) is an exact dyadic
+# double (a power of two), every weighted term x_cents * 2^-k is exact
+# (integer cents < 2^23 scaled by a power of two), and within the
+# 16-row trailing window the partial sums span < 2^42 ulps of the
+# smallest term — so EVERY addition is exact under ANY association
+# order. That makes the EWMA bit-identical across engines regardless
+# of how their window aggregators tree up the sum (DuckDB segment
+# tree vs Spark running frame), a structural-parity argument in the
+# spirit of cusum_changepoint's integer algebra. Bounds: <= ~2^23
+# cents/user-day, <= ~1100 day-rows/user before 2^-k underflows.
+EWMA_WINDOW = 16
+EWMA_SPIKE_MULT = 2.0
+
+
+@register(
+    "ewma_spend_smoothing",
+    f"""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x_cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    t AS (
+      SELECT user_id, d, x_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM e),
+    w AS (
+      SELECT user_id, d, x_cents,
+             SUM(x_cents * POW(0.5, n - rn)) OVER win
+               / SUM(POW(0.5, n - rn)) OVER win AS ewma
+      FROM t
+      WINDOW win AS (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                     AND CURRENT ROW)),
+    f AS (
+      SELECT user_id, d, x_cents, ewma,
+             LAG(ewma) OVER (PARTITION BY user_id ORDER BY d) AS prev
+      FROM w)
+    SELECT CAST(user_id AS BIGINT) AS user_id, d,
+           CAST(x_cents AS BIGINT) AS x_cents,
+           ROUND(ewma, 6) AS ewma_r6,
+           CAST(CASE WHEN prev IS NOT NULL
+                      AND x_cents > {EWMA_SPIKE_MULT} * prev
+                     THEN 1 ELSE 0 END AS BIGINT) AS spike
+    FROM f
+    """,
+    "per-user EWMA control chart over daily spend: geometric-weight"
+    f" moving average (r=1/2, {EWMA_WINDOW}-row trailing window) via"
+    " the rescaled-cumsum identity, spike flag where today's spend"
+    f" exceeds {EWMA_SPIKE_MULT}x the prior smoothed level",
+    tags=("analytics", "timeseries"),
+)
+def ewma_spend_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing WITHOUT recursion: the EWMA weighted
+    mean s_t = sum r^(t-i) x_i / sum r^(t-i) is scale-invariant in
+    the weights, so multiplying through by r^(n-t) rewrites it as a
+    ratio of two ordinary windowed sums of x_i * r^(n-i) — a shape
+    every window engine executes in one pass. No sequential
+    dependency survives, so the operator is one shuffle on user_id
+    (row_number, per-user count, both windowed sums and the lag all
+    share that partitioning). The daily pre-aggregation is a
+    map-side-combinable groupBy; nothing is collected or broadcast.
+    r = 1/2 + bounded window => bit-exact parity (see EWMA_WINDOW
+    comment). NULL values are filtered explicitly on both sides so
+    the contract is pinned, not assumed from the corpus."""
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "x_cents"
+            )
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("d")
+    wa = Window.partitionBy("user_id")
+    t = e.select(
+        "user_id",
+        "d",
+        "x_cents",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    wt = F.pow(F.lit(0.5), F.col("n") - F.col("rn"))
+    win = wo.rowsBetween(-(EWMA_WINDOW - 1), 0)
+    w = t.withColumn(
+        "ewma",
+        F.sum(F.col("x_cents") * wt).over(win) / F.sum(wt).over(win),
+    )
+    f = w.withColumn("prev", F.lag("ewma").over(wo))
+    return f.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "d",
+        F.col("x_cents").cast("bigint").alias("x_cents"),
+        round_compat(F.col("ewma"), 6).alias("ewma_r6"),
+        F.when(
+            F.col("prev").isNotNull()
+            & (F.col("x_cents") > EWMA_SPIKE_MULT * F.col("prev")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("spike"),
+    )
+
+
+# --------------------------------------------------------------------
+# Jaccard link prediction on the co-purchase affinity graph
+# --------------------------------------------------------------------
+
+LINK_TOP = 30
+
+
+@register(
+    "jaccard_link_prediction",
+    f"""
+    WITH pairs AS MATERIALIZED ({_COPURCHASE_EDGES_SQL}
+      HAVING COUNT(*) >= {TRI_MIN_SUPPORT}),
+    adj AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM pairs
+      UNION ALL SELECT v, u FROM pairs),
+    deg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    wed AS (
+      SELECT a.node AS u, b.node AS w, COUNT(*) AS common
+      FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT wed.* FROM wed
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.u = wed.u AND p.v = wed.w)),
+    s AS (
+      SELECT c.u, c.w, c.common, du.d AS da, dv.d AS db,
+             ROUND(CAST(c.common AS DOUBLE)
+                   / (du.d + dv.d - c.common), 6) AS jaccard_r6
+      FROM cand c
+      JOIN deg du ON du.node = c.u
+      JOIN deg dv ON dv.node = c.w)
+    SELECT CAST(u AS BIGINT) AS part_a, CAST(w AS BIGINT) AS part_b,
+           CAST(common AS BIGINT) AS common_neighbors,
+           CAST(da AS BIGINT) AS deg_a, CAST(db AS BIGINT) AS deg_b,
+           jaccard_r6
+    FROM s ORDER BY jaccard_r6 DESC, part_a, part_b LIMIT {LINK_TOP}
+    """,
+    "link prediction on the co-purchase affinity graph: Jaccard"
+    " neighbor-set similarity of NON-adjacent part pairs sharing a"
+    f" common neighbor, top-{LINK_TOP} predicted edges",
+    tags=("graph", "analytics"),
+)
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic common-neighbors link predictor (Liben-Nowell &
+    Kleinberg): score every non-edge (u, w) with at least one shared
+    neighbor by |N(u) n N(w)| / |N(u) u N(w)|, where the union size
+    is deg(u) + deg(w) - common (inclusion-exclusion — no second
+    pass). Wedge enumeration is one equi-join of the adjacency list
+    with itself on the shared-neighbor key, the same signal-bounded
+    fanout as triangle_count_copurchase (affinity edges only,
+    support >= TRI_MIN_SUPPORT, measured ~flat edge count across
+    SF); existing edges are removed with a left_anti join on the
+    canonical (min, max) pair key; degrees join BY KEY with no
+    broadcast hint (AQE promotes them when genuinely small). The
+    Jaccard ratio is small-int / small-int — bit-identical IEEE
+    division in both engines — and the top-{LINK_TOP} order is total
+    (rounded score desc, then the unique pair key)."""
+    scope = CacheScope("jaccard_link_prediction")
+    edges = scope.persist(
+        _copurchase_edges(spark, sf_dir, min_support=TRI_MIN_SUPPORT)
+    )
+    adj = scope.persist(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v"), F.col("u")))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wed = (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("w"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wed.join(
+        edges,
+        (wed["u"] == edges["u"]) & (wed["w"] == edges["v"]),
+        "left_anti",
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    s = (
+        cand.join(du, F.col("du.node") == F.col("u"))
+        .join(dv, F.col("dv.node") == F.col("w"))
+        .select(
+            F.col("u"),
+            F.col("w"),
+            F.col("common"),
+            F.col("du.d").alias("da"),
+            F.col("dv.d").alias("db"),
+            round_compat(
+                F.col("common")
+                / (F.col("du.d") + F.col("dv.d") - F.col("common")),
+                6,
+            ).alias("jaccard_r6"),
+        )
+    )
+    return (
+        s.orderBy(F.col("jaccard_r6").desc(), "u", "w")
+        .limit(LINK_TOP)
+        .select(
+            F.col("u").cast("bigint").alias("part_a"),
+            F.col("w").cast("bigint").alias("part_b"),
+            F.col("common").cast("bigint").alias("common_neighbors"),
+            F.col("da").cast("bigint").alias("deg_a"),
+            F.col("db").cast("bigint").alias("deg_b"),
+            "jaccard_r6",
         )
     )

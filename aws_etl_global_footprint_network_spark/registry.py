@@ -134,8 +134,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # token_count_per_source (token accounting re-verified through the
 # r6-green token_entropy_gate). First candidates for round 8,
 # alongside window_agg_join, lone_fault_suppliers and
-# quantile_normalize_events, incremental_agg_retraction and
-# pca_power_projection and bpe_apply_segmentation (registered
+# quantile_normalize_events, incremental_agg_retraction,
+# pca_power_projection, bpe_apply_segmentation,
+# ewma_spend_smoothing and jaccard_link_prediction (registered
 # after the round-7 window filled — never sampled).
 
 

@@ -339,3 +339,101 @@ def test_retraction_drops_fully_deleted_groups(spark, tmp_path):
     }
     assert set(out) == {1}
     assert out[1]["n_events"] == 1 and out[1]["total_value"] == 2.0
+
+
+def test_ewma_matches_recursive_definition(spark, sf_dir):
+    """The rescaled-cumsum formulation must equal the textbook
+    weighted mean sum r^(t-i) x_i / sum r^(t-i) computed directly in
+    python over the trailing window, bit-for-bit at the rounded
+    grain."""
+    rows = SPECS["ewma_spend_smoothing"].builder(spark, sf_dir).collect()
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"), "value")
+        .collect()
+    )
+    daily: dict[tuple[int, object], int] = {}
+    for r in ev:
+        key = (r["user_id"], r["d"])
+        daily[key] = daily.get(key, 0) + int(round(r["value"] * 100))
+    series: dict[int, list[tuple[object, int]]] = {}
+    for (u, d), x in daily.items():
+        series.setdefault(u, []).append((d, x))
+    want: dict[tuple[int, object], tuple[float, int]] = {}
+    for u, pts in series.items():
+        pts.sort()
+        prev = None
+        for t in range(len(pts)):
+            lo = max(0, t - (mining.EWMA_WINDOW - 1))
+            num = sum(x * 0.5 ** (t - i) for i, (_, x) in enumerate(pts[lo : t + 1], lo))
+            den = sum(0.5 ** (t - i) for i in range(lo, t + 1))
+            s = num / den
+            spike = int(
+                prev is not None and pts[t][1] > mining.EWMA_SPIKE_MULT * prev
+            )
+            want[(u, pts[t][0])] = (round(s * 1e6) / 1e6, spike)
+            prev = s
+    assert len(rows) == len(want)
+    for r in rows:
+        ws, wf = want[(r["user_id"], r["d"])]
+        assert abs(r["ewma_r6"] - ws) < 1e-9, (r, ws)
+        assert r["spike"] == wf
+
+
+def test_ewma_first_row_is_identity_and_unflagged(spark, sf_dir):
+    """A user's first day: window holds one row, so ewma == x_cents
+    exactly and the spike lag is NULL -> 0."""
+    rows = SPECS["ewma_spend_smoothing"].builder(spark, sf_dir).collect()
+    first: dict[int, object] = {}
+    for r in rows:
+        if r["user_id"] not in first or r["d"] < first[r["user_id"]]["d"]:
+            first[r["user_id"]] = r
+    assert first
+    for r in first.values():
+        assert r["ewma_r6"] == float(r["x_cents"])
+        assert r["spike"] == 0
+
+
+def test_jaccard_link_prediction_matches_bruteforce(spark, sf_dir):
+    """Top-K non-edges by Jaccard must equal a python recompute over
+    the same affinity graph (set algebra, no inclusion-exclusion)."""
+    got = SPECS["jaccard_link_prediction"].builder(spark, sf_dir).collect()
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    rows = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set[int]] = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    support: dict[tuple[int, int], int] = {}
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {e for e, c in support.items() if c >= mining.TRI_MIN_SUPPORT}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scored = []
+    nodes = sorted(adj)
+    seen = set()
+    for nbrs in [adj[n] for n in nodes]:
+        for u, w in itertools.combinations(sorted(nbrs), 2):
+            if (u, w) in edges or (u, w) in seen:
+                continue
+            seen.add((u, w))
+            common = len(adj[u] & adj[w])
+            jac = common / len(adj[u] | adj[w])
+            scored.append((-round(jac * 1e6) / 1e6, u, w, common))
+    scored.sort()
+    want = scored[: mining.LINK_TOP]
+    assert len(got) == len(want)
+    for r, (nj, u, w, common) in zip(got, want):
+        assert (r["part_a"], r["part_b"]) == (u, w)
+        assert r["common_neighbors"] == common
+        assert r["deg_a"] == len(adj[u]) and r["deg_b"] == len(adj[w])
+        assert abs(r["jaccard_r6"] - (-nj)) < 1e-9

@@ -157,6 +157,8 @@ HEADLINE = [
     "incremental_agg_retraction",
     "pca_power_projection",
     "bpe_apply_segmentation",
+    "ewma_spend_smoothing",
+    "jaccard_link_prediction",
 ]
 
 

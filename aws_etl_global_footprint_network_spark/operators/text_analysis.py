@@ -389,3 +389,127 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         "vocab_size",
     )
+
+
+# --------------------------------------------------------------------
+# Skip-gram PPMI co-occurrence (the GloVe / word2vec count builder)
+# --------------------------------------------------------------------
+
+# Symmetric context window width and the minimum pair count (same
+# small-count rationale as PMI_MIN_PAIR: sub-5 pairs carry unstable
+# PMI and would dominate the ranking with noise).
+SKIP_WINDOW = 3
+SKIP_MIN_PAIR = 5
+
+
+@register(
+    "skipgram_ppmi_cooccurrence",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    pos AS MATERIALIZED (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+      FROM base),
+    lef AS (
+      SELECT doc_id, p + k.k AS jp, tok AS tok_a
+      FROM pos CROSS JOIN (SELECT unnest(range(1, {SKIP_WINDOW + 1})) AS k) k),
+    pairs AS (
+      SELECT least(l.tok_a, r.tok) AS tok_lo,
+             greatest(l.tok_a, r.tok) AS tok_hi
+      FROM lef l JOIN pos r ON r.doc_id = l.doc_id AND r.p = l.jp),
+    pc AS MATERIALIZED (
+      SELECT tok_lo, tok_hi, COUNT(*) AS c_pair
+      FROM pairs GROUP BY 1, 2),
+    uc AS (SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_tok FROM pos),
+    tp AS (SELECT SUM(c_pair) AS t_pair FROM pc)
+    SELECT tok_lo, tok_hi, CAST(c_pair AS BIGINT) AS c_pair,
+           CAST(ua.c AS BIGINT) AS c_lo, CAST(ub.c AS BIGINT) AS c_hi,
+           ROUND(greatest(0.0,
+             ln(c_pair * 1.0 / tp.t_pair)
+               - ln(ua.c * 1.0 / n.n_tok)
+               - ln(ub.c * 1.0 / n.n_tok)) * 1e6, 0) / 1e6 AS ppmi
+    FROM pc
+    JOIN uc ua ON ua.tok = pc.tok_lo
+    JOIN uc ub ON ub.tok = pc.tok_hi
+    CROSS JOIN n CROSS JOIN tp
+    WHERE c_pair >= {SKIP_MIN_PAIR}
+    """,
+    f"skip-gram co-occurrence counts (symmetric window +-{SKIP_WINDOW})"
+    " scored with positive PMI — the count-matrix builder behind"
+    " GloVe / word2vec-style embedding training, built with shifted-"
+    "copy equi-joins (never a per-document quadratic self-join)",
+    tags=("text", "mlprep", "agg"),
+)
+def skipgram_ppmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence WITHOUT the quadratic trap: joining the
+    position table to itself on doc_id alone and filtering
+    |p_a - p_b| <= W builds len(doc)^2 intermediate pairs per
+    document — ruinous on long documents at corpus scale. Instead
+    each position row is replicated W times with its join position
+    shifted by k = 1..W, and the pair table is ONE equi-join on
+    (doc_id, position): exactly W * n_tokens rows enter the join,
+    linear in the corpus however long any single document is. Pair
+    counts are canonicalised to the unordered (lo, hi) key; unigram
+    marginals JOIN by token key (the vocabulary is never broadcast —
+    same posture as token_pmi_bigrams); corpus totals enter as 1-row
+    in-plan broadcast aggregates. PPMI = max(0, ln p(ab) - ln p(a)
+    - ln p(b)) with the ln terms in identical order on both sides,
+    rounded at 1e-6."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("t"))
+    scope = CacheScope("skipgram_ppmi_cooccurrence")
+    pos = scope.persist(
+        base.select(
+            "doc_id", F.posexplode("t").alias("p0", "tok")
+        ).select("doc_id", (F.col("p0") + F.lit(1)).alias("p"), "tok")
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in range(1, SKIP_WINDOW + 1)])
+    ).alias("k")
+    lef = pos.select("doc_id", "p", F.col("tok").alias("tok_a")).select(
+        "doc_id", "p", "tok_a", ks
+    ).select("doc_id", (F.col("p") + F.col("k")).alias("jp"), "tok_a")
+    r = pos.select(
+        F.col("doc_id").alias("r_doc"), F.col("p").alias("rp"),
+        F.col("tok").alias("tok_b"),
+    )
+    pairs = lef.join(
+        r, (F.col("r_doc") == F.col("doc_id")) & (F.col("rp") == F.col("jp"))
+    ).select(
+        F.least("tok_a", "tok_b").alias("tok_lo"),
+        F.greatest("tok_a", "tok_b").alias("tok_hi"),
+    )
+    pc = scope.persist(
+        pairs.groupBy("tok_lo", "tok_hi").agg(
+            F.count(F.lit(1)).alias("c_pair")
+        )
+    )
+    uc = scope.persist(pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    n1 = uc.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    tp1 = pc.agg(F.sum("c_pair").cast("bigint").alias("t_pair"))
+    ua = uc.select(F.col("tok").alias("tok_lo"), F.col("c").alias("c_lo"))
+    ub = uc.select(F.col("tok").alias("tok_hi"), F.col("c").alias("c_hi"))
+    ppmi = F.greatest(
+        F.lit(0.0),
+        F.log(F.col("c_pair") * 1.0 / F.col("t_pair"))
+        - F.log(F.col("c_lo") * 1.0 / F.col("n_tok"))
+        - F.log(F.col("c_hi") * 1.0 / F.col("n_tok")),
+    )
+    return (
+        pc.filter(F.col("c_pair") >= SKIP_MIN_PAIR)
+        .join(ua, "tok_lo")
+        .join(ub, "tok_hi")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(tp1))
+        .select(
+            "tok_lo",
+            "tok_hi",
+            F.col("c_pair").cast("bigint").alias("c_pair"),
+            F.col("c_lo").cast("bigint").alias("c_lo"),
+            F.col("c_hi").cast("bigint").alias("c_hi"),
+            round_compat(ppmi, 6).alias("ppmi"),
+        )
+    )

@@ -159,6 +159,7 @@ HEADLINE = [
     "bpe_apply_segmentation",
     "ewma_spend_smoothing",
     "jaccard_link_prediction",
+    "skipgram_ppmi_cooccurrence",
 ]
 
 

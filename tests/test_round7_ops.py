@@ -437,3 +437,45 @@ def test_jaccard_link_prediction_matches_bruteforce(spark, sf_dir):
         assert r["common_neighbors"] == common
         assert r["deg_a"] == len(adj[u]) and r["deg_b"] == len(adj[w])
         assert abs(r["jaccard_r6"] - (-nj)) < 1e-9
+
+
+def test_skipgram_window_matches_bruteforce(spark, sf_dir):
+    """The shifted-copy equi-join must produce exactly the pairs a
+    direct window scan finds: for every position i, tokens at
+    i+1..i+W, canonicalised to the unordered key."""
+    import math
+    import re
+
+    from aws_etl_global_footprint_network_spark.operators import text_analysis as ta
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {
+        (r["tok_lo"], r["tok_hi"]): r
+        for r in SPECS["skipgram_ppmi_cooccurrence"].builder(spark, sf_dir).collect()
+    }
+    docs = read_testdata(spark, sf_dir, "documents").select("text").collect()
+    pair_c: dict[tuple[str, str], int] = {}
+    uni_c: dict[str, int] = {}
+    for row in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", row["text"].lower()) if t]
+        for t in toks:
+            uni_c[t] = uni_c.get(t, 0) + 1
+        for i, a in enumerate(toks):
+            for b in toks[i + 1 : i + 1 + ta.SKIP_WINDOW]:
+                key = (min(a, b), max(a, b))
+                pair_c[key] = pair_c.get(key, 0) + 1
+    n_tok = sum(uni_c.values())
+    t_pair = sum(pair_c.values())
+    want = {k: c for k, c in pair_c.items() if c >= ta.SKIP_MIN_PAIR}
+    assert set(got) == set(want)
+    for (lo, hi), c in want.items():
+        r = got[(lo, hi)]
+        assert r["c_pair"] == c
+        assert r["c_lo"] == uni_c[lo] and r["c_hi"] == uni_c[hi]
+        ppmi = max(
+            0.0,
+            math.log(c / t_pair)
+            - math.log(uni_c[lo] / n_tok)
+            - math.log(uni_c[hi] / n_tok),
+        )
+        assert abs(r["ppmi"] - ppmi) < 1e-5

@@ -451,7 +451,9 @@ def skipgram_ppmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, position): exactly W * n_tokens rows enter the join,
     linear in the corpus however long any single document is. Pair
     counts are canonicalised to the unordered (lo, hi) key; unigram
-    marginals JOIN by token key (the vocabulary is never broadcast —
+    marginals JOIN by token key (the vocabulary is never
+    broadcast-HINTED; the size-based planner may still promote it
+    when genuinely small, and falls back to shuffle join at scale —
     same posture as token_pmi_bigrams); corpus totals enter as 1-row
     in-plan broadcast aggregates. PPMI = max(0, ln p(ab) - ln p(a)
     - ln p(b)) with the ln terms in identical order on both sides,

@@ -941,3 +941,104 @@ def bag_set_ops_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BAG_TOP)
         .select("op", F.col("l_partkey").cast("bigint").alias("l_partkey"), "cnt")
     )
+
+
+# --------------------------------------------------------------------
+# Per-user OLS spend trend (exact sufficient statistics)
+# --------------------------------------------------------------------
+
+@register(
+    "spend_trend_ols",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM (SELECT user_id,
+                   CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+                     AS x, y
+            FROM d)
+      GROUP BY user_id HAVING COUNT(*) >= 2),
+    f AS (
+      SELECT user_id, n,
+             (n * sxy - sx * sy) * 1.0 AS num,
+             (n * sxx - sx * sx) * 1.0 AS d1,
+             (n * syy - sy * sy) * 1.0 AS d2,
+             sx, sy
+      FROM s)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND((num / d1) * 1e6, 0) / 1e6 AS slope_r6,
+           ROUND(((sy - (num / d1) * sx) / n) * 1e6, 0) / 1e6
+             AS intercept_r6,
+           CASE WHEN d2 > 0
+                THEN ROUND((num * num / (d1 * d2)) * 1e6, 0) / 1e6
+                ELSE NULL END AS r2_r6
+    FROM f
+    """,
+    "per-user OLS trend of daily spend vs calendar day: slope,"
+    " intercept and r^2 from the five integer sufficient statistics"
+    " (n, Sx, Sy, Sxy, Sxx, Syy) — one combinable groupBy, exact"
+    " integer aggregation, two float divisions rounded both sides",
+    tags=("analytics", "timeseries", "agg"),
+)
+def spend_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed regression the way it scales: never materialise a
+    per-user series, just aggregate the five OLS sufficient
+    statistics in one map-side-combinable groupBy (x = epoch day,
+    y = integer cents, so every sum is EXACT int64 — magnitudes:
+    x ~ 2e4, n <= ~1e3 day-rows/user, y <= ~2^23 cents/day keep
+    n*Syy < 2^62). slope = (nSxy - SxSy)/(nSxx - Sx^2) and r^2 =
+    num^2/(d1*d2) are then a handful of IEEE double ops on exact
+    integer inputs, written in identical order in both engines and
+    rounded at 1e-6. Daily-grain x values are distinct within a
+    user, so n >= 2 (pinned with HAVING on both sides) implies
+    d1 > 0; zero y-variance pins r2 to NULL in both engines. Two
+    shuffles total (daily pre-agg, per-user stats); output is
+    user-cardinality."""
+    d = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+        )
+        .select(
+            "user_id",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            "y",
+        )
+    )
+    s = (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(1.0)
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.lit(1.0)
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) * F.lit(1.0)
+    slope = num / d1
+    return s.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("n").cast("bigint").alias("n_days"),
+        round_compat(slope, 6).alias("slope_r6"),
+        round_compat((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept_r6"
+        ),
+        F.when(d2 > 0, round_compat(num * num / (d1 * d2), 6)).alias("r2_r6"),
+    )

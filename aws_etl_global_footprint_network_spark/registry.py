@@ -136,9 +136,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # alongside window_agg_join, lone_fault_suppliers and
 # quantile_normalize_events, incremental_agg_retraction,
 # pca_power_projection, bpe_apply_segmentation,
-# ewma_spend_smoothing, jaccard_link_prediction and
-# skipgram_ppmi_cooccurrence (registered after the round-7 window
-# filled — never sampled).
+# ewma_spend_smoothing, jaccard_link_prediction,
+# skipgram_ppmi_cooccurrence and spend_trend_ols (registered after
+# the round-7 window filled — never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -160,6 +160,7 @@ HEADLINE = [
     "ewma_spend_smoothing",
     "jaccard_link_prediction",
     "skipgram_ppmi_cooccurrence",
+    "spend_trend_ols",
 ]
 
 

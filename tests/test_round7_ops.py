@@ -479,3 +479,48 @@ def test_skipgram_window_matches_bruteforce(spark, sf_dir):
             - math.log(uni_c[hi] / n_tok),
         )
         assert abs(r["ppmi"] - ppmi) < 1e-5
+
+
+def test_ols_trend_matches_numpy(spark, sf_dir):
+    """Slope/intercept/r2 from the sufficient statistics must match
+    numpy's least-squares fit per user."""
+    import numpy as np
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["user_id"]: r for r in SPECS["spend_trend_ols"].builder(spark, sf_dir).collect()}
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"), "value")
+        .collect()
+    )
+    daily: dict[tuple[int, object], int] = {}
+    for r in ev:
+        k = (r["user_id"], r["day"])
+        daily[k] = daily.get(k, 0) + int(round(r["value"] * 100))
+    series: dict[int, list[tuple[object, int]]] = {}
+    for (u, day), y in daily.items():
+        series.setdefault(u, []).append((day, y))
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    n_checked = 0
+    for u, pts in series.items():
+        if len(pts) < 2:
+            assert u not in got
+            continue
+        x = np.array([(day - epoch).days for day, _ in pts], dtype=float)
+        y = np.array([v for _, v in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[u]
+        assert r["n_days"] == len(pts)
+        assert abs(r["slope_r6"] - slope) < 1e-4, (u, r["slope_r6"], slope)
+        assert abs(r["intercept_r6"] - intercept) < 1e-2
+        if np.std(y) > 0:
+            corr = np.corrcoef(x, y)[0, 1]
+            assert abs(r["r2_r6"] - corr**2) < 1e-4
+        else:
+            assert r["r2_r6"] is None
+        n_checked += 1
+    assert n_checked > 0 and len(got) == n_checked

@@ -626,3 +626,74 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ltv_per_user"),
     )
+
+
+# --------------------------------------------------------------------
+# Sliding 7-day active users (DAU / WAU / stickiness)
+# --------------------------------------------------------------------
+
+WAU_DAYS = 7
+
+
+@register(
+    "sliding_active_users",
+    f"""
+    WITH du AS MATERIALIZED (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    cover AS (
+      SELECT user_id, day + CAST(k.k AS INTEGER) AS cday
+      FROM du CROSS JOIN (SELECT unnest(range(0, {WAU_DAYS})) AS k) k),
+    wau AS (
+      SELECT cday, COUNT(DISTINCT user_id) AS wau
+      FROM cover GROUP BY cday),
+    dau AS (
+      SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           ROUND((dau.dau * 1.0 / wau.wau) * 1e6, 0) / 1e6 AS stickiness
+    FROM dau JOIN wau ON wau.cday = dau.day
+    """,
+    f"daily and trailing-{WAU_DAYS}-day distinct active users plus"
+    " the DAU/WAU stickiness ratio — sliding DISTINCT via the"
+    " explode-to-cover-days recipe, never a windowed COUNT DISTINCT",
+    tags=("behavioral", "time", "agg"),
+)
+def sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT does not decompose into window frames
+    (COUNT(DISTINCT) OVER a RANGE frame re-scans the frame per row
+    and single-tasks each partition in any engine). The scalable
+    recipe: dedup activity to (user, day) grain, then EXPLODE each
+    activity day onto the {WAU_DAYS} cover days it contributes to —
+    a bounded x{WAU_DAYS} map-side fanout — so trailing-window
+    membership becomes a plain groupBy distinct on (cover_day,
+    user). Two shuffles (the dedup, the cover-day count); output is
+    calendar-cardinality. Cover days with no direct activity are
+    dropped by the join onto the DAU relation, pinning the output
+    domain identically in both engines."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    du = (
+        read_testdata(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    cover = du.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(WAU_DAYS - 1))).alias("k"),
+    ).select("user_id", F.date_add("day", F.col("k")).alias("cday"))
+    wau = cover.groupBy("cday").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, dau["day"] == wau["cday"]).select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        round_compat(F.col("dau") * 1.0 / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -137,8 +137,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # quantile_normalize_events, incremental_agg_retraction,
 # pca_power_projection, bpe_apply_segmentation,
 # ewma_spend_smoothing, jaccard_link_prediction,
-# skipgram_ppmi_cooccurrence and spend_trend_ols (registered after
-# the round-7 window filled — never sampled).
+# skipgram_ppmi_cooccurrence, spend_trend_ols and
+# sliding_active_users (registered after the round-7 window filled —
+# never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

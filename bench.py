@@ -161,6 +161,7 @@ HEADLINE = [
     "jaccard_link_prediction",
     "skipgram_ppmi_cooccurrence",
     "spend_trend_ols",
+    "sliding_active_users",
 ]
 
 

@@ -524,3 +524,32 @@ def test_ols_trend_matches_numpy(spark, sf_dir):
             assert r["r2_r6"] is None
         n_checked += 1
     assert n_checked > 0 and len(got) == n_checked
+
+
+def test_sliding_active_users_matches_bruteforce(spark, sf_dir):
+    """Explode-to-cover-days must equal a direct trailing-window set
+    scan per day."""
+    import datetime
+
+    from aws_etl_global_footprint_network_spark.operators import behavioral
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["day"]: r for r in SPECS["sliding_active_users"].builder(spark, sf_dir).collect()}
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_day: dict[object, set[int]] = {}
+    for r in ev:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    assert set(got) == set(by_day)
+    for day, users in by_day.items():
+        win: set[int] = set()
+        for k in range(behavioral.WAU_DAYS):
+            win |= by_day.get(day - datetime.timedelta(days=k), set())
+        r = got[day]
+        assert r["dau"] == len(users)
+        assert r["wau"] == len(win)
+        assert abs(r["stickiness"] - len(users) / len(win)) < 1e-6

@@ -443,3 +443,134 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_compat(F.col("true_n") + noise, 4).alias("noisy_n"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )
+
+
+# --------------------------------------------------------------------
+# Poisson-surrogate bootstrap CI for the per-segment mean
+# --------------------------------------------------------------------
+
+# Replicate count and the order-statistic (type-1 empirical quantile)
+# ranks for the 90% interval: ceil(0.05*B) and ceil(0.95*B), 1-based.
+BOOT_B = 40
+BOOT_K_LO = 2
+BOOT_K_HI = 38
+
+
+@register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer),
+    xb AS (
+      SELECT c.segment, c.cents, b.b,
+             CASE ({md5_hash60_sql("('boot|' || c.c_custkey::VARCHAR || '|' || b.b::VARCHAR)")} % 4)
+               WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS w
+      FROM c CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b) b),
+    rep AS (
+      SELECT segment, b, SUM(w) AS sw, SUM(w * cents) AS swx
+      FROM xb GROUP BY 1, 2 HAVING SUM(w) > 0),
+    m AS (
+      SELECT segment, b, swx * 1.0 / sw AS mean_b,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY swx * 1.0 / sw, b) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n_reps
+      FROM rep),
+    point AS (
+      SELECT segment, SUM(cents) * 1.0 / COUNT(*) AS pm FROM c GROUP BY 1)
+    SELECT m.segment, CAST(MAX(m.n_reps) AS BIGINT) AS n_reps,
+           ROUND(MAX(point.pm) * 1e6, 0) / 1e6 AS point_mean_r6,
+           ROUND(MAX(CASE WHEN m.rn = {BOOT_K_LO} THEN m.mean_b END) * 1e6, 0)
+             / 1e6 AS ci_lo_r6,
+           ROUND(MAX(CASE WHEN m.rn = {BOOT_K_HI} THEN m.mean_b END) * 1e6, 0)
+             / 1e6 AS ci_hi_r6
+    FROM m JOIN point ON point.segment = m.segment
+    GROUP BY m.segment
+    """,
+    f"bootstrap confidence interval for the per-segment mean balance:"
+    f" {BOOT_B} deterministic hash-weighted resamples (Poisson-"
+    "bootstrap surrogate, integer weights 0/1/1/2), replicate means"
+    " from exact int64 partial sums, 90% interval as order statistics"
+    " — the distributed-resampling pattern (explode xB + combinable"
+    " agg), no per-replicate data movement",
+    tags=("diagnostics", "stats", "agg"),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap is THE way to bootstrap at cluster
+    scale (Chamandy et al., Google): instead of materialising B
+    resampled datasets, every row draws an independent per-replicate
+    weight, so all B replicates aggregate in ONE combinable groupBy
+    over an exploded-by-B relation — a bounded xB map-side fanout,
+    no shuffle of resampled data. Here the Poisson(1) draw is a
+    deterministic md5 surrogate (weights 0/1/1/2 with mean 1,
+    reproducible and oracle-pairable; the real thing would use
+    rand-seeded Poisson). Replicate means are exact-int64 sums with
+    ONE division (bit-identical cross-engine); the 90% interval
+    takes the ceil(0.05B)/ceil(0.95B) order statistics of the B
+    means — type-1 empirical quantiles, NO float interpolation, so
+    the interval bounds are themselves bit-exact replicate means.
+    Two shuffles (replicate agg keyed (segment, b), then the
+    B-row-per-segment rank window); output is segment-cardinality."""
+    from pyspark.sql import Window
+
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    xb = c.select(
+        "c_custkey",
+        "segment",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    h = md5_hash60(
+        F.concat(
+            F.lit("boot|"),
+            F.col("c_custkey").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        )
+    ) % F.lit(4)
+    w = (
+        F.when(h == 0, F.lit(0))
+        .when(h == 3, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    rep = (
+        xb.withColumn("w", w)
+        .groupBy("segment", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("cents")).alias("swx"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    mean_b = F.col("swx") * 1.0 / F.col("sw")
+    wr = Window.partitionBy("segment").orderBy(mean_b, "b")
+    wa = Window.partitionBy("segment")
+    m = rep.select(
+        "segment",
+        mean_b.alias("mean_b"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n_reps"),
+    )
+    point = c.groupBy("segment").agg(
+        (F.sum("cents") * 1.0 / F.count(F.lit(1))).alias("pm")
+    )
+    return (
+        m.join(point, "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n_reps").cast("bigint").alias("n_reps"),
+            round_compat(F.max("pm"), 6).alias("point_mean_r6"),
+            round_compat(
+                F.max(F.when(F.col("rn") == BOOT_K_LO, F.col("mean_b"))), 6
+            ).alias("ci_lo_r6"),
+            round_compat(
+                F.max(F.when(F.col("rn") == BOOT_K_HI, F.col("mean_b"))), 6
+            ).alias("ci_hi_r6"),
+        )
+    )

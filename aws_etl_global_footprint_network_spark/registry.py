@@ -137,8 +137,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # quantile_normalize_events, incremental_agg_retraction,
 # pca_power_projection, bpe_apply_segmentation,
 # ewma_spend_smoothing, jaccard_link_prediction,
-# skipgram_ppmi_cooccurrence, spend_trend_ols and
-# sliding_active_users (registered after the round-7 window filled —
+# skipgram_ppmi_cooccurrence, spend_trend_ols, sliding_active_users
+# and bootstrap_mean_ci (registered after the round-7 window filled —
 # never sampled).
 
 

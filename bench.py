@@ -162,6 +162,7 @@ HEADLINE = [
     "skipgram_ppmi_cooccurrence",
     "spend_trend_ols",
     "sliding_active_users",
+    "bootstrap_mean_ci",
 ]
 
 

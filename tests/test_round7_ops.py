@@ -553,3 +553,56 @@ def test_sliding_active_users_matches_bruteforce(spark, sf_dir):
         assert r["dau"] == len(users)
         assert r["wau"] == len(win)
         assert abs(r["stickiness"] - len(users) / len(win)) < 1e-6
+
+
+def test_bootstrap_ci_brackets_point_and_is_ordered(spark, sf_dir_mid):
+    """Structural contract: lo <= hi, both are actual replicate
+    means, the interval brackets the point estimate at reasonable n,
+    and every segment reports all B replicates."""
+    from aws_etl_global_footprint_network_spark.operators import diagnostics as dg
+
+    rows = SPECS["bootstrap_mean_ci"].builder(spark, sf_dir_mid).collect()
+    assert len(rows) == 5  # TPC-H market segments
+    for r in rows:
+        assert r["n_reps"] == dg.BOOT_B
+        assert r["ci_lo_r6"] <= r["ci_hi_r6"]
+        # ~1500 customers/segment at sf0.01: the 90% interval must
+        # bracket the full-sample mean
+        assert r["ci_lo_r6"] <= r["point_mean_r6"] <= r["ci_hi_r6"]
+
+
+def test_bootstrap_replicate_mean_matches_python(spark, sf_dir):
+    """One replicate recomputed end-to-end in python (weights from
+    the same md5 surrogate) must land inside the returned interval's
+    value set construction — checked by recomputing ALL replicate
+    means and comparing the order statistics."""
+    import hashlib
+
+    from aws_etl_global_footprint_network_spark.operators import diagnostics as dg
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["segment"]: r for r in SPECS["bootstrap_mean_ci"].builder(spark, sf_dir).collect()}
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    by_seg: dict[str, list[tuple[int, int]]] = {}
+    for r in cust:
+        by_seg.setdefault(r["c_mktsegment"], []).append(
+            (r["c_custkey"], int(round(r["c_acctbal"] * 100)))
+        )
+    for seg, rows_ in by_seg.items():
+        means = []
+        for b in range(dg.BOOT_B):
+            sw = swx = 0
+            for ck, cents in rows_:
+                h = int(hashlib.md5(f"boot|{ck}|{b}".encode()).hexdigest()[:15], 16) % 4
+                w = 0 if h == 0 else (2 if h == 3 else 1)
+                sw += w
+                swx += w * cents
+            if sw > 0:
+                means.append(swx / sw)
+        means.sort()
+        r = got[seg]
+        assert r["n_reps"] == len(means)
+        assert abs(r["ci_lo_r6"] - means[dg.BOOT_K_LO - 1]) < 1e-5
+        assert abs(r["ci_hi_r6"] - means[dg.BOOT_K_HI - 1]) < 1e-5

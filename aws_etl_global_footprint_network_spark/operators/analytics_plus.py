@@ -1042,3 +1042,110 @@ def spend_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(d2 > 0, round_compat(num * num / (d1 * d2), 6)).alias("r2_r6"),
     )
+
+
+# --------------------------------------------------------------------
+# Autocorrelation of daily event counts (lags 1..ACF_MAX_LAG)
+# --------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily_counts",
+    f"""
+    WITH d AS MATERIALIZED (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT l.event_type, k.k, l.n AS x, r.n AS y
+      FROM (SELECT event_type, day, n FROM d) l
+      CROSS JOIN (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS k) k
+      JOIN d r ON r.event_type = l.event_type
+              AND r.day = l.day + CAST(k.k AS INTEGER)),
+    s AS (
+      SELECT event_type, k, COUNT(*) AS np,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM lagged GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT event_type, CAST(k AS BIGINT) AS lag_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           CASE WHEN (np * sxx - sx * sx) > 0 AND (np * syy - sy * sy) > 0
+                THEN ROUND(((np * sxy - sx * sy) * 1.0
+                       / sqrt((np * sxx - sx * sx) * 1.0
+                              * ((np * syy - sy * sy) * 1.0))) * 1e6, 0) / 1e6
+                ELSE NULL END AS acf_r6
+    FROM s
+    """,
+    f"sample autocorrelation of each event type's daily-count series"
+    f" at lags 1..{ACF_MAX_LAG}: lagged pairs by CALENDAR day (gap-"
+    "aware shifted-copy equi-join, not rank adjacency), Pearson r"
+    " from exact integer sufficient statistics",
+    tags=("analytics", "timeseries", "agg"),
+)
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection at corpus scale: pair each day's count
+    with the count k CALENDAR days later via the shifted-copy
+    equi-join (the day key is shifted k days on one side, so a
+    missing day simply produces no pair — rank-based lag() would
+    silently pair across gaps), then reduce each (type, lag) group
+    to the five integer sufficient statistics and finish with one
+    sqrt+division on exact inputs, identical order both engines,
+    rounded 1e-6. The lag fanout is a bounded x{ACF_MAX_LAG}
+    map-side explode of the DAILY relation (calendar-cardinality,
+    pre-aggregated — never the raw corpus); two shuffles (daily
+    agg, lag-pair agg). Degenerate variance pins NULL on both
+    sides."""
+    d = (
+        read_testdata(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    lef = d.select(
+        "event_type",
+        "day",
+        F.col("n").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+        ).alias("k"),
+    ).select(
+        "event_type", F.date_add("day", F.col("k")).alias("jday"), "x", "k"
+    )
+    r = d.select(
+        F.col("event_type").alias("r_type"),
+        F.col("day").alias("r_day"),
+        F.col("n").alias("y"),
+    )
+    lagged = lef.join(
+        r,
+        (F.col("r_type") == F.col("event_type"))
+        & (F.col("r_day") == F.col("jday")),
+    )
+    s = (
+        lagged.groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .filter(F.col("np") >= 3)
+    )
+    d1 = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.lit(1.0)
+    d2 = (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")) * F.lit(1.0)
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(1.0)
+    return s.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("lag_days"),
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            round_compat(num / F.sqrt(d1 * d2), 6),
+        ).alias("acf_r6"),
+    )

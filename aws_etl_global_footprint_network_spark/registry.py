@@ -137,9 +137,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # quantile_normalize_events, incremental_agg_retraction,
 # pca_power_projection, bpe_apply_segmentation,
 # ewma_spend_smoothing, jaccard_link_prediction,
-# skipgram_ppmi_cooccurrence, spend_trend_ols, sliding_active_users
-# and bootstrap_mean_ci (registered after the round-7 window filled —
-# never sampled).
+# skipgram_ppmi_cooccurrence, spend_trend_ols, sliding_active_users,
+# bootstrap_mean_ci and acf_daily_counts (registered after the
+# round-7 window filled — never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

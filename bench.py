@@ -163,6 +163,7 @@ HEADLINE = [
     "spend_trend_ols",
     "sliding_active_users",
     "bootstrap_mean_ci",
+    "acf_daily_counts",
 ]
 
 

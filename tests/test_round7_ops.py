@@ -606,3 +606,50 @@ def test_bootstrap_replicate_mean_matches_python(spark, sf_dir):
         assert r["n_reps"] == len(means)
         assert abs(r["ci_lo_r6"] - means[dg.BOOT_K_LO - 1]) < 1e-5
         assert abs(r["ci_hi_r6"] - means[dg.BOOT_K_HI - 1]) < 1e-5
+
+
+def test_acf_matches_numpy_and_is_gap_aware(spark, sf_dir):
+    """ACF per (type, lag) must match numpy's Pearson r over
+    calendar-day lagged pairs; pairs must never bridge missing days."""
+    import datetime
+
+    import numpy as np
+
+    from aws_etl_global_footprint_network_spark.operators import analytics_plus as ap
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {
+        (r["event_type"], r["lag_days"]): r
+        for r in SPECS["acf_daily_counts"].builder(spark, sf_dir).collect()
+    }
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, dict[object, int]] = {}
+    for r in ev:
+        series.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+    n_checked = 0
+    for etype, by_day in series.items():
+        for k in range(1, ap.ACF_MAX_LAG + 1):
+            xs, ys = [], []
+            for day, x in by_day.items():
+                y = by_day.get(day + datetime.timedelta(days=k))
+                if y is not None:
+                    xs.append(x)
+                    ys.append(y)
+            key = (etype, k)
+            if len(xs) < 3:
+                assert key not in got
+                continue
+            r = got[key]
+            assert r["n_pairs"] == len(xs)
+            if np.std(xs) > 0 and np.std(ys) > 0:
+                want = np.corrcoef(xs, ys)[0, 1]
+                assert abs(r["acf_r6"] - want) < 1e-5, (key, r["acf_r6"], want)
+            else:
+                assert r["acf_r6"] is None
+            n_checked += 1
+    assert n_checked > 0 and len(got) == n_checked

@@ -1504,3 +1504,122 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_r6",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Item-item cosine similarity (co-purchase recommender scoring)
+# --------------------------------------------------------------------
+
+II_TOP_PER_ITEM = 5
+II_MIN_CO = 2
+
+
+@register(
+    "item_item_cosine_topk",
+    f"""
+    WITH bask AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS MATERIALIZED (
+      SELECT l_partkey AS item, COUNT(*) AS f FROM bask GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS co
+      FROM bask a JOIN bask b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {II_MIN_CO}),
+    sym AS (
+      SELECT u AS item, v AS other, co FROM co
+      UNION ALL SELECT v, u, co FROM co),
+    scored AS (
+      SELECT s.item, s.other, s.co,
+             ROUND((s.co * 1.0 / sqrt(fa.f * 1.0 * fb.f)) * 1e6, 0) / 1e6
+               AS cosine_r6
+      FROM sym s
+      JOIN freq fa ON fa.item = s.item
+      JOIN freq fb ON fb.item = s.other),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                   ORDER BY cosine_r6 DESC, other) AS rn
+      FROM scored)
+    SELECT CAST(item AS BIGINT) AS item,
+           CAST(other AS BIGINT) AS other,
+           CAST(co AS BIGINT) AS co_orders,
+           cosine_r6, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {II_TOP_PER_ITEM}
+    """,
+    f"item-item collaborative filtering: cosine similarity"
+    f" co/sqrt(f_a*f_b) over distinct co-purchase counts (>= "
+    f"{II_MIN_CO} shared orders), top-{II_TOP_PER_ITEM} neighbors"
+    " per item — the 'customers also bought' scoring kernel",
+    tags=("graph", "mlprep", "analytics"),
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic neighborhood recommender (Sarwar et al., item-based
+    CF): score item pairs by co-occurrence normalised to cosine
+    co / sqrt(f_a * f_b) — unlike `jaccard_link_prediction` this
+    RANKS EXISTING co-purchase relationships (the recommendation
+    shortlist) rather than predicting absent edges from shared
+    neighborhoods. The pair join is per-order (fanout bounded by
+    basket size), counts reduce by pair key, the >= {II_MIN_CO}
+    support floor keeps the symmetrised table signal-bounded, and
+    the per-item top-{II_TOP_PER_ITEM} window partitions by item —
+    item-cardinality parallelism, no global sort. Ranking on the
+    ROUNDED score (plus the id tiebreak) makes the cut order
+    identical in both engines. Frequencies join by key, unhinted."""
+    scope = CacheScope("item_item_cosine_topk")
+    bask = scope.persist(
+        read_testdata(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = bask.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    a, b = bask.alias("a"), bask.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= II_MIN_CO)
+    )
+    sym = co.select(
+        F.col("u").alias("item"), F.col("v").alias("other"), "co"
+    ).unionAll(co.select(F.col("v"), F.col("u"), "co"))
+    fa = freq.select(F.col("item"), F.col("f").alias("fa"))
+    fb = freq.select(
+        F.col("item").alias("other"), F.col("f").alias("fb")
+    )
+    scored = (
+        sym.join(fa, "item")
+        .join(fb, "other")
+        .select(
+            "item",
+            "other",
+            "co",
+            round_compat(
+                F.col("co")
+                * 1.0
+                / F.sqrt(F.col("fa") * 1.0 * F.col("fb")),
+                6,
+            ).alias("cosine_r6"),
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(
+        F.col("cosine_r6").desc(), "other"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= II_TOP_PER_ITEM)
+        .select(
+            F.col("item").cast("bigint").alias("item"),
+            F.col("other").cast("bigint").alias("other"),
+            F.col("co").cast("bigint").alias("co_orders"),
+            "cosine_r6",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

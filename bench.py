@@ -164,6 +164,7 @@ HEADLINE = [
     "sliding_active_users",
     "bootstrap_mean_ci",
     "acf_daily_counts",
+    "item_item_cosine_topk",
 ]
 
 

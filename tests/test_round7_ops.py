@@ -653,3 +653,44 @@ def test_acf_matches_numpy_and_is_gap_aware(spark, sf_dir):
                 assert r["acf_r6"] is None
             n_checked += 1
     assert n_checked > 0 and len(got) == n_checked
+
+
+def test_item_item_cosine_matches_bruteforce(spark, sf_dir):
+    """Per-item top-5 cosine shortlist vs a python recompute."""
+    import math
+
+    got: dict[int, list] = {}
+    for r in SPECS["item_item_cosine_topk"].builder(spark, sf_dir).collect():
+        got.setdefault(r["item"], []).append(r)
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    rows = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set[int]] = {}
+    freq: dict[int, int] = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    for parts in by_order.values():
+        for p in parts:
+            freq[p] = freq.get(p, 0) + 1
+    co: dict[tuple[int, int], int] = {}
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    nbrs: dict[int, list[tuple[float, int, int]]] = {}
+    for (a, b), c in co.items():
+        if c < mining.II_MIN_CO:
+            continue
+        s = round(c / math.sqrt(freq[a] * freq[b]) * 1e6) / 1e6
+        nbrs.setdefault(a, []).append((-s, b, c))
+        nbrs.setdefault(b, []).append((-s, a, c))
+    assert set(got) == set(nbrs)
+    for item, lst in nbrs.items():
+        lst.sort()
+        want = lst[: mining.II_TOP_PER_ITEM]
+        have = sorted(got[item], key=lambda r: r["rn"])
+        assert len(have) == len(want)
+        for r, (ns, other, c) in zip(have, want):
+            assert r["other"] == other and r["co_orders"] == c
+            assert abs(r["cosine_r6"] + ns) < 1e-9

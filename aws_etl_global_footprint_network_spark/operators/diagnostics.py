@@ -574,3 +574,136 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi_r6"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Welch two-sample t-test: weekday vs weekend spend per event type
+# --------------------------------------------------------------------
+
+@register(
+    "welch_mean_test",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN isodow(CAST(ts AS DATE)) IN (6, 7)
+                  THEN 1 ELSE 0 END AS we,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN we = 0 THEN x ELSE 0 END) AS s1,
+             SUM(CASE WHEN we = 0 THEN x * x ELSE 0 END) AS q1,
+             SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN we = 1 THEN x ELSE 0 END) AS s2,
+             SUM(CASE WHEN we = 1 THEN x * x ELSE 0 END) AS q2
+      FROM e GROUP BY event_type
+      HAVING SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) >= 2
+         AND SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) >= 2),
+    f AS (
+      SELECT event_type, n1, n2,
+             s1 * 1.0 / n1 - s2 * 1.0 / n2 AS dmean,
+             ((n1 * q1 - s1 * s1) * 1.0 / (n1 * 1.0 * (n1 - 1))) / n1 AS a1,
+             ((n2 * q2 - s2 * s2) * 1.0 / (n2 * 1.0 * (n2 - 1))) / n2 AS a2
+      FROM s)
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+           ROUND(dmean * 1e6, 0) / 1e6 AS mean_diff_cents_r6,
+           CASE WHEN a1 + a2 > 0
+                THEN ROUND((dmean / sqrt(a1 + a2)) * 1e6, 0) / 1e6
+                ELSE NULL END AS t_stat_r6,
+           CASE WHEN a1 > 0 OR a2 > 0
+                THEN ROUND(((a1 + a2) * (a1 + a2)
+                       / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1)))
+                     * 1e6, 0) / 1e6
+                ELSE NULL END AS welch_df_r6
+    FROM f
+    """,
+    "Welch's unequal-variance two-sample t-test of weekday vs"
+    " weekend spend per event type: t statistic and"
+    " Welch-Satterthwaite degrees of freedom entirely from"
+    " conditional integer sufficient statistics in ONE groupBy",
+    tags=("diagnostics", "stats", "agg"),
+)
+def welch_mean_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed hypothesis testing without materialising either
+    sample: both groups' sufficient statistics (n, Sx, Sx^2)
+    aggregate as CASE-gated sums in a single combinable groupBy —
+    one corpus pass, one shuffle, output is event-type-cardinality.
+    All sums are exact int64 (cents <= 2^16, squares <= 2^32, corpus
+    rows < 2^31 keep every sum < 2^63); the t statistic and the
+    Welch-Satterthwaite df are then a fixed chain of IEEE ops on
+    exact inputs, written in identical order in both engines and
+    rounded at 1e-6. Sample variance uses the (n*Q - S^2)/(n(n-1))
+    form — no mean-subtraction pass. Weekend = ISO days 6-7, pinned
+    via isodow in the oracle and dayofweek IN (1,7) in Spark (both
+    Sat+Sun); n >= 2 per group via HAVING on both sides; zero
+    pooled variance pins NULL on both sides."""
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7).alias("we"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+        )
+    )
+    wd = F.when(~F.col("we"), F.lit(1)).otherwise(F.lit(0))
+    wk = F.when(F.col("we"), F.lit(1)).otherwise(F.lit(0))
+    s = (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(wd).alias("n1"),
+            F.sum(wd * F.col("x")).alias("s1"),
+            F.sum(wd * F.col("x") * F.col("x")).alias("q1"),
+            F.sum(wk).alias("n2"),
+            F.sum(wk * F.col("x")).alias("s2"),
+            F.sum(wk * F.col("x") * F.col("x")).alias("q2"),
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    )
+    dmean = F.col("s1") * 1.0 / F.col("n1") - F.col("s2") * 1.0 / F.col("n2")
+    a1 = (
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+        * 1.0
+        / (F.col("n1") * 1.0 * (F.col("n1") - 1))
+    ) / F.col("n1")
+    a2 = (
+        (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2"))
+        * 1.0
+        / (F.col("n2") * 1.0 * (F.col("n2") - 1))
+    ) / F.col("n2")
+    f = s.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_weekday"),
+        F.col("n2").cast("bigint").alias("n_weekend"),
+        dmean.alias("dmean"),
+        a1.alias("a1"),
+        a2.alias("a2"),
+        F.col("n1").alias("n1"),
+        F.col("n2").alias("n2"),
+    )
+    return f.select(
+        "event_type",
+        "n_weekday",
+        "n_weekend",
+        round_compat(F.col("dmean"), 6).alias("mean_diff_cents_r6"),
+        F.when(
+            F.col("a1") + F.col("a2") > 0,
+            round_compat(
+                F.col("dmean") / F.sqrt(F.col("a1") + F.col("a2")), 6
+            ),
+        ).alias("t_stat_r6"),
+        F.when(
+            (F.col("a1") > 0) | (F.col("a2") > 0),
+            round_compat(
+                (F.col("a1") + F.col("a2"))
+                * (F.col("a1") + F.col("a2"))
+                / (
+                    F.col("a1") * F.col("a1") / (F.col("n1") - 1)
+                    + F.col("a2") * F.col("a2") / (F.col("n2") - 1)
+                ),
+                6,
+            ),
+        ).alias("welch_df_r6"),
+    )

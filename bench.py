@@ -165,6 +165,7 @@ HEADLINE = [
     "bootstrap_mean_ci",
     "acf_daily_counts",
     "item_item_cosine_topk",
+    "welch_mean_test",
 ]
 
 

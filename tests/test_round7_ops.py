@@ -694,3 +694,42 @@ def test_item_item_cosine_matches_bruteforce(spark, sf_dir):
         for r, (ns, other, c) in zip(have, want):
             assert r["other"] == other and r["co_orders"] == c
             assert abs(r["cosine_r6"] + ns) < 1e-9
+
+
+def test_welch_matches_scipy_formula(spark, sf_dir):
+    """t and df must match a direct python Welch computation (scipy
+    formula, no scipy dependency) on the same weekday/weekend split."""
+    import math
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["event_type"]: r for r in SPECS["welch_mean_test"].builder(spark, sf_dir).collect()}
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7).alias("we"),
+            "value",
+        )
+        .collect()
+    )
+    groups: dict[str, tuple[list, list]] = {}
+    for r in ev:
+        wd, wk = groups.setdefault(r["event_type"], ([], []))
+        (wk if r["we"] else wd).append(int(round(r["value"] * 100)))
+    for etype, (wd, wk) in groups.items():
+        if len(wd) < 2 or len(wk) < 2:
+            assert etype not in got
+            continue
+        m1, m2 = sum(wd) / len(wd), sum(wk) / len(wk)
+        v1 = sum((x - m1) ** 2 for x in wd) / (len(wd) - 1)
+        v2 = sum((x - m2) ** 2 for x in wk) / (len(wk) - 1)
+        a1, a2 = v1 / len(wd), v2 / len(wk)
+        t = (m1 - m2) / math.sqrt(a1 + a2)
+        df = (a1 + a2) ** 2 / (a1 * a1 / (len(wd) - 1) + a2 * a2 / (len(wk) - 1))
+        r = got[etype]
+        assert r["n_weekday"] == len(wd) and r["n_weekend"] == len(wk)
+        assert abs(r["mean_diff_cents_r6"] - (m1 - m2)) < 1e-3
+        assert abs(r["t_stat_r6"] - t) < 1e-5
+        assert abs(r["welch_df_r6"] - df) < 1e-2

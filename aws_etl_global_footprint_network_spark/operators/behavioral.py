@@ -697,3 +697,129 @@ def sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Kaplan-Meier churn curve (right-censored survival estimator)
+# --------------------------------------------------------------------
+
+# Customers whose last order falls within KM_CENSOR_MONTHS of the
+# corpus horizon are right-censored (still alive at observation end),
+# not churned — the defining subtlety of the KM estimator. The curve
+# runs over ORDER tenure (orders span ~6 years, so ~2/3 of customers
+# genuinely churn); the events table's 30-day span would censor
+# everyone and produce a flat curve. Month indexes are computed as
+# year*12 + month — plain integer arithmetic, identical in both
+# engines (datediff('month', ...) semantics differ too easily).
+KM_CENSOR_MONTHS = 3
+
+
+@register(
+    "kaplan_meier_churn",
+    f"""
+    WITH u AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+             MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+      FROM orders GROUP BY o_custkey),
+    h AS (SELECT MAX(last_m) AS horizon FROM u),
+    lt AS (
+      SELECT u.last_m - u.first_m AS t,
+             CASE WHEN h.horizon - u.last_m <= {KM_CENSOR_MONTHS}
+                  THEN 0 ELSE 1 END AS died
+      FROM u CROSS JOIN h),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lt),
+    byt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS leaving,
+             CAST(SUM(died) AS BIGINT) AS d
+      FROM lt GROUP BY t),
+    r AS (
+      SELECT t, d, leaving,
+             tot.n_users
+               - COALESCE(SUM(leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n_risk
+      FROM byt CROSS JOIN tot),
+    s AS (
+      SELECT t, d, n_risk,
+             exp(SUM(ln(1.0 - d * 1.0 / n_risk))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS surv
+      FROM r)
+    SELECT CAST(t AS BIGINT) AS tenure_months,
+           CAST(d AS BIGINT) AS churned,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           ROUND(surv * 1e6, 0) / 1e6 AS survival_r6
+    FROM s
+    """,
+    "Kaplan-Meier survival curve of customer order tenure (months"
+    " from first to last order), right-censoring customers ordering"
+    f" within {KM_CENSOR_MONTHS} months of the corpus horizon;"
+    " product-limit estimator via the EXP(SUM(LN))"
+    " cumulative-window identity",
+    tags=("behavioral", "stats", "timeseries"),
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis at warehouse scale: per-customer tenure
+    reduces in one custkey groupBy; the horizon is a 1-row broadcast;
+    the
+    tenure distribution (corpus-bounded: one row per distinct tenure
+    length, calendar-cardinality) carries deaths d_t and exits, the
+    at-risk count n_t is total minus an EXCLUSIVE running sum of
+    exits, and the product-limit estimator
+    S(t) = prod(1 - d_i/n_i) rides the same EXP(SUM(LN)) cumulative
+    window the A4 compound-return operator pinned (identical fold
+    order both engines at this tiny cardinality, rounded 1e-6).
+    Censored customers (ordering within KM_CENSOR_MONTHS of the
+    horizon) leave the risk set without counting as deaths — the
+    defining KM subtlety, pinned by the reference-estimator test.
+    Month indexes are year*12+month integers, engine-proof."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    u = (
+        read_testdata(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(month_idx).alias("first_m"),
+            F.max(month_idx).alias("last_m"),
+        )
+    )
+    h = u.agg(F.max("last_m").alias("horizon"))
+    lt = u.crossJoin(F.broadcast(h)).select(
+        (F.col("last_m") - F.col("first_m")).alias("t"),
+        F.when(
+            F.col("horizon") - F.col("last_m") <= KM_CENSOR_MONTHS, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("died"),
+    )
+    tot = lt.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    byt = lt.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum("died").cast("bigint").alias("d"),
+    )
+    wo = Window.orderBy("t")
+    r = byt.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_users")
+        - F.coalesce(
+            F.sum("leaving").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    s = r.withColumn(
+        "surv",
+        F.exp(
+            F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))).over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ),
+    )
+    return s.select(
+        F.col("t").cast("bigint").alias("tenure_months"),
+        F.col("d").cast("bigint").alias("churned"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        round_compat(F.col("surv"), 6).alias("survival_r6"),
+    )

@@ -166,6 +166,7 @@ HEADLINE = [
     "acf_daily_counts",
     "item_item_cosine_topk",
     "welch_mean_test",
+    "kaplan_meier_churn",
 ]
 
 

@@ -733,3 +733,47 @@ def test_welch_matches_scipy_formula(spark, sf_dir):
         assert abs(r["mean_diff_cents_r6"] - (m1 - m2)) < 1e-3
         assert abs(r["t_stat_r6"] - t) < 1e-5
         assert abs(r["welch_df_r6"] - df) < 1e-2
+
+
+def test_kaplan_meier_matches_reference_estimator(spark, sf_dir):
+    """S(t) must equal the textbook product-limit computed directly
+    in python, including the censoring rule."""
+    from aws_etl_global_footprint_network_spark.operators import behavioral as bh
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["tenure_months"]: r for r in SPECS["kaplan_meier_churn"].builder(spark, sf_dir).collect()}
+    cust = (
+        read_testdata(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("f"),
+            F.max(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("l"),
+        )
+        .collect()
+    )
+    horizon = max(r["l"] for r in cust)
+    lt = [
+        (r["l"] - r["f"], 0 if horizon - r["l"] <= bh.KM_CENSOR_MONTHS else 1)
+        for r in cust
+    ]
+    total = len(lt)
+    byt: dict[int, tuple[int, int]] = {}
+    for t, died in lt:
+        lv, d = byt.get(t, (0, 0))
+        byt[t] = (lv + 1, d + died)
+    assert set(got) == set(byt)
+    exited = 0
+    surv = 1.0
+    for t in sorted(byt):
+        lv, d = byt[t]
+        n_risk = total - exited
+        surv *= 1.0 - d / n_risk
+        r = got[t]
+        assert r["churned"] == d and r["n_at_risk"] == n_risk
+        assert abs(r["survival_r6"] - surv) < 1e-5
+        exited += lv
+    # BOTH KM populations must be non-degenerate on this corpus:
+    # real deaths (the curve falls) and real censoring (some rows
+    # exit without dying)
+    assert any(d > 0 for _, d in byt.values())
+    assert any(lv > d for lv, d in byt.values())

@@ -707,3 +707,81 @@ def welch_mean_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("welch_df_r6"),
     )
+
+
+# --------------------------------------------------------------------
+# Chi-square test of independence: event type x ISO weekday
+# --------------------------------------------------------------------
+
+@register(
+    "chisq_type_weekday",
+    """
+    WITH o AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1),
+    ct AS (SELECT dow, SUM(obs) AS c FROM o GROUP BY 1),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+      SELECT o.event_type, o.dow, o.obs,
+             rt.r * 1.0 * ct.c / n.n AS expected
+      FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n)
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           obs, ROUND(expected * 1e6, 0) / 1e6 AS expected_r6,
+           ROUND(((obs - expected) * (obs - expected) / expected) * 1e6, 0)
+             / 1e6 AS chisq_term_r6
+    FROM cells
+    """,
+    "chi-square independence cells for event type x ISO weekday:"
+    " observed counts vs expected = row_total * col_total / N, the"
+    " per-cell (O-E)^2/E contributions (client sums terms and looks"
+    " up the (R-1)(C-1)-df critical value)",
+    tags=("diagnostics", "stats", "agg"),
+)
+def chisq_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical independence testing from ONE contingency pass:
+    the observed table is a single groupBy (map-side combinable);
+    row totals, column totals and the grand total re-aggregate from
+    the CELL table (R*C rows — never a second corpus pass), and the
+    expected counts and (O-E)^2/E terms are IEEE ops on exact
+    integer inputs in identical order both engines, rounded 1e-6.
+    Emitting per-cell contributions rather than the single summed
+    statistic keeps every float at exactly ONE arithmetic depth —
+    summing R*C rounded terms is the client's (or a 1-row follow-up
+    aggregate's) job, and the cell detail is the actionable output
+    anyway (which cell deviates). ISO weekday via isodow /
+    weekday-shifted dayofweek, pinned cross-engine."""
+    e = read_testdata(spark, sf_dir, "events").select(
+        "event_type",
+        # Spark dayofweek: 1=Sun..7=Sat; ISO: 1=Mon..7=Sun
+        ((F.dayofweek(F.col("ts").cast("date")) + 5) % 7 + 1).alias("dow"),
+    )
+    o = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    scope = CacheScope("chisq_type_weekday")
+    o = scope.persist(o)
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    expected = F.col("r") * 1.0 * F.col("c") / F.col("n")
+    return (
+        o.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "obs",
+            round_compat(expected, 6).alias("expected_r6"),
+            round_compat(
+                (F.col("obs") - expected)
+                * (F.col("obs") - expected)
+                / expected,
+                6,
+            ).alias("chisq_term_r6"),
+        )
+    )

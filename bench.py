@@ -167,6 +167,7 @@ HEADLINE = [
     "item_item_cosine_topk",
     "welch_mean_test",
     "kaplan_meier_churn",
+    "chisq_type_weekday",
 ]
 
 

@@ -150,6 +150,17 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern: broadcast 1-row order total into the
     # 25-row rule metrics
     "market_basket_rules",
+    # scalar-subquery pattern twice: 1-row unigram total + 1-row pair
+    # total broadcast into the PPMI score (same shape as
+    # token_pmi_bigrams's totals)
+    "skipgram_ppmi_cooccurrence",
+    # scalar-subquery pattern: the 1-row grand total broadcast into
+    # the R*C contingency cells' expected counts
+    "chisq_type_weekday",
+    # scalar-subquery pattern twice: 1-row horizon broadcast into the
+    # per-customer censor flag; 1-row population total broadcast into
+    # the month-cardinality tenure distribution
+    "kaplan_meier_churn",
 }
 
 
@@ -198,6 +209,10 @@ GLOBAL_WINDOW_WHITELIST = {
     "rrf_hybrid_retrieval",
     # rank annotation AFTER the TakeOrderedAndProject(PCA_TOP=10) cut
     "pca_power_projection",
+    # running sums over the TENURE DISTRIBUTION — one row per distinct
+    # tenure month (calendar-bounded, ~80 rows over a 6.5-year corpus),
+    # never the per-customer relation
+    "kaplan_meier_churn",
 }
 
 

@@ -777,3 +777,36 @@ def test_kaplan_meier_matches_reference_estimator(spark, sf_dir):
     # exit without dying)
     assert any(d > 0 for _, d in byt.values())
     assert any(lv > d for lv, d in byt.values())
+
+
+def test_chisq_cells_match_scipy_style_recompute(spark, sf_dir):
+    """Expected counts and chi-square terms vs a python contingency
+    recompute; cells must cover the full observed cross product."""
+    import datetime
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {
+        (r["event_type"], r["dow"]): r
+        for r in SPECS["chisq_type_weekday"].builder(spark, sf_dir).collect()
+    }
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).collect()
+    obs: dict[tuple[str, int], int] = {}
+    for r in ev:
+        dow = r["d"].isoweekday()
+        obs[(r["event_type"], dow)] = obs.get((r["event_type"], dow), 0) + 1
+    assert set(got) == set(obs)
+    n = sum(obs.values())
+    rt: dict[str, int] = {}
+    ct: dict[int, int] = {}
+    for (t, d), c in obs.items():
+        rt[t] = rt.get(t, 0) + c
+        ct[d] = ct.get(d, 0) + c
+    for (t, d), c in obs.items():
+        exp = rt[t] * ct[d] / n
+        r = got[(t, d)]
+        assert r["obs"] == c
+        assert abs(r["expected_r6"] - exp) < 1e-5
+        assert abs(r["chisq_term_r6"] - (c - exp) ** 2 / exp) < 1e-5

@@ -785,3 +785,127 @@ def chisq_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chisq_term_r6"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Mann-Whitney U: nonparametric weekday vs weekend spend test
+# --------------------------------------------------------------------
+
+@register(
+    "mann_whitney_u",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN isodow(CAST(ts AS DATE)) IN (6, 7)
+                  THEN 1 ELSE 0 END AS we,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    v AS (
+      SELECT event_type, x,
+             SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS n1v,
+             COUNT(*) AS t
+      FROM e GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, x, n1v, t,
+             COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+      FROM v),
+    s AS (
+      SELECT event_type,
+             SUM(n1v) AS n1, SUM(t - n1v) AS n2, SUM(t) AS n,
+             SUM(n1v * (2 * cb + t + 1)) AS r1_twice,
+             SUM(t * t * t - t) AS ties
+      FROM c GROUP BY event_type
+      HAVING SUM(n1v) >= 2 AND SUM(t - n1v) >= 2),
+    f AS (
+      SELECT event_type, n1, n2,
+             (r1_twice - n1 * (n1 + 1)) / 2.0 AS u1,
+             n1 * 1.0 * n2 / 2.0 AS mu,
+             (n1 * 1.0 * n2 / 12.0)
+               * ((n + 1) - ties * 1.0 / (n * 1.0 * (n - 1))) AS var
+      FROM s)
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+           ROUND(u1 * 1e6, 0) / 1e6 AS u_stat_r6,
+           CASE WHEN var > 0
+                THEN ROUND(((u1 - mu) / sqrt(var)) * 1e6, 0) / 1e6
+                ELSE NULL END AS z_stat_r6
+    FROM f
+    """,
+    "Mann-Whitney U rank-sum test of weekday vs weekend spend per"
+    " event type, computed RANK-FREE from value-grouped counts and"
+    " an exclusive cumulative count (tie-corrected normal"
+    " approximation) — no per-row rank is ever materialised",
+    tags=("diagnostics", "stats", "agg"),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale trick: U needs rank SUMS, not ranks. Group both
+    samples by VALUE (value-cardinality, not row-cardinality), take
+    an exclusive running count cb per value within each event type,
+    and every tied row's average rank is (2*cb + t + 1)/2 — so the
+    rank sum doubles to the all-integer
+    r1_twice = sum(n1v * (2cb + t + 1)) and no per-row rank window
+    ever runs (the classic rank-based formulation single-tasks each
+    partition at corpus scale; this one windows over distinct
+    values). The tie-corrected variance consumes sum(t^3 - t) from
+    the same pass. Integer bounds: r1_twice <= 2N^2 keeps exact
+    int64 to N ~ 2^31 rows per event type; the z chain is IEEE ops
+    on exact inputs in identical order both engines, rounded 1e-6.
+    Two shuffles (value groups; the value-ordered window shares the
+    event_type hash with the final groupBy). Degenerate variance
+    (all values tied) pins NULL both sides; n>=2 per sample via
+    HAVING."""
+    from pyspark.sql import Window
+
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7).alias("we"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+        )
+    )
+    v = e.groupBy("event_type", "x").agg(
+        F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n1v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("x")
+    c = v.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum("t").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    s = (
+        c.groupBy("event_type")
+        .agg(
+            F.sum("n1v").alias("n1"),
+            F.sum(F.col("t") - F.col("n1v")).alias("n2"),
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("n1v") * (2 * F.col("cb") + F.col("t") + 1)
+            ).alias("r1_twice"),
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("ties"),
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    )
+    u1 = (F.col("r1_twice") - F.col("n1") * (F.col("n1") + 1)) / F.lit(2.0)
+    mu = F.col("n1") * 1.0 * F.col("n2") / F.lit(2.0)
+    var = (F.col("n1") * 1.0 * F.col("n2") / F.lit(12.0)) * (
+        (F.col("n") + 1)
+        - F.col("ties") * 1.0 / (F.col("n") * 1.0 * (F.col("n") - 1))
+    )
+    return s.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_weekday"),
+        F.col("n2").cast("bigint").alias("n_weekend"),
+        round_compat(u1, 6).alias("u_stat_r6"),
+        F.when(var > 0, round_compat((u1 - mu) / F.sqrt(var), 6)).alias(
+            "z_stat_r6"
+        ),
+    )

@@ -168,6 +168,7 @@ HEADLINE = [
     "welch_mean_test",
     "kaplan_meier_churn",
     "chisq_type_weekday",
+    "mann_whitney_u",
 ]
 
 

@@ -810,3 +810,64 @@ def test_chisq_cells_match_scipy_style_recompute(spark, sf_dir):
         assert r["obs"] == c
         assert abs(r["expected_r6"] - exp) < 1e-5
         assert abs(r["chisq_term_r6"] - (c - exp) ** 2 / exp) < 1e-5
+
+
+def test_mann_whitney_matches_scipy_formula(spark, sf_dir):
+    """U and z vs a direct python rank-sum computation with average
+    ranks for ties (the scipy mannwhitneyu formulation)."""
+    import math
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["event_type"]: r for r in SPECS["mann_whitney_u"].builder(spark, sf_dir).collect()}
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7).alias("we"),
+            "value",
+        )
+        .collect()
+    )
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(
+            (int(round(r["value"] * 100)), 1 if r["we"] else 0)
+        )
+    for etype, rows_ in groups.items():
+        n1 = sum(1 for _, w in rows_ if w == 0)
+        n2 = len(rows_) - n1
+        if n1 < 2 or n2 < 2:
+            assert etype not in got
+            continue
+        ordered = sorted(rows_)
+        # average ranks with ties
+        ranks: list[float] = [0.0] * len(ordered)
+        i = 0
+        while i < len(ordered):
+            j = i
+            while j < len(ordered) and ordered[j][0] == ordered[i][0]:
+                j += 1
+            avg = (i + 1 + j) / 2
+            for k in range(i, j):
+                ranks[k] = avg
+            i = j
+        r1 = sum(rk for (x, w), rk in zip(ordered, ranks) if w == 0)
+        u1 = r1 - n1 * (n1 + 1) / 2
+        n = n1 + n2
+        ties = 0
+        i = 0
+        while i < len(ordered):
+            j = i
+            while j < len(ordered) and ordered[j][0] == ordered[i][0]:
+                j += 1
+            t = j - i
+            ties += t**3 - t
+            i = j
+        mu = n1 * n2 / 2
+        var = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+        r = got[etype]
+        assert r["n_weekday"] == n1 and r["n_weekend"] == n2
+        assert abs(r["u_stat_r6"] - u1) < 1e-3
+        assert abs(r["z_stat_r6"] - (u1 - mu) / math.sqrt(var)) < 1e-5

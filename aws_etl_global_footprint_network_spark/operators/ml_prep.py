@@ -704,3 +704,125 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("phase").cast("int").alias("phase"),
         F.col("shuffle_key").cast("bigint").alias("shuffle_key"),
     )
+
+
+# --------------------------------------------------------------------
+# Decile lift / gains table (model-eval readout)
+# --------------------------------------------------------------------
+
+LIFT_BUCKETS = 10
+
+
+@register(
+    "decile_lift_table",
+    f"""
+    WITH resp AS (
+      SELECT c.c_custkey,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS score,
+             CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS responder
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT') o
+        ON o.o_custkey = c.c_custkey),
+    d AS (
+      SELECT NTILE({LIFT_BUCKETS}) OVER (ORDER BY score DESC, c_custkey)
+               AS decile,
+             responder
+      FROM resp),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(responder) AS BIGINT) AS responders
+      FROM d GROUP BY decile),
+    tot AS (
+      SELECT SUM(n_customers) AS n_all, SUM(responders) AS r_all FROM g)
+    SELECT CAST(g.decile AS BIGINT) AS decile, g.n_customers, g.responders,
+           ROUND((g.responders * 1.0 / g.n_customers) * 1e6, 0) / 1e6
+             AS resp_rate_r6,
+           ROUND((SUM(g.responders) OVER (ORDER BY g.decile
+                    ROWS UNBOUNDED PRECEDING) * 1.0 / tot.r_all) * 1e6, 0)
+             / 1e6 AS cum_capture_r6,
+           ROUND(((g.responders * 1.0 / g.n_customers)
+                  / (tot.r_all * 1.0 / tot.n_all)) * 1e6, 0) / 1e6
+             AS lift_r6
+    FROM g CROSS JOIN tot
+    """,
+    f"decile lift/gains table: customers ranked by balance score into"
+    f" {LIFT_BUCKETS} exact deciles, per-decile response rate"
+    " (has >= 1 URGENT-priority order), cumulative capture and lift"
+    " vs the base rate"
+    " — the standard targeting-model evaluation readout",
+    tags=("mlprep", "analytics", "agg"),
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gains-chart shape every targeting/propensity pipeline
+    reports (responder = placed at least one URGENT-priority order,
+    ~86% base rate on this corpus with real per-decile variation —
+    'any order at all' saturates to 100% here). Scale path: decile
+    assignment uses
+    :func:`distributed_ntile` (range repartition + per-partition rank
+    + broadcast offsets) — never ``NTILE() OVER (ORDER BY ...)``'s
+    single-task global window (the oracle keeps the textbook NTILE,
+    hash-identical); the responder flag is one left join against the
+    distinct-customer projection of orders; per-decile reduction is
+    a {LIFT_BUCKETS}-row table, so the cumulative-capture window and
+    the 1-row totals broadcast are driver-scale by construction.
+    Ordering carries the key tie-break, so equal scores straddling a
+    decile boundary bucket deterministically in both engines. All
+    counts are exact integers; the three ratios are single divisions
+    rounded 1e-6."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_ntile,
+    )
+
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("score"),
+    )
+    o = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey"))
+        .distinct()
+    )
+    resp = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "c_custkey",
+        "score",
+        F.when(F.col("o_custkey").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("responder"),
+    )
+    scope = CacheScope("decile_lift_table")
+    d = distributed_ntile(
+        resp,
+        [F.col("score").desc(), F.col("c_custkey").asc()],
+        LIFT_BUCKETS,
+        "decile",
+        scope,
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("responder").cast("bigint").alias("responders"),
+    )
+    tot = g.agg(
+        F.sum("n_customers").alias("n_all"),
+        F.sum("responders").alias("r_all"),
+    )
+    wo = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rate = F.col("responders") * 1.0 / F.col("n_customers")
+    base = F.col("r_all") * 1.0 / F.col("n_all")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_customers",
+            "responders",
+            round_compat(rate, 6).alias("resp_rate_r6"),
+            round_compat(
+                F.sum("responders").over(wo) * 1.0 / F.col("r_all"), 6
+            ).alias("cum_capture_r6"),
+            round_compat(rate / base, 6).alias("lift_r6"),
+        )
+    )

@@ -139,9 +139,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # ewma_spend_smoothing, jaccard_link_prediction,
 # skipgram_ppmi_cooccurrence, spend_trend_ols, sliding_active_users,
 # bootstrap_mean_ci, acf_daily_counts, item_item_cosine_topk,
-# welch_mean_test, kaplan_meier_churn, chisq_type_weekday and
-# mann_whitney_u (registered after the round-7 window filled —
-# never sampled).
+# welch_mean_test, kaplan_meier_churn, chisq_type_weekday,
+# mann_whitney_u and decile_lift_table (registered after the round-7
+# window filled — never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -169,6 +169,7 @@ HEADLINE = [
     "kaplan_meier_churn",
     "chisq_type_weekday",
     "mann_whitney_u",
+    "decile_lift_table",
 ]
 
 

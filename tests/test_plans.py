@@ -161,6 +161,9 @@ CARTESIAN_WHITELIST = {
     # per-customer censor flag; 1-row population total broadcast into
     # the month-cardinality tenure distribution
     "kaplan_meier_churn",
+    # scalar-subquery pattern: 1-row (n_all, r_all) totals broadcast
+    # into the 10-row decile table
+    "decile_lift_table",
 }
 
 
@@ -213,6 +216,10 @@ GLOBAL_WINDOW_WHITELIST = {
     # tenure month (calendar-bounded, ~80 rows over a 6.5-year corpus),
     # never the per-customer relation
     "kaplan_meier_churn",
+    # cumulative capture over the LIFT_BUCKETS(10)-row decile table —
+    # bucket-bounded by construction (decile assignment itself runs
+    # through distributed_ntile, never a global window)
+    "decile_lift_table",
 }
 
 

@@ -871,3 +871,48 @@ def test_mann_whitney_matches_scipy_formula(spark, sf_dir):
         assert r["n_weekday"] == n1 and r["n_weekend"] == n2
         assert abs(r["u_stat_r6"] - u1) < 1e-3
         assert abs(r["z_stat_r6"] - (u1 - mu) / math.sqrt(var)) < 1e-5
+
+
+def test_decile_lift_matches_bruteforce(spark, sf_dir):
+    """Deciles, rates, cumulative capture and lift vs a direct python
+    recompute of the NTILE + gains-chart arithmetic."""
+    from aws_etl_global_footprint_network_spark.operators import ml_prep as mp
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["decile"]: r for r in SPECS["decile_lift_table"].builder(spark, sf_dir).collect()}
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    buyers = {
+        r["o_custkey"]
+        for r in read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .collect()
+    }
+    rows_ = sorted(
+        (-int(round(r["c_acctbal"] * 100)), r["c_custkey"]) for r in cust
+    )
+    n = len(rows_)
+    k = mp.LIFT_BUCKETS
+    # SQL NTILE: first (n % k) buckets get ceil(n/k), rest floor(n/k)
+    sizes = [(n // k) + (1 if i < n % k else 0) for i in range(k)]
+    deciles: dict[int, list[int]] = {}
+    idx = 0
+    for b, sz in enumerate(sizes, start=1):
+        deciles[b] = [ck for _, ck in rows_[idx : idx + sz]]
+        idx += sz
+    r_all = sum(1 for _, ck in rows_ if ck in buyers)
+    cum = 0
+    for b in range(1, k + 1):
+        members = deciles[b]
+        resp = sum(1 for ck in members if ck in buyers)
+        cum += resp
+        r = got[b]
+        assert r["n_customers"] == len(members)
+        assert r["responders"] == resp
+        assert abs(r["resp_rate_r6"] - resp / len(members)) < 1e-6
+        assert abs(r["cum_capture_r6"] - cum / r_all) < 1e-6
+        assert abs(r["lift_r6"] - (resp / len(members)) / (r_all / n)) < 1e-5
+    # the outcome must vary on this corpus (not everyone responds)
+    assert 0 < r_all < n

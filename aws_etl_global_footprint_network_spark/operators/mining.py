@@ -1623,3 +1623,101 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Next-order item transitions (sequential recommendation kernel)
+# --------------------------------------------------------------------
+
+SEQ_TOP_PER_ITEM = 3
+SEQ_MIN_COUNT = 2
+
+
+@register(
+    "next_order_transitions",
+    f"""
+    WITH ord AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS next_ok
+      FROM orders),
+    bask AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    trans AS (
+      SELECT a.l_partkey AS part_prev, b.l_partkey AS part_next,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM ord
+      JOIN bask a ON a.l_orderkey = ord.o_orderkey
+      JOIN bask b ON b.l_orderkey = ord.next_ok
+      GROUP BY 1, 2 HAVING COUNT(*) >= {SEQ_MIN_COUNT}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY part_prev
+                 ORDER BY n_transitions DESC, part_next) AS rn
+      FROM trans)
+    SELECT CAST(part_prev AS BIGINT) AS part_prev,
+           CAST(part_next AS BIGINT) AS part_next,
+           n_transitions, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {SEQ_TOP_PER_ITEM}
+    """,
+    "sequential recommendation kernel: directional item transitions"
+    " between each customer's CONSECUTIVE orders (part in order k ->"
+    f" part in order k+1), count floor {SEQ_MIN_COUNT},"
+    f" top-{SEQ_TOP_PER_ITEM} next items per antecedent",
+    tags=("graph", "mlprep", "behavioral"),
+)
+def next_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What do customers buy NEXT? Unlike ``item_item_cosine_topk``
+    (symmetric same-basket affinity) and
+    ``markov_event_transitions`` (event-TYPE chain), this is the
+    directional item-level sequence signal behind session-based
+    recommenders. The order sequence is a lead() window on the
+    natural high-cardinality key (custkey) with a total (date, key)
+    order; consecutive-order item pairs come from joining the
+    deduped basket relation to BOTH ends of each (order, next_order)
+    edge — fanout bounded by basket_size^2 (<= 49 in TPC-H) per
+    consecutive pair, linear overall; the count floor keeps the
+    transition table signal-bounded and the per-antecedent
+    top-{SEQ_TOP_PER_ITEM} window partitions by part_prev
+    (item-cardinality parallelism). All counts integer; ranking on
+    (count desc, part_next) is total, so the cut is deterministic in
+    both engines."""
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ord_ = o.select(
+        "o_orderkey", F.lead("o_orderkey").over(w).alias("next_ok")
+    ).filter(F.col("next_ok").isNotNull())
+    scope = CacheScope("next_order_transitions")
+    bask = scope.persist(
+        read_testdata(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = bask.select(
+        F.col("l_orderkey").alias("ok_a"), F.col("l_partkey").alias("part_prev")
+    )
+    b = bask.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_next")
+    )
+    trans = (
+        ord_.join(a, F.col("ok_a") == F.col("o_orderkey"))
+        .join(b, F.col("ok_b") == F.col("next_ok"))
+        .groupBy("part_prev", "part_next")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+        .filter(F.col("n_transitions") >= SEQ_MIN_COUNT)
+    )
+    wr = Window.partitionBy("part_prev").orderBy(
+        F.col("n_transitions").desc(), "part_next"
+    )
+    return (
+        trans.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= SEQ_TOP_PER_ITEM)
+        .select(
+            F.col("part_prev").cast("bigint").alias("part_prev"),
+            F.col("part_next").cast("bigint").alias("part_next"),
+            "n_transitions",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

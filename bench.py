@@ -170,6 +170,7 @@ HEADLINE = [
     "chisq_type_weekday",
     "mann_whitney_u",
     "decile_lift_table",
+    "next_order_transitions",
 ]
 
 

@@ -916,3 +916,44 @@ def test_decile_lift_matches_bruteforce(spark, sf_dir):
         assert abs(r["lift_r6"] - (resp / len(members)) / (r_all / n)) < 1e-5
     # the outcome must vary on this corpus (not everyone responds)
     assert 0 < r_all < n
+
+
+def test_next_order_transitions_match_bruteforce(spark, sf_dir):
+    """Directional consecutive-order pairs vs a python recompute of
+    the per-customer order sequence."""
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got: dict[int, list] = {}
+    for r in SPECS["next_order_transitions"].builder(spark, sf_dir).collect():
+        got.setdefault(r["part_prev"], []).append(r)
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    items = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set[int]] = {}
+    for r in items:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    seq: dict[int, list[tuple[object, int]]] = {}
+    for r in orders:
+        seq.setdefault(r["o_custkey"], []).append((r["o_orderdate"], r["o_orderkey"]))
+    counts: dict[tuple[int, int], int] = {}
+    for pts in seq.values():
+        pts.sort()
+        for (_, ok), (_, nok) in zip(pts, pts[1:]):
+            for pa in by_order.get(ok, ()):
+                for pb in by_order.get(nok, ()):
+                    counts[(pa, pb)] = counts.get((pa, pb), 0) + 1
+    want: dict[int, list[tuple[int, int, int]]] = {}
+    for (pa, pb), c in counts.items():
+        if c >= mining.SEQ_MIN_COUNT:
+            want.setdefault(pa, []).append((-c, pb, c))
+    assert set(got) == set(want)
+    for pa, lst in want.items():
+        lst.sort()
+        expect = lst[: mining.SEQ_TOP_PER_ITEM]
+        have = sorted(got[pa], key=lambda r: r["rn"])
+        assert len(have) == len(expect)
+        for r, (nc, pb, c) in zip(have, expect):
+            assert (r["part_next"], r["n_transitions"]) == (pb, c)

@@ -839,3 +839,82 @@ def lone_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(Q21_TOP)
         .select(F.col("l_suppkey").cast("bigint").alias("l_suppkey"), "numwait")
     )
+
+
+# --- Incremental JOIN maintenance (delta-join algebra) ---------------------
+# The third leg of the IVM family (aggregates merge, retractions
+# subtract, JOINS expand by the product rule):
+#   delta(A join B) = dA join B_old  UNION ALL  A_old join dB
+#                     UNION ALL  dA join dB
+# so the maintained view is the four-term union — only the delta
+# terms scan new data; the base-join term is the stored view. Splits
+# are deterministic functions of the keys so both engines carve the
+# same base/delta.
+IVM_JOIN_ORDER_MOD = 7   # orders with o_orderkey % 7 == 0 are the delta
+IVM_JOIN_CUST_MOD = 11   # customers with c_custkey % 11 == 0 are the delta
+
+
+@register(
+    "incremental_join_maintenance",
+    f"""
+    WITH j AS (
+      SELECT c.c_nationkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(cents) / 100.0 AS revenue
+    FROM j GROUP BY c_nationkey
+    """,
+    "incremental JOIN maintenance: the delta-join product rule"
+    " (dA><B + A><dB + dA><dB unioned onto the stored base join) —"
+    " the view-refresh algebra for joins, verified against the"
+    " direct full join (the oracle); exact-cents revenue by nation",
+    tags=("join", "incremental", "scale"),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN views refresh by the product rule, not by
+    re-joining history: with A = orders, B = customer split into
+    old/delta by deterministic key predicates, the maintained view is
+      (A_old >< B_old)   -- the STORED view, no rescan at refresh
+      + (dA >< B_old) + (A_old >< dB) + (dA >< dB),
+    each term a plain equi-join that only touches a delta on at
+    least one side (except the stored first term, which at scale is
+    read back from the MV table, not recomputed — recomputed here
+    only because the test harness is stateless). The four-term
+    UNION ALL must be row-for-row equal to the full join — pinned by
+    aggregating it to exact-cents revenue by nation against the
+    oracle's direct join. Every join shuffles on the same custkey;
+    AQE broadcasts genuinely small delta sides unhinted."""
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    a_old = o.filter(F.col("o_orderkey") % IVM_JOIN_ORDER_MOD != 0)
+    d_a = o.filter(F.col("o_orderkey") % IVM_JOIN_ORDER_MOD == 0)
+    b_old = c.filter(F.col("c_custkey") % IVM_JOIN_CUST_MOD != 0)
+    d_b = c.filter(F.col("c_custkey") % IVM_JOIN_CUST_MOD == 0)
+
+    def term(orders: DataFrame, custs: DataFrame) -> DataFrame:
+        return orders.join(
+            custs, orders["o_custkey"] == custs["c_custkey"]
+        ).select("c_nationkey", "cents")
+
+    maintained = (
+        term(a_old, b_old)
+        .unionAll(term(d_a, b_old))
+        .unionAll(term(a_old, d_b))
+        .unionAll(term(d_a, d_b))
+    )
+    return maintained.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("cents") / 100.0).alias("revenue"),
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        "n_orders",
+        "revenue",
+    )

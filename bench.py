@@ -171,6 +171,7 @@ HEADLINE = [
     "mann_whitney_u",
     "decile_lift_table",
     "next_order_transitions",
+    "incremental_join_maintenance",
 ]
 
 

@@ -957,3 +957,33 @@ def test_next_order_transitions_match_bruteforce(spark, sf_dir):
         assert len(have) == len(expect)
         for r, (nc, pb, c) in zip(have, expect):
             assert (r["part_next"], r["n_transitions"]) == (pb, c)
+
+
+def test_delta_join_terms_partition_the_full_join(spark, sf_dir):
+    """The four delta-join terms must be disjoint and cover the full
+    join exactly — the product-rule invariant, checked at row grain
+    (the registered query only checks the aggregate)."""
+    from aws_etl_global_footprint_network_spark.operators import relational2 as r2
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    o = read_testdata(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = read_testdata(spark, sf_dir, "customer").select("c_custkey")
+    full = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    terms = []
+    for omod_eq in (False, True):
+        for cmod_eq in (False, True):
+            oo = o.filter(
+                (F.col("o_orderkey") % r2.IVM_JOIN_ORDER_MOD == 0)
+                if omod_eq
+                else (F.col("o_orderkey") % r2.IVM_JOIN_ORDER_MOD != 0)
+            )
+            cc = c.filter(
+                (F.col("c_custkey") % r2.IVM_JOIN_CUST_MOD == 0)
+                if cmod_eq
+                else (F.col("c_custkey") % r2.IVM_JOIN_CUST_MOD != 0)
+            )
+            terms.append(oo.join(cc, oo["o_custkey"] == cc["c_custkey"]).count())
+    assert sum(terms) == full
+    # every term non-empty on this corpus: the split really exercises
+    # all four legs of the product rule
+    assert all(t > 0 for t in terms)

@@ -487,3 +487,97 @@ def window_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_prior",
         "prior_cents",
     )
+
+
+# --------------------------------------------------------------------
+# Interval coverage merge (union of overlapping activity spans)
+# --------------------------------------------------------------------
+
+# Each event opens a fixed activity span; overlapping/touching spans
+# merge into coverage islands. 5 minutes in integer microseconds —
+# all island arithmetic stays exact int64.
+COVER_SPAN_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "interval_coverage_merge",
+    f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {COVER_SPAN_US} AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    sp AS (
+      SELECT user_id, island, MIN(s) AS island_s, MAX(e) AS island_e
+      FROM isl GROUP BY user_id, island)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_e - island_s) AS BIGINT) AS covered_us,
+           CAST(MAX(island_e - island_s) AS BIGINT) AS longest_us
+    FROM sp GROUP BY user_id
+    """,
+    "interval union / coverage merge: each event opens a 5-minute"
+    " activity span, overlapping spans merge into islands via the"
+    " running-max-of-ends recipe; per user the island count, total"
+    " covered microseconds and longest island — all integer-exact",
+    tags=("temporal", "window", "agg"),
+)
+def interval_coverage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval-union pattern (distinct from gap_islands'
+    consecutive-streak detection): an interval starts a NEW island
+    exactly when its start exceeds the running MAX of all previous
+    ends — a plain max window with an exclusive frame, then a
+    running-sum island id over the same (user_id, start) ordering,
+    so both windows and the island aggregation share ONE user_id
+    shuffle. Everything is integer microseconds (span bounds add
+    exactly; island durations subtract exactly), so the hash gate
+    needs no rounding anywhere. Per-user output; windows never run
+    unpartitioned."""
+    iv = read_testdata(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(COVER_SPAN_US)).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sp = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return sp.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s"))
+        .cast("bigint")
+        .alias("covered_us"),
+        F.max(F.col("island_e") - F.col("island_s"))
+        .cast("bigint")
+        .alias("longest_us"),
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_islands",
+        "covered_us",
+        "longest_us",
+    )

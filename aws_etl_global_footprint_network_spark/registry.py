@@ -140,9 +140,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # skipgram_ppmi_cooccurrence, spend_trend_ols, sliding_active_users,
 # bootstrap_mean_ci, acf_daily_counts, item_item_cosine_topk,
 # welch_mean_test, kaplan_meier_churn, chisq_type_weekday,
-# mann_whitney_u, decile_lift_table, next_order_transitions and
-# incremental_join_maintenance (registered after the round-7 window
-# filled — never sampled).
+# mann_whitney_u, decile_lift_table, next_order_transitions,
+# incremental_join_maintenance and interval_coverage_merge
+# (registered after the round-7 window filled — never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -172,6 +172,7 @@ HEADLINE = [
     "decile_lift_table",
     "next_order_transitions",
     "incremental_join_maintenance",
+    "interval_coverage_merge",
 ]
 
 

@@ -1025,3 +1025,70 @@ def test_interval_coverage_matches_bruteforce(spark, sf_dir):
         # merging must actually occur somewhere (else the span is
         # misconfigured for this corpus)
     assert any(r["n_islands"] < len(by_user[u]) for u, r in got.items())
+
+
+def test_round7_statistical_invariants(spark, sf_dir):
+    """Cheap structural invariants across the closing-stretch
+    operators — properties that must hold for ANY input, so they
+    catch formula regressions the data-specific brute-force tests
+    might mask."""
+    from aws_etl_global_footprint_network_spark.operators import temporal as tp
+
+    # KM: survival is non-increasing in tenure and within (0, 1]
+    km = sorted(
+        SPECS["kaplan_meier_churn"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["tenure_months"],
+    )
+    prev = 1.0 + 1e-9
+    for r in km:
+        assert 0.0 < r["survival_r6"] <= prev + 1e-9
+        prev = r["survival_r6"]
+    # at-risk counts strictly decrease as tenures exit
+    risks = [r["n_at_risk"] for r in km]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+    # EWMA: the smoothed level always lies within the window's value
+    # range — check via min/max cents per user (weighted mean bound)
+    ew = SPECS["ewma_spend_smoothing"].builder(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(ew, key=lambda r: (r["user_id"], r["d"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows_ in by_user.values():
+        for i, r in enumerate(rows_):
+            lo = i - 15 if i >= 15 else 0
+            window = [q["x_cents"] for q in rows_[lo : i + 1]]
+            assert min(window) - 1e-6 <= r["ewma_r6"] <= max(window) + 1e-6
+
+    # interval coverage: bounded by n_events * span and >= one span
+    cov = {r["user_id"]: r for r in SPECS["interval_coverage_merge"].builder(spark, sf_dir).collect()}
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    n_ev = {
+        r["user_id"]: r["n"]
+        for r in read_testdata(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for u, r in cov.items():
+        assert tp.COVER_SPAN_US <= r["covered_us"] <= n_ev[u] * tp.COVER_SPAN_US
+        assert r["longest_us"] <= r["covered_us"]
+
+    # decile lift: capture is non-decreasing and ends at exactly 1
+    lift = sorted(
+        SPECS["decile_lift_table"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    caps = [r["cum_capture_r6"] for r in lift]
+    assert all(a <= b + 1e-9 for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-6
+
+    # chi-square: expected counts reproduce the observed marginals
+    cells = SPECS["chisq_type_weekday"].builder(spark, sf_dir).collect()
+    by_type: dict[str, float] = {}
+    obs_type: dict[str, int] = {}
+    for r in cells:
+        by_type[r["event_type"]] = by_type.get(r["event_type"], 0.0) + r["expected_r6"]
+        obs_type[r["event_type"]] = obs_type.get(r["event_type"], 0) + r["obs"]
+    for t in by_type:
+        assert abs(by_type[t] - obs_type[t]) < 1e-3

@@ -909,3 +909,116 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat_r6"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov: weekday vs weekend spend
+# --------------------------------------------------------------------
+
+@register(
+    "ks_two_sample",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN isodow(CAST(ts AS DATE)) IN (6, 7)
+                  THEN 1 ELSE 0 END AS we,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    v AS (
+      SELECT event_type, x,
+             SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS n1v,
+             SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS n2v
+      FROM e GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, x,
+             SUM(n1v) OVER win AS c1, SUM(n2v) OVER win AS c2,
+             SUM(n1v) OVER (PARTITION BY event_type) AS n1,
+             SUM(n2v) OVER (PARTITION BY event_type) AS n2
+      FROM v
+      WINDOW win AS (PARTITION BY event_type ORDER BY x
+                     ROWS UNBOUNDED PRECEDING)),
+    s AS (
+      SELECT event_type, n1, n2,
+             MAX(ABS(c1 * n2 - c2 * n1)) AS max_cross
+      FROM c GROUP BY event_type, n1, n2
+      HAVING n1 >= 2 AND n2 >= 2)
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+           ROUND((max_cross * 1.0 / (n1 * 1.0 * n2)) * 1e6, 0) / 1e6
+             AS ks_d_r6,
+           ROUND((max_cross * 1.0 / (n1 * 1.0 * n2))
+                 * sqrt(n1 * 1.0 * n2 / (n1 + n2)) * 1e6, 0) / 1e6
+             AS ks_scaled_r6
+    FROM s
+    """,
+    "two-sample Kolmogorov-Smirnov distance between weekday and"
+    " weekend spend per event type: D = max |F1 - F2| computed as an"
+    " INTEGER cross-multiplied max over value-grouped cumulative"
+    " counts (one division at the end), plus the"
+    " sqrt(n1*n2/(n1+n2))-scaled statistic",
+    tags=("diagnostics", "stats", "agg"),
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-difference member of the two-sample trio
+    (Welch = means, Mann-Whitney = ranks, KS = whole CDFs), on the
+    same machinery as mann_whitney_u: group by VALUE, cumulative
+    counts per sample over one value-ordered window. The sup
+    statistic needs no floats until the last step — |F1(x) - F2(x)|
+    maximises exactly where |c1*n2 - c2*n1| does (cross-multiplied
+    integers, exact in int64 to ~2^31 rows per sample), so the max
+    reduces over integers and ONE division + one sqrt produce the
+    reported values, identical order both engines, rounded 1e-6.
+    Two shuffles (value groups; the value window shares the
+    event_type hash with the final max). Checking F only at sample
+    points is exact: the step functions change nowhere else."""
+    from pyspark.sql import Window
+
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7).alias("we"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+        )
+    )
+    v = e.groupBy("event_type", "x").agg(
+        F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n1v"),
+        F.sum(F.when(F.col("we"), 1).otherwise(0)).alias("n2v"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wa = Window.partitionBy("event_type")
+    c = v.select(
+        "event_type",
+        F.sum("n1v").over(win).alias("c1"),
+        F.sum("n2v").over(win).alias("c2"),
+        F.sum("n1v").over(wa).alias("n1"),
+        F.sum("n2v").over(wa).alias("n2"),
+    )
+    s = (
+        c.groupBy("event_type", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("max_cross")
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    )
+    d = F.col("max_cross") * 1.0 / (F.col("n1") * 1.0 * F.col("n2"))
+    return s.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_weekday"),
+        F.col("n2").cast("bigint").alias("n_weekend"),
+        round_compat(d, 6).alias("ks_d_r6"),
+        round_compat(
+            d
+            * F.sqrt(
+                F.col("n1") * 1.0 * F.col("n2") / (F.col("n1") + F.col("n2"))
+            ),
+            6,
+        ).alias("ks_scaled_r6"),
+    )

@@ -173,6 +173,7 @@ HEADLINE = [
     "next_order_transitions",
     "incremental_join_maintenance",
     "interval_coverage_merge",
+    "ks_two_sample",
 ]
 
 

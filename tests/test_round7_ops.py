@@ -1092,3 +1092,45 @@ def test_round7_statistical_invariants(spark, sf_dir):
         obs_type[r["event_type"]] = obs_type.get(r["event_type"], 0) + r["obs"]
     for t in by_type:
         assert abs(by_type[t] - obs_type[t]) < 1e-3
+
+
+def test_ks_matches_scipy_formula(spark, sf_dir):
+    """D vs a direct python two-sample KS over the same split."""
+    import math
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["event_type"]: r for r in SPECS["ks_two_sample"].builder(spark, sf_dir).collect()}
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7).alias("we"),
+            "value",
+        )
+        .collect()
+    )
+    groups: dict[str, tuple[list, list]] = {}
+    for r in ev:
+        wd, wk = groups.setdefault(r["event_type"], ([], []))
+        (wk if r["we"] else wd).append(int(round(r["value"] * 100)))
+    for etype, (wd, wk) in groups.items():
+        if len(wd) < 2 or len(wk) < 2:
+            assert etype not in got
+            continue
+        wd.sort()
+        wk.sort()
+        xs = sorted(set(wd) | set(wk))
+        import bisect
+
+        d = 0.0
+        for x in xs:
+            f1 = bisect.bisect_right(wd, x) / len(wd)
+            f2 = bisect.bisect_right(wk, x) / len(wk)
+            d = max(d, abs(f1 - f2))
+        r = got[etype]
+        assert r["n_weekday"] == len(wd) and r["n_weekend"] == len(wk)
+        assert abs(r["ks_d_r6"] - d) < 1e-6
+        scaled = d * math.sqrt(len(wd) * len(wk) / (len(wd) + len(wk)))
+        assert abs(r["ks_scaled_r6"] - scaled) < 1e-5

@@ -581,3 +581,118 @@ def interval_coverage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_us",
         "longest_us",
     )
+
+
+# --------------------------------------------------------------------
+# Nearest as-of join (merge_asof direction='nearest' semantics)
+# --------------------------------------------------------------------
+
+@register(
+    "asof_nearest_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'),
+    tagged AS (
+      SELECT user_id, cus AS us, 0 AS is_p, event_id, NULL AS pus
+      FROM clicks
+      UNION ALL
+      SELECT user_id, pus, 1, NULL, pus FROM purchases),
+    w AS (
+      SELECT *,
+             MAX(pus) OVER (PARTITION BY user_id
+                            ORDER BY us, is_p
+                            ROWS UNBOUNDED PRECEDING) AS back_pus,
+             MIN(pus) OVER (PARTITION BY user_id
+                            ORDER BY us, is_p
+                            ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS fwd_pus
+      FROM tagged)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(CASE
+             WHEN back_pus IS NULL THEN fwd_pus
+             WHEN fwd_pus IS NULL THEN back_pus
+             WHEN us - back_pus <= fwd_pus - us THEN back_pus
+             ELSE fwd_pus END AS BIGINT) AS nearest_pus,
+           CAST(CASE
+             WHEN back_pus IS NULL THEN fwd_pus - us
+             WHEN fwd_pus IS NULL THEN us - back_pus
+             WHEN us - back_pus <= fwd_pus - us THEN us - back_pus
+             ELSE fwd_pus - us END AS BIGINT) AS gap_us
+    FROM w WHERE is_p = 0
+    """,
+    "nearest as-of join (merge_asof direction='nearest'): each click"
+    " matched to its temporally CLOSEST purchase, behind or ahead,"
+    " backward preferred on exact ties — one union + two windows on"
+    " one user_id partitioning, no join at all",
+    tags=("temporal", "asof"),
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'nearest' direction pandas' merge_asof offers and most
+    SQL engines don't: tag both relations into ONE stream, and on a
+    single (user_id, timestamp) ordering take the running MAX of
+    purchase times (last at-or-before) and, with the mirrored
+    current-row-to-end frame, the running MIN (first at-or-after) —
+    both sides of the nearest decision from one shuffle and one
+    sort, with NO join operator anywhere. At equal timestamps the
+    is_p tiebreak sorts the click first, so a same-instant purchase
+    reaches it through the FORWARD frame with gap 0 (the reported
+    match is identical either way); equal nonzero gaps prefer the
+    backward match via the <= comparison — both rules identical in
+    both engines. All distances are integer microseconds, exact.
+    Clicks with no purchase either side keep NULLs on both engines
+    (gap NULL)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(0).alias("is_p"),
+        "event_id",
+        F.lit(None).cast("long").alias("pus"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    tagged = clicks.unionByName(purchases)
+    wo = Window.partitionBy("user_id").orderBy("us", "is_p")
+    w = tagged.select(
+        "user_id",
+        "us",
+        "is_p",
+        "event_id",
+        F.max("pus")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("back_pus"),
+        F.min("pus")
+        .over(wo.rowsBetween(0, Window.unboundedFollowing))
+        .alias("fwd_pus"),
+    ).filter(F.col("is_p") == 0)
+    back_gap = F.col("us") - F.col("back_pus")
+    fwd_gap = F.col("fwd_pus") - F.col("us")
+    prefer_back = back_gap <= fwd_gap
+    nearest = (
+        F.when(F.col("back_pus").isNull(), F.col("fwd_pus"))
+        .when(F.col("fwd_pus").isNull(), F.col("back_pus"))
+        .when(prefer_back, F.col("back_pus"))
+        .otherwise(F.col("fwd_pus"))
+    )
+    gap = (
+        F.when(F.col("back_pus").isNull(), fwd_gap)
+        .when(F.col("fwd_pus").isNull(), back_gap)
+        .when(prefer_back, back_gap)
+        .otherwise(fwd_gap)
+    )
+    return w.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        nearest.cast("bigint").alias("nearest_pus"),
+        gap.cast("bigint").alias("gap_us"),
+    )

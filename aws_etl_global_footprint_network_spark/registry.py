@@ -141,9 +141,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # bootstrap_mean_ci, acf_daily_counts, item_item_cosine_topk,
 # welch_mean_test, kaplan_meier_churn, chisq_type_weekday,
 # mann_whitney_u, decile_lift_table, next_order_transitions,
-# incremental_join_maintenance, interval_coverage_merge and
-# ks_two_sample (registered after the round-7 window filled — never
-# sampled).
+# incremental_join_maintenance, interval_coverage_merge,
+# ks_two_sample and asof_nearest_purchase (registered after the
+# round-7 window filled — never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -174,6 +174,7 @@ HEADLINE = [
     "incremental_join_maintenance",
     "interval_coverage_merge",
     "ks_two_sample",
+    "asof_nearest_purchase",
 ]
 
 

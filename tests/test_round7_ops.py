@@ -1134,3 +1134,53 @@ def test_ks_matches_scipy_formula(spark, sf_dir):
         assert abs(r["ks_d_r6"] - d) < 1e-6
         scaled = d * math.sqrt(len(wd) * len(wk) / (len(wd) + len(wk)))
         assert abs(r["ks_scaled_r6"] - scaled) < 1e-5
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir):
+    """Nearest-purchase match vs a python scan over each user's
+    purchase times (backward preferred on equal distance)."""
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["event_id"]: r for r in SPECS["asof_nearest_purchase"].builder(spark, sf_dir).collect()}
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    purch: dict[int, list[int]] = {}
+    clicks = []
+    for r in ev:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append(r["us"])
+        elif r["event_type"] == "click":
+            clicks.append(r)
+    assert len(got) == len(clicks)
+    for r in clicks:
+        ps = purch.get(r["user_id"], [])
+        g = got[r["event_id"]]
+        if not ps:
+            assert g["nearest_pus"] is None and g["gap_us"] is None
+            continue
+        back = max((p for p in ps if p <= r["us"]), default=None)
+        fwd = min((p for p in ps if p >= r["us"]), default=None)
+        if back is None:
+            want, gap = fwd, fwd - r["us"]
+        elif fwd is None:
+            want, gap = back, r["us"] - back
+        elif r["us"] - back <= fwd - r["us"]:
+            want, gap = back, r["us"] - back
+        else:
+            want, gap = fwd, fwd - r["us"]
+        assert g["nearest_pus"] == want and g["gap_us"] == gap
+    # both directions must actually win somewhere on this corpus
+    wins_back = wins_fwd = 0
+    for r in clicks:
+        ps = purch.get(r["user_id"], [])
+        g = got[r["event_id"]]
+        if g["nearest_pus"] is None:
+            continue
+        if g["nearest_pus"] <= r["us"]:
+            wins_back += 1
+        else:
+            wins_fwd += 1
+    assert wins_back > 0 and wins_fwd > 0

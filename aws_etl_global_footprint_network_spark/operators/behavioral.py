@@ -823,3 +823,63 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("bigint").alias("n_at_risk"),
         round_compat(F.col("surv"), 6).alias("survival_r6"),
     )
+
+
+# --------------------------------------------------------------------
+# Year-over-year aligned monthly growth
+# --------------------------------------------------------------------
+
+@register(
+    "orders_yoy_growth",
+    """
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m_idx,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2)
+    SELECT cur.month, cur.cents / 100.0 AS revenue,
+           prev.cents / 100.0 AS revenue_prior_year,
+           ROUND((cur.cents * 1.0 / prev.cents - 1.0) * 1e6, 0) / 1e6
+             AS yoy_growth_r6
+    FROM monthly cur
+    JOIN monthly prev ON prev.m_idx = cur.m_idx - 12
+    """,
+    "year-over-year monthly revenue growth: the calendar-ALIGNED"
+    " comparison (month m vs month m-12 via integer month-index"
+    " shifted join — a 12-row LAG would silently misalign across"
+    " gap months); exact-cents sums, one rounded ratio",
+    tags=("behavioral", "time", "agg"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonal sibling of orders_monthly_growth (MoM): YoY must
+    align by CALENDAR month, and the robust recipe is the shifted
+    equi-join on an integer month index (year*12+month) — LAG(12)
+    over the monthly series silently compares against the wrong
+    month as soon as any month is absent from the data. The monthly
+    relation is calendar-cardinality, the self-join is on the tiny
+    aggregated table (AQE broadcasts it unhinted), and all sums are
+    exact integer cents with a single rounded division. Months
+    without a prior-year counterpart drop via the inner join —
+    pinned identically in both engines."""
+    from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+
+    o = read_testdata(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m_idx"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    cur, prev = monthly.alias("cur"), monthly.alias("prev")
+    return cur.join(
+        prev, F.col("prev.m_idx") == F.col("cur.m_idx") - 12
+    ).select(
+        F.col("cur.month").alias("month"),
+        (F.col("cur.cents") / 100.0).alias("revenue"),
+        (F.col("prev.cents") / 100.0).alias("revenue_prior_year"),
+        round_compat(
+            F.col("cur.cents") * 1.0 / F.col("prev.cents") - 1.0, 6
+        ).alias("yoy_growth_r6"),
+    )

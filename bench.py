@@ -175,6 +175,7 @@ HEADLINE = [
     "interval_coverage_merge",
     "ks_two_sample",
     "asof_nearest_purchase",
+    "orders_yoy_growth",
 ]
 
 

@@ -1184,3 +1184,32 @@ def test_asof_nearest_matches_bruteforce(spark, sf_dir):
         else:
             wins_fwd += 1
     assert wins_back > 0 and wins_fwd > 0
+
+
+def test_yoy_growth_aligns_by_calendar_month(spark, sf_dir):
+    """YoY pairs must compare month m against exactly m-12, and the
+    ratio must match a python recompute from exact cents."""
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["month"]: r for r in SPECS["orders_yoy_growth"].builder(spark, sf_dir).collect()}
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    cents: dict[tuple[int, int], int] = {}
+    for r in orders:
+        d = r["o_orderdate"]
+        k = (d.year, d.month)
+        cents[k] = cents.get(k, 0) + int(round(r["o_totalprice"] * 100))
+    import datetime
+
+    expect = {}
+    for (y, m), c in cents.items():
+        prior = cents.get((y - 1, m))
+        if prior is not None:
+            expect[datetime.date(y, m, 1)] = (c, prior, c / prior - 1.0)
+    assert set(got) == set(expect)
+    for month, (c, p, g) in expect.items():
+        r = got[month]
+        assert abs(r["revenue"] - c / 100.0) < 1e-6
+        assert abs(r["revenue_prior_year"] - p / 100.0) < 1e-6
+        assert abs(r["yoy_growth_r6"] - g) < 1e-6

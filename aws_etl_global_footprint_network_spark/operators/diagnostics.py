@@ -1022,3 +1022,80 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_scaled_r6"),
     )
+
+
+# --------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity per quasi-group)
+# --------------------------------------------------------------------
+
+L_DIVERSITY = 3
+
+
+@register(
+    "l_diversity_audit",
+    f"""
+    WITH q AS (
+      SELECT c_nationkey,
+             (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {BAL_OFFSET_CENTS})
+               // {BAL_BUCKET_CENTS} AS bal_bucket,
+             c_mktsegment
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM q GROUP BY c_nationkey, bal_bucket)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l < {L_DIVERSITY} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity_groups,
+           CAST(SUM(CASE WHEN l < {L_DIVERSITY} THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           ROUND(SUM(CASE WHEN l < {L_DIVERSITY} THEN cnt ELSE 0 END)
+                 / CAST(SUM(cnt) AS DOUBLE) * 1e6, 0) / 1e6
+             AS disclosure_rate
+    FROM g
+    """,
+    f"l-diversity (l={L_DIVERSITY}) privacy audit: per"
+    " (nation, balance-bucket) quasi-identifier group, the number of"
+    " DISTINCT sensitive values (market segment) — a k-anonymous"
+    " group whose members all share one sensitive value still leaks"
+    " it (the homogeneity attack k-anonymity misses)",
+    tags=("diagnostics", "dq", "privacy"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity's complement (Machanavajjhala et al.): a group of
+    k identical quasi-identifiers protects nothing if all k share
+    the same sensitive value — an attacker who locates the group
+    learns the attribute with certainty. The audit counts DISTINCT
+    sensitive values per quasi-group (one groupBy with a distinct
+    aggregate — Spark expands it to a two-phase exact distinct,
+    map-side partials both phases) and reduces to a 1-row summary.
+    The quasi-identifier here intentionally EXCLUDES the sensitive
+    column (k_anonymity_audit's QI included segment; reusing it
+    verbatim would make l trivially 1 everywhere). Same exact
+    integer-cents bucketing."""
+    q = read_testdata(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr(
+            f"(CAST(ROUND(c_acctbal * 100) AS BIGINT) + {BAL_OFFSET_CENTS})"
+            f" div {BAL_BUCKET_CENTS}"
+        ).alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    g = q.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
+    )
+    low = F.when(F.col("l") < L_DIVERSITY, F.col("cnt")).otherwise(F.lit(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("l") < L_DIVERSITY, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_diversity_groups"),
+        F.sum(low).cast("bigint").alias("n_rows_at_risk"),
+        F.min("l").cast("bigint").alias("min_l"),
+        round_compat(
+            F.sum(low) / F.sum("cnt").cast("double"), 6
+        ).alias("disclosure_rate"),
+    )

@@ -176,6 +176,7 @@ HEADLINE = [
     "ks_two_sample",
     "asof_nearest_purchase",
     "orders_yoy_growth",
+    "l_diversity_audit",
 ]
 
 

@@ -1213,3 +1213,31 @@ def test_yoy_growth_aligns_by_calendar_month(spark, sf_dir):
         assert abs(r["revenue"] - c / 100.0) < 1e-6
         assert abs(r["revenue_prior_year"] - p / 100.0) < 1e-6
         assert abs(r["yoy_growth_r6"] - g) < 1e-6
+
+
+def test_l_diversity_matches_bruteforce(spark, sf_dir_mid):
+    """Group diversity counts vs a python recompute with integer
+    floor-div bucketing; the audit must be non-degenerate (some
+    group actually low-diversity OR min_l meaningful)."""
+    from aws_etl_global_footprint_network_spark.operators import diagnostics as dg
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    row = SPECS["l_diversity_audit"].builder(spark, sf_dir_mid).collect()[0]
+    cust = read_testdata(spark, sf_dir_mid, "customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    groups: dict[tuple[int, int], tuple[int, set]] = {}
+    for r in cust:
+        b = (int(round(r["c_acctbal"] * 100)) + dg.BAL_OFFSET_CENTS) // dg.BAL_BUCKET_CENTS
+        k = (r["c_nationkey"], b)
+        cnt, segs = groups.get(k, (0, set()))
+        segs = segs | {r["c_mktsegment"]}
+        groups[k] = (cnt + 1, segs)
+    n_groups = len(groups)
+    low = [(cnt, segs) for cnt, segs in groups.values() if len(segs) < dg.L_DIVERSITY]
+    assert row["n_groups"] == n_groups
+    assert row["n_low_diversity_groups"] == len(low)
+    assert row["n_rows_at_risk"] == sum(c for c, _ in low)
+    assert row["min_l"] == min(len(s) for _, s in groups.values())
+    total = sum(c for c, _ in groups.values())
+    assert abs(row["disclosure_rate"] - sum(c for c, _ in low) / total) < 1e-6

@@ -826,3 +826,67 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_compat(rate / base, 6).alias("lift_r6"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Feature hashing (the hashing trick / HashingVectorizer)
+# --------------------------------------------------------------------
+
+FH_DIM = 32
+
+
+@register(
+    "feature_hashing_vectorize",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             {md5_hash60_sql("('fh|' || tok)")} % {FH_DIM} AS dim,
+             CASE WHEN ({md5_hash60_sql("('fhsign|' || tok)")} % 2) = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok),
+    v AS (
+      SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight
+      FROM h GROUP BY doc_id, dim)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dim AS BIGINT) AS dim,
+           weight
+    FROM v WHERE weight <> 0
+    """,
+    f"the feature-hashing trick (Weinberger et al. /"
+    f" HashingVectorizer): tokens hashed into {FH_DIM} signed"
+    " buckets — a fixed-dimension sparse representation with NO"
+    " vocabulary table, the unbiased signed variant; sparse"
+    " (doc, dim, weight) triples, zero-weight cells dropped",
+    tags=("mlprep", "text"),
+)
+def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free vectorization — the property that matters at
+    100 TB: TF-IDF needs a corpus-wide vocabulary build + join, but
+    the hashing trick maps each token straight to dim = h(token) mod
+    D with a sign bit from an independent hash (Weinberger et al.'s
+    unbiased estimator: collisions cancel in expectation instead of
+    accumulating), so the whole vectorizer is ONE explode + ONE
+    (doc, dim) groupBy — map-side combinable, no second corpus pass,
+    no vocabulary broadcast, stable across corpus growth. Hashes are
+    the repo's portable md5 primitives, so both engines bucket and
+    sign identically; weights are exact integer signed counts.
+    Output is sparse triples (<= D non-zero dims per doc)."""
+    d = spread(read_testdata(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dim = md5_hash60(F.concat(F.lit("fh|"), F.col("tok"))) % F.lit(FH_DIM)
+    sgn = F.when(
+        md5_hash60(F.concat(F.lit("fhsign|"), F.col("tok"))) % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    v = (
+        tok.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+    return v.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("dim").cast("bigint").alias("dim"),
+        "weight",
+    )

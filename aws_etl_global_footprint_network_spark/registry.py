@@ -142,9 +142,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # welch_mean_test, kaplan_meier_churn, chisq_type_weekday,
 # mann_whitney_u, decile_lift_table, next_order_transitions,
 # incremental_join_maintenance, interval_coverage_merge,
-# ks_two_sample, asof_nearest_purchase, orders_yoy_growth and
-# l_diversity_audit (registered after the round-7 window filled —
-# never sampled).
+# ks_two_sample, asof_nearest_purchase, orders_yoy_growth,
+# l_diversity_audit and feature_hashing_vectorize (registered after
+# the round-7 window filled — never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -177,6 +177,7 @@ HEADLINE = [
     "asof_nearest_purchase",
     "orders_yoy_growth",
     "l_diversity_audit",
+    "feature_hashing_vectorize",
 ]
 
 

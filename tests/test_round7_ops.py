@@ -1241,3 +1241,36 @@ def test_l_diversity_matches_bruteforce(spark, sf_dir_mid):
     assert row["min_l"] == min(len(s) for _, s in groups.values())
     total = sum(c for c, _ in groups.values())
     assert abs(row["disclosure_rate"] - sum(c for c, _ in low) / total) < 1e-6
+
+
+def test_feature_hashing_matches_bruteforce(spark, sf_dir):
+    """Signed-bucket weights vs a python md5 recompute; sparsity
+    contract (no zero weights, <= FH_DIM dims per doc)."""
+    import hashlib
+    import re
+
+    from aws_etl_global_footprint_network_spark.operators import ml_prep as mp
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    got: dict[tuple[int, int], int] = {}
+    per_doc: dict[int, int] = {}
+    for r in SPECS["feature_hashing_vectorize"].builder(spark, sf_dir).collect():
+        got[(r["doc_id"], r["dim"])] = r["weight"]
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert r["weight"] != 0
+    assert max(per_doc.values()) <= mp.FH_DIM
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want: dict[tuple[int, int], int] = {}
+    for row in docs:
+        for t in re.split(r"[^a-z0-9]+", row["text"].lower()):
+            if not t:
+                continue
+            dim = h60(f"fh|{t}") % mp.FH_DIM
+            sgn = 1 if h60(f"fhsign|{t}") % 2 == 0 else -1
+            k = (row["doc_id"], dim)
+            want[k] = want.get(k, 0) + sgn
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want

@@ -1099,3 +1099,130 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(low) / F.sum("cnt").cast("double"), 6
         ).alias("disclosure_rate"),
     )
+
+
+# --------------------------------------------------------------------
+# Population stability index (score-drift monitoring)
+# --------------------------------------------------------------------
+
+PSI_BINS = 10
+
+
+@register(
+    "psi_score_drift",
+    f"""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS score,
+             c_custkey % 2 AS half
+      FROM customer),
+    base AS (
+      SELECT score,
+             NTILE({PSI_BINS}) OVER (ORDER BY score, c_custkey) AS b
+      FROM c WHERE half = 0),
+    edges AS MATERIALIZED (
+      SELECT b, MAX(score) AS edge FROM base
+      WHERE b < {PSI_BINS} GROUP BY b),
+    binned AS (
+      SELECT c.half,
+             1 + SUM(CASE WHEN c.score > e.edge THEN 1 ELSE 0 END) AS bin
+      FROM c CROSS JOIN edges e
+      GROUP BY c.c_custkey, c.half, c.score),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_base,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bin),
+    tot AS (
+      SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM counts)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND((n_base * 1.0 / tot.tb) * 1e6, 0) / 1e6 AS p_r6,
+           ROUND((n_cur * 1.0 / tot.tc) * 1e6, 0) / 1e6 AS q_r6,
+           CASE WHEN n_base > 0 AND n_cur > 0
+                THEN ROUND(((n_base * 1.0 / tot.tb - n_cur * 1.0 / tot.tc)
+                       * ln((n_base * 1.0 / tot.tb)
+                            / (n_cur * 1.0 / tot.tc))) * 1e6, 0) / 1e6
+                ELSE NULL END AS psi_term_r6
+    FROM counts CROSS JOIN tot
+    """,
+    f"population stability index over {PSI_BINS} baseline-decile"
+    " bins: the even-key half fixes exact bin edges (order"
+    " statistics), both halves count per bin, per-bin"
+    " (p-q)*ln(p/q) contributions — the standard score-drift"
+    " monitor, emitted at cell grain like the chi-square operator",
+    tags=("diagnostics", "stats", "drift"),
+)
+def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-monitoring drift readout: bin edges come from the
+    BASELINE population's exact deciles (computed with
+    :func:`distributed_ntile` — the oracle keeps the textbook NTILE
+    — then per-decile MAX), and every row of BOTH populations lands
+    in a bin via the closed form 1 + sum(score > edge) over the
+    9-row edge table — a bounded broadcast expansion, never a
+    quantile recomputation per population. Counts are exact
+    integers; the PSI contributions are emitted per BIN (one float
+    depth each, the actionable detail — which score band moved), a
+    degenerate empty cell pins NULL on both sides. Baseline =
+    even customer keys, current = odd — deterministic halves both
+    engines agree on."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_ntile,
+    )
+
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("score"),
+        (F.col("c_custkey") % 2).alias("half"),
+    )
+    scope = CacheScope("psi_score_drift")
+    c = scope.persist(c)
+    base = distributed_ntile(
+        c.filter(F.col("half") == 0),
+        [F.col("score").asc(), F.col("c_custkey").asc()],
+        PSI_BINS,
+        "b",
+        scope,
+    )
+    edges = (
+        base.filter(F.col("b") < PSI_BINS)
+        .groupBy("b")
+        .agg(F.max("score").alias("edge"))
+        .select("edge")
+    )
+    binned = (
+        c.crossJoin(F.broadcast(edges))
+        .groupBy("c_custkey", "half", "score")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(F.col("score") > F.col("edge"), 1).otherwise(0)
+                )
+            ).alias("bin")
+        )
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p = F.col("n_base") * 1.0 / F.col("tb")
+    q = F.col("n_cur") * 1.0 / F.col("tc")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n_base").cast("bigint").alias("n_base"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            round_compat(p, 6).alias("p_r6"),
+            round_compat(q, 6).alias("q_r6"),
+            F.when(
+                (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+                round_compat((p - q) * F.log(p / q), 6),
+            ).alias("psi_term_r6"),
+        )
+    )

@@ -178,6 +178,7 @@ HEADLINE = [
     "orders_yoy_growth",
     "l_diversity_audit",
     "feature_hashing_vectorize",
+    "psi_score_drift",
 ]
 
 

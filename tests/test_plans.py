@@ -164,6 +164,10 @@ CARTESIAN_WHITELIST = {
     # scalar-subquery pattern: 1-row (n_all, r_all) totals broadcast
     # into the 10-row decile table
     "decile_lift_table",
+    # bounded broadcasts twice: the 9-row baseline bin-edge table
+    # expanded against the corpus (closed-form bin assignment), and
+    # the 1-row totals into the 10-row bin table
+    "psi_score_drift",
 }
 
 

@@ -1274,3 +1274,53 @@ def test_feature_hashing_matches_bruteforce(spark, sf_dir):
             want[k] = want.get(k, 0) + sgn
     want = {k: v for k, v in want.items() if v != 0}
     assert got == want
+
+
+def test_psi_bins_and_terms_match_bruteforce(spark, sf_dir_mid):
+    """Bin edges (baseline NTILE maxima), bin assignment and PSI
+    terms vs a python recompute."""
+    import math
+
+    from aws_etl_global_footprint_network_spark.operators import diagnostics as dg
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["bin"]: r for r in SPECS["psi_score_drift"].builder(spark, sf_dir_mid).collect()}
+    cust = read_testdata(spark, sf_dir_mid, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    rows_ = [(r["c_custkey"], int(round(r["c_acctbal"] * 100))) for r in cust]
+    base = sorted(
+        ((s, k) for k, s in rows_ if k % 2 == 0)
+    )
+    n = len(base)
+    k = dg.PSI_BINS
+    sizes = [(n // k) + (1 if i < n % k else 0) for i in range(k)]
+    edges = []
+    idx = 0
+    for sz in sizes[:-1]:
+        idx += sz
+        edges.append(base[idx - 1][0])
+    def bin_of(s: int) -> int:
+        return 1 + sum(1 for e in edges if s > e)
+    n_base = [0] * (k + 1)
+    n_cur = [0] * (k + 1)
+    for ck, s in rows_:
+        b = bin_of(s)
+        if ck % 2 == 0:
+            n_base[b] += 1
+        else:
+            n_cur[b] += 1
+    tb, tc = sum(n_base), sum(n_cur)
+    for b in range(1, k + 1):
+        if n_base[b] == 0 and n_cur[b] == 0:
+            assert b not in got
+            continue
+        r = got[b]
+        assert r["n_base"] == n_base[b] and r["n_cur"] == n_cur[b]
+        if n_base[b] > 0 and n_cur[b] > 0:
+            p, q = n_base[b] / tb, n_cur[b] / tc
+            assert abs(r["psi_term_r6"] - (p - q) * math.log(p / q)) < 1e-5
+        else:
+            assert r["psi_term_r6"] is None
+    # baseline deciles: every baseline bin holds ~n/k rows
+    assert all(abs(n_base[b] - n / k) <= 1 for b in range(1, k + 1))

@@ -481,3 +481,67 @@ def variant_props_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_missing"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# MAP-type function suite (map_from_entries / map_filter / explode)
+# --------------------------------------------------------------------
+
+# Per-(user, type) counts average ~13 at EVERY scale factor (events
+# and users scale together), so a threshold above the mean keeps the
+# map_filter genuinely selective at all scales.
+MAP_MIN_COUNT = 14
+
+
+@register(
+    "map_functions_suite",
+    f"""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type, n
+    FROM counts WHERE n >= {MAP_MIN_COUNT}
+    """,
+    "MAP-type surface suite: per-user event-type counts assembled"
+    " into a map column (map_from_entries over collected structs),"
+    f" thresholded with a map_filter lambda (n >= {MAP_MIN_COUNT}),"
+    " exploded back to rows — the oracle checks the identical"
+    " relation computed map-free, so the MAP round-trip must be"
+    " lossless",
+    tags=("functions", "map", "agg"),
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises Spark's MAP column type end-to-end on real data:
+    (1) map CONSTRUCTION — ``map_from_entries`` over per-user
+    collected (type, count) structs (collect_list order is
+    nondeterministic, which is exactly why a map is the right
+    container: the exploded result is order-free); (2) map
+    TRANSFORMATION — a ``map_filter`` lambda keeps entries at or
+    above the count threshold; (3) map CONSUMPTION — ``explode``
+    back to (key, value) rows. The DuckDB oracle computes the same
+    final relation with a plain filtered groupBy, so any loss or
+    duplication in the map round-trip breaks the hash. Keys per map
+    are bounded by |event_types| (single digits), so collect_list
+    here is per-GROUP bounded state, not a corpus collect; the whole
+    plan is two shuffles on the same user_id key."""
+    counts = (
+        read_testdata(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    filtered = mapped.select(
+        "user_id",
+        F.map_filter("m", lambda k, v: v >= MAP_MIN_COUNT).alias("m"),
+    )
+    return filtered.select(
+        "user_id", F.explode("m").alias("event_type", "n")
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    )

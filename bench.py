@@ -179,6 +179,7 @@ HEADLINE = [
     "l_diversity_audit",
     "feature_hashing_vectorize",
     "psi_score_drift",
+    "map_functions_suite",
 ]
 
 

@@ -1324,3 +1324,25 @@ def test_psi_bins_and_terms_match_bruteforce(spark, sf_dir_mid):
             assert r["psi_term_r6"] is None
     # baseline deciles: every baseline bin holds ~n/k rows
     assert all(abs(n_base[b] - n / k) <= 1 for b in range(1, k + 1))
+
+
+def test_map_suite_roundtrip_is_lossless(spark, sf_dir):
+    """The map construction/filter/explode chain must reproduce the
+    plain filtered groupBy exactly, including NOT emitting
+    sub-threshold entries."""
+    from aws_etl_global_footprint_network_spark.operators import advanced as av
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in SPECS["map_functions_suite"].builder(spark, sf_dir).collect()
+    }
+    ev = read_testdata(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    want: dict[tuple[int, str], int] = {}
+    for r in ev:
+        k = (r["user_id"], r["event_type"])
+        want[k] = want.get(k, 0) + 1
+    kept = {k: v for k, v in want.items() if v >= av.MAP_MIN_COUNT}
+    assert got == kept
+    # the filter must actually drop something on this corpus
+    assert len(kept) < len(want)

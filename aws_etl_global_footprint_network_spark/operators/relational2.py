@@ -918,3 +918,64 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     )
+
+
+# --- Partial correlation (controlling for a confounder) --------------------
+
+@register(
+    "partial_corr_price_qty",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             corr(l_extendedprice, l_quantity) AS r_xy,
+             corr(l_extendedprice, l_discount) AS r_xz,
+             corr(l_quantity, l_discount) AS r_yz
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND(r_xy * 1e6, 0) / 1e6 AS r_xy_r6,
+           CASE WHEN ABS(r_xz) < 1.0 AND ABS(r_yz) < 1.0
+                THEN ROUND(((r_xy - r_xz * r_yz)
+                       / sqrt((1.0 - r_xz * r_xz)
+                              * (1.0 - r_yz * r_yz))) * 1e6, 0) / 1e6
+                ELSE NULL END AS partial_r_r6
+    FROM s
+    """,
+    "first-order partial correlation of price and quantity"
+    " CONTROLLING for discount: (r_xy - r_xz*r_yz) /"
+    " sqrt((1-r_xz^2)(1-r_yz^2)) from the three pairwise"
+    " correlations of one grouped pass — the confounder-adjusted"
+    " association readout",
+    tags=("agg", "stats"),
+)
+def partial_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does price relate to quantity beyond what discount explains?
+    All three pairwise correlations come out of ONE combinable
+    grouped pass (each is a corr aggregate — map-side partials, no
+    second scan), and the first-order partial-correlation formula is
+    a fixed chain of IEEE ops written identically in both engines.
+    The native corr aggregates may differ across engines at ~1e-12
+    from summation order (the precedent set by
+    price_quantity_correlation); the formula keeps that noise orders
+    of magnitude below the 1e-6 rounding grain except at |r| -> 1,
+    which the degenerate guard pins to NULL on both sides."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.corr("l_extendedprice", "l_quantity").alias("r_xy"),
+        F.corr("l_extendedprice", "l_discount").alias("r_xz"),
+        F.corr("l_quantity", "l_discount").alias("r_yz"),
+    )
+    partial = (F.col("r_xy") - F.col("r_xz") * F.col("r_yz")) / F.sqrt(
+        (F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+        * (F.lit(1.0) - F.col("r_yz") * F.col("r_yz"))
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        round_compat(F.col("r_xy"), 6).alias("r_xy_r6"),
+        F.when(
+            (F.abs(F.col("r_xz")) < 1.0) & (F.abs(F.col("r_yz")) < 1.0),
+            round_compat(partial, 6),
+        ).alias("partial_r_r6"),
+    )

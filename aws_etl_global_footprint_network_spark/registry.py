@@ -143,9 +143,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # mann_whitney_u, decile_lift_table, next_order_transitions,
 # incremental_join_maintenance, interval_coverage_merge,
 # ks_two_sample, asof_nearest_purchase, orders_yoy_growth,
-# l_diversity_audit, feature_hashing_vectorize, psi_score_drift and
-# map_functions_suite (registered after the round-7 window filled —
-# never sampled).
+# l_diversity_audit, feature_hashing_vectorize, psi_score_drift,
+# map_functions_suite and partial_corr_price_qty (registered after
+# the round-7 window filled — never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

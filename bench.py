@@ -180,6 +180,7 @@ HEADLINE = [
     "feature_hashing_vectorize",
     "psi_score_drift",
     "map_functions_suite",
+    "partial_corr_price_qty",
 ]
 
 

@@ -1346,3 +1346,30 @@ def test_map_suite_roundtrip_is_lossless(spark, sf_dir):
     assert got == kept
     # the filter must actually drop something on this corpus
     assert len(kept) < len(want)
+
+
+def test_partial_corr_matches_numpy(spark, sf_dir):
+    """Partial r vs numpy's pairwise-corr composition."""
+    import numpy as np
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["l_returnflag"]: r for r in SPECS["partial_corr_price_qty"].builder(spark, sf_dir).collect()}
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], r["l_quantity"], r["l_discount"])
+        )
+    for flag, rows_ in groups.items():
+        a = np.array(rows_, dtype=float)
+        r_xy = np.corrcoef(a[:, 0], a[:, 1])[0, 1]
+        r_xz = np.corrcoef(a[:, 0], a[:, 2])[0, 1]
+        r_yz = np.corrcoef(a[:, 1], a[:, 2])[0, 1]
+        want = (r_xy - r_xz * r_yz) / np.sqrt((1 - r_xz**2) * (1 - r_yz**2))
+        r = got[flag]
+        assert r["n"] == len(rows_)
+        assert abs(r["r_xy_r6"] - r_xy) < 1e-5
+        assert abs(r["partial_r_r6"] - want) < 1e-5

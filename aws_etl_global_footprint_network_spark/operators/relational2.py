@@ -979,3 +979,124 @@ def partial_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_compat(partial, 6),
         ).alias("partial_r_r6"),
     )
+
+
+# --- Spearman rank correlation (rank-free, integer sufficient stats) -------
+
+@register(
+    "spearman_rank_corr",
+    """
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem),
+    vx AS (
+      SELECT flag, x,
+             2 * COALESCE(SUM(t) OVER (PARTITION BY flag ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS r2x
+      FROM (SELECT flag, x, COUNT(*) AS t FROM li GROUP BY 1, 2)),
+    vy AS (
+      SELECT flag, y,
+             2 * COALESCE(SUM(t) OVER (PARTITION BY flag ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS r2y
+      FROM (SELECT flag, y, COUNT(*) AS t FROM li GROUP BY 1, 2)),
+    ranked AS (
+      SELECT li.flag, vx.r2x, vy.r2y
+      FROM li JOIN vx ON vx.flag = li.flag AND vx.x = li.x
+              JOIN vy ON vy.flag = li.flag AND vy.y = li.y),
+    s AS (
+      SELECT flag, COUNT(*) AS n,
+             SUM(r2x) AS s1, SUM(r2y) AS s2,
+             SUM(r2x * r2x) AS s11, SUM(r2y * r2y) AS s22,
+             SUM(r2x * r2y) AS s12
+      FROM ranked GROUP BY flag),
+    f AS (
+      SELECT flag, n,
+             CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS d1,
+             CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS d2,
+             CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS num
+      FROM s)
+    SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN d1 > 0 AND d2 > 0
+                THEN ROUND((num / sqrt(d1 * d2)) * 1e6, 0) / 1e6
+                ELSE NULL END AS spearman_r6
+    FROM f
+    """,
+    "Spearman rank correlation of price vs quantity per return flag,"
+    " computed RANK-FREE: tied average ranks from value-grouped"
+    " exclusive cumulative counts (the doubled-rank integers"
+    " 2*cb + t + 1), joined back by VALUE key, then Pearson on the"
+    " integer rank sums — no per-row rank window ever runs",
+    tags=("agg", "stats"),
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone association at corpus scale: Spearman is Pearson on
+    ranks, and ranks come from the same value-grouping recipe as
+    mann_whitney_u — per distinct value, the doubled tied-average
+    rank 2*cb + t + 1 is an INTEGER, so the per-variable rank
+    tables are exact and row ranks attach by joining each row to its
+    value's entry (two value-cardinality dimension joins — never a
+    per-row rank window, which single-tasks each group). The five
+    sufficient sums accumulate as exact DECIMAL(38,0) — the
+    rank-squared products overflow int64 past ~7e5 rows per group
+    (caught by the sf1 sweep under ANSI mode), while 38 digits hold
+    to ~3e12 rows/group and DuckDB's integer sums widen to HUGEINT
+    natively; each per-row product still fits int64 — and the closing
+    Pearson formula is an identical-order IEEE chain rounded 1e-6.
+    Zero rank variance (all values tied) pins NULL on both sides."""
+    from pyspark.sql import Window
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+
+    def rank_table(col: str, out: str) -> DataFrame:
+        t = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("t"))
+        w = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return t.select(
+            "flag",
+            col,
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t")
+                + 1
+            ).alias(out),
+        )
+
+    vx = rank_table("x", "r2x")
+    vy = rank_table("y", "r2y")
+    ranked = li.join(vx, ["flag", "x"]).join(vy, ["flag", "y"])
+    dec = "decimal(38,0)"
+    s = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r2x").cast(dec)).alias("s1"),
+        F.sum(F.col("r2y").cast(dec)).alias("s2"),
+        F.sum((F.col("r2x") * F.col("r2x")).cast(dec)).alias("s11"),
+        F.sum((F.col("r2y") * F.col("r2y")).cast(dec)).alias("s22"),
+        F.sum((F.col("r2x") * F.col("r2y")).cast(dec)).alias("s12"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d1 = nd * F.col("s11").cast("double") - s1d * s1d
+    d2 = nd * F.col("s22").cast("double") - s2d * s2d
+    num = nd * F.col("s12").cast("double") - s1d * s2d
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            round_compat(num / F.sqrt(d1 * d2), 6),
+        ).alias("spearman_r6"),
+    )

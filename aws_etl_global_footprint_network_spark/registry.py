@@ -144,8 +144,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # incremental_join_maintenance, interval_coverage_merge,
 # ks_two_sample, asof_nearest_purchase, orders_yoy_growth,
 # l_diversity_audit, feature_hashing_vectorize, psi_score_drift,
-# map_functions_suite and partial_corr_price_qty (registered after
-# the round-7 window filled — never sampled).
+# map_functions_suite, partial_corr_price_qty and
+# spearman_rank_corr (registered after the round-7 window filled —
+# never sampled).
 
 
 def load_all() -> dict[str, QuerySpec]:

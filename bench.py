@@ -181,6 +181,7 @@ HEADLINE = [
     "psi_score_drift",
     "map_functions_suite",
     "partial_corr_price_qty",
+    "spearman_rank_corr",
 ]
 
 

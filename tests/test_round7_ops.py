@@ -1373,3 +1373,52 @@ def test_partial_corr_matches_numpy(spark, sf_dir):
         assert r["n"] == len(rows_)
         assert abs(r["r_xy_r6"] - r_xy) < 1e-5
         assert abs(r["partial_r_r6"] - want) < 1e-5
+
+
+def test_spearman_matches_scipy_formula(spark, sf_dir):
+    """Rank-free Spearman vs a direct python average-rank Pearson."""
+    import math
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = {r["l_returnflag"]: r for r in SPECS["spearman_rank_corr"].builder(spark, sf_dir).collect()}
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (int(round(r["l_extendedprice"] * 100)), int(r["l_quantity"]))
+        )
+
+    def avg_ranks(vals: list[int]) -> dict[int, float]:
+        out: dict[int, float] = {}
+        ordered = sorted(vals)
+        i = 0
+        while i < len(ordered):
+            j = i
+            while j < len(ordered) and ordered[j] == ordered[i]:
+                j += 1
+            out[ordered[i]] = (i + 1 + j) / 2
+            i = j
+        return out
+
+    for flag, rows_ in groups.items():
+        rx = avg_ranks([x for x, _ in rows_])
+        ry = avg_ranks([y for _, y in rows_])
+        pairs = [(rx[x], ry[y]) for x, y in rows_]
+        n = len(pairs)
+        s1 = sum(a for a, _ in pairs)
+        s2 = sum(b for _, b in pairs)
+        s11 = sum(a * a for a, _ in pairs)
+        s22 = sum(b * b for _, b in pairs)
+        s12 = sum(a * b for a, b in pairs)
+        num = n * s12 - s1 * s2
+        d1, d2 = n * s11 - s1 * s1, n * s22 - s2 * s2
+        r = got[flag]
+        assert r["n"] == n
+        if d1 > 0 and d2 > 0:
+            want = num / math.sqrt(d1 * d2)
+            assert abs(r["spearman_r6"] - want) < 1e-5
+        else:
+            assert r["spearman_r6"] is None

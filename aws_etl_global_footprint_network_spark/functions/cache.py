@@ -49,3 +49,23 @@ def release_all() -> None:
     """Unpersist every live scope (test teardown / session shutdown)."""
     for name in list(_LIVE):
         _LIVE.pop(name).release()
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its logical plan, choosing the
+    checkpoint backend by environment (round-7 verdict item 5).
+
+    Iterative operators (k-core peel, Pregel-style components /
+    PageRank, k-means) reference each round's output several times, so
+    an uncut plan grows exponentially in rounds. Locally,
+    ``localCheckpoint`` (executor-local block storage) is the right
+    cut — no distributed filesystem needed. On a cluster it is
+    lineage-UNSAFE: losing an executor loses blocks with no lineage
+    left to recompute them. When the context has a durable checkpoint
+    dir configured (``sc.setCheckpointDir(...)``), use the reliable
+    ``checkpoint`` instead — the caveat becomes code, not a comment.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()

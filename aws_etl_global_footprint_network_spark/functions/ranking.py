@@ -116,3 +116,74 @@ def distributed_ntile(
         F.lit(rem) + F.floor((rn - F.lit(boundary) - 1) / F.lit(max(base, 1))) + 1
     )
     return ranged.withColumn(out_col, bucket.cast("int")).drop(_PID)
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    sums: dict[str, str],
+    scope: CacheScope,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Append exact per-group running sums over a total order without
+    a single-task window (round-7 verdict item 3).
+
+    For each ``out_col -> in_col`` in ``sums``, appends ``out_col`` =
+    ``SUM(in_col) OVER (PARTITION BY group_col ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING [AND 1 PRECEDING])`` — but computed with
+    the distributed-rank recipe instead of a window partitioned only
+    by ``group_col`` (the rank-free stats operators run this over a
+    VALUE-grouped table: sound while value cardinality is
+    domain-bounded, a one-task-per-group bottleneck the moment the
+    value column is genuinely continuous; this removes the implicit
+    precondition):
+
+    1. range-repartition on (group, order) — contiguous slices;
+    2. per-(partition, group) partial sums, collected (bounded:
+       shuffle partitions x groups rows);
+    3. per-(partition, group) literal offsets = partial sums of the
+       group in all earlier partitions;
+    4. running sum = offset + a per-(partition, group) local window.
+
+    (group, order_cols) must be a total order of ``df`` (the callers'
+    value-grouped tables are unique on it by construction) and
+    ``group_col`` must be map-key-able (string/int). Exclusive by
+    default; ``inclusive=True`` includes the current row.
+    """
+    parts = [F.col(group_col), *order_cols]
+    ranged = scope.persist(
+        df.repartitionByRange(*parts).withColumn(_PID, F.spark_partition_id())
+    )
+    partials = (
+        ranged.groupBy(F.col(_PID).alias("pid"), F.col(group_col).alias("g"))
+        .agg(*[F.sum(c).alias(o) for o, c in sums.items()])
+        .collect()
+    )
+    acc: dict[str, dict[str, int]] = {o: {} for o in sums}
+    offsets: list = []
+    for r in sorted(partials, key=lambda r: r["pid"]):
+        for o in sums:
+            key = f"{r['pid']}|{r['g']}"
+            acc_g = acc[o]
+            offsets.append((o, key, acc_g.get(str(r["g"]), 0)))
+            acc_g[str(r["g"])] = acc_g.get(str(r["g"]), 0) + (r[o] or 0)
+    lw = Window.partitionBy(_PID, group_col).orderBy(*order_cols)
+    frame = lw.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    out = ranged
+    lookup = F.concat_ws("|", F.col(_PID).cast("string"), F.col(group_col))
+    for o, c in sums.items():
+        entries = [x for oo, k, v in offsets if oo == o for x in (F.lit(k), F.lit(v))]
+        off = (
+            F.element_at(F.create_map(*entries), lookup)
+            if entries
+            else F.lit(0)
+        )
+        out = out.withColumn(
+            o,
+            (
+                F.coalesce(off, F.lit(0))
+                + F.coalesce(F.sum(c).over(frame), F.lit(0))
+            ).cast("long"),
+        )
+    return out.drop(_PID)

@@ -742,8 +742,11 @@ KM_CENSOR_MONTHS = 3
       FROM byt CROSS JOIN tot),
     s AS (
       SELECT t, d, n_risk,
-             exp(SUM(ln(1.0 - d * 1.0 / n_risk))
-                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS surv
+             CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                  THEN 0.0
+                  ELSE exp(SUM(ln(1.0 - d * 1.0 / n_risk))
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS surv
       FROM r)
     SELECT CAST(t AS BIGINT) AS tenure_months,
            CAST(d AS BIGINT) AS churned,
@@ -809,11 +812,23 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ),
     )
+    # Degenerate-step guard (advisor, round 7): if every remaining
+    # at-risk customer churns at some tenure (d == n_risk), the KM
+    # product hits an exact 0 and stays there. Unguarded, Spark's
+    # log(0) yields NULL which F.sum silently SKIPS (surv wrongly
+    # recovers), while DuckDB's ln(0) = -inf gives surv = 0 — a
+    # silent cross-engine divergence. Pin surv to 0.0 from the first
+    # absorbing step on, in BOTH engines, via a cumulative-max flag.
+    absorbed = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+    ).over(wo.rowsBetween(Window.unboundedPreceding, 0))
     s = r.withColumn(
         "surv",
-        F.exp(
-            F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))).over(
-                wo.rowsBetween(Window.unboundedPreceding, 0)
+        F.when(absorbed == 1, F.lit(0.0)).otherwise(
+            F.exp(
+                F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))).over(
+                    wo.rowsBetween(Window.unboundedPreceding, 0)
+                )
             )
         ),
     )

@@ -852,11 +852,18 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same pass. Integer bounds: r1_twice <= 2N^2 keeps exact
     int64 to N ~ 2^31 rows per event type; the z chain is IEEE ops
     on exact inputs in identical order both engines, rounded 1e-6.
-    Two shuffles (value groups; the value-ordered window shares the
-    event_type hash with the final groupBy). Degenerate variance
-    (all values tied) pins NULL both sides; n>=2 per sample via
-    HAVING."""
-    from pyspark.sql import Window
+    Degenerate variance (all values tied) pins NULL both sides;
+    n>=2 per sample via HAVING. The exclusive cumulative count runs
+    through the distributed-rank recipe
+    (functions/ranking.distributed_cumsum) rather than a window
+    partitioned only by the 7-value event_type — domain-bounded cents
+    keep the value table small today, but the recipe stays scale-safe
+    for a genuinely continuous value column (round-7 verdict
+    item 3)."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
 
     e = (
         read_testdata(spark, sf_dir, "events")
@@ -871,13 +878,8 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n1v"),
         F.count(F.lit(1)).alias("t"),
     )
-    wo = Window.partitionBy("event_type").orderBy("x")
-    c = v.withColumn(
-        "cb",
-        F.coalesce(
-            F.sum("t").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
+    c = distributed_cumsum(
+        v, "event_type", [F.col("x")], {"cb": "t"}, CacheScope("mann_whitney_u")
     )
     s = (
         c.groupBy("event_type")
@@ -968,10 +970,16 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, exact in int64 to ~2^31 rows per sample), so the max
     reduces over integers and ONE division + one sqrt produce the
     reported values, identical order both engines, rounded 1e-6.
-    Two shuffles (value groups; the value window shares the
-    event_type hash with the final max). Checking F only at sample
-    points is exact: the step functions change nowhere else."""
-    from pyspark.sql import Window
+    Checking F only at sample points is exact: the step functions
+    change nowhere else. Both cumulative sample counts run through
+    the distributed-rank recipe
+    (functions/ranking.distributed_cumsum) and the per-type totals
+    come from a tiny aggregate join — no window partitioned only by
+    the 7-value event_type survives (round-7 verdict item 3)."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
 
     e = (
         read_testdata(spark, sf_dir, "events")
@@ -986,18 +994,20 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n1v"),
         F.sum(F.when(F.col("we"), 1).otherwise(0)).alias("n2v"),
     )
-    win = (
-        Window.partitionBy("event_type")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wa = Window.partitionBy("event_type")
-    c = v.select(
+    cum = distributed_cumsum(
+        v,
         "event_type",
-        F.sum("n1v").over(win).alias("c1"),
-        F.sum("n2v").over(win).alias("c2"),
-        F.sum("n1v").over(wa).alias("n1"),
-        F.sum("n2v").over(wa).alias("n2"),
+        [F.col("x")],
+        {"c1": "n1v", "c2": "n2v"},
+        CacheScope("ks_two_sample"),
+        inclusive=True,
+    )
+    tot = v.groupBy("event_type").agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n2v").cast("long").alias("n2"),
+    )
+    c = cum.join(tot, "event_type").select(
+        "event_type", "c1", "c2", "n1", "n2"
     )
     s = (
         c.groupBy("event_type", "n1", "n2")

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+from aws_etl_global_footprint_network_spark.functions.cache import cut_lineage, CacheScope
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
 from aws_etl_global_footprint_network_spark.functions.vectors import (
@@ -820,7 +820,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint; the bounded form keeps the oracle expressible as
     chained CTEs and is deterministic in both engines by
     construction.)"""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _copurchase_edges(spark, sf_dir).transform(cut_lineage)
     for i in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -836,7 +836,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan refs (harmless) while halving the eager materialization
         # jobs that dominated this query's wall clock at toy scale
         if i % 2 == 1 or i == KCORE_ROUNDS - 1:
-            edges = edges.localCheckpoint()
+            edges = edges.transform(cut_lineage)
     return (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select("v"))

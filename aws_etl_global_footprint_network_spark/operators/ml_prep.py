@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_etl_global_footprint_network_spark.functions.cache import cut_lineage
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.functions.hashing import md5_hash60, md5_hash60_sql
 from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
@@ -207,13 +208,13 @@ def connected_components(
     sym = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     for _ in range(max_iter):
         neigh_min = (
@@ -243,7 +244,7 @@ def connected_components(
                     F.col("label"), F.coalesce("l_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.alias("n")
@@ -381,7 +382,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         )
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     nodes = edges.select(F.col("u").alias("node")).distinct()
     deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
@@ -389,7 +390,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         nodes.crossJoin(F.broadcast(n))
         .select("node", round_compat(F.lit(1.0) / F.col("c"), PR_ROUND).alias("r"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     for _ in range(PR_ITERS):
         contrib = (
@@ -412,7 +413,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PR_ROUND,
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
     return r.select(
         F.col("node").cast("bigint").alias("doc_id"), F.col("r").alias("pagerank")

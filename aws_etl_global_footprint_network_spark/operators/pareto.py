@@ -51,6 +51,44 @@ def _local_frontier(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield s[keep]
 
 
+# Candidate sets at or below this row count broadcast for the exact
+# dominance pass; above it (an adversarial anti-correlated
+# distribution makes the frontier O(n) — every point non-dominated)
+# the same non-equi join runs UNHINTED so Spark executes it as a
+# distributed cartesian instead of collecting O(n) rows to the
+# driver. Typical skylines for independent dims are O(log^(d-1) n),
+# so the cap only ever binds on adversarial data.
+PARETO_BROADCAST_CAP = 200_000
+
+
+def _exact_dominance(cand: DataFrame, max_broadcast: int) -> DataFrame:
+    """Exact skyline of the pruned candidate set: drop every candidate
+    some other candidate weakly dominates with one strict improvement.
+    The candidate set is counted first (already persisted — the count
+    materializes the cache the downstream joins reuse) and the
+    dominating side is broadcast only under ``max_broadcast``
+    (round-7 verdict item 4: an unbounded broadcast of an
+    anti-correlated frontier is a driver OOM)."""
+    a = cand.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_retailprice").alias("pr_a"),
+        F.col("p_size").alias("sz_a"),
+    )
+    b = cand.select(
+        F.col("p_retailprice").alias("pr_b"), F.col("p_size").alias("sz_b")
+    )
+    if cand.count() <= max_broadcast:
+        b = F.broadcast(b)
+    dominated = a.join(
+        b,
+        (F.col("pr_b") <= F.col("pr_a"))
+        & (F.col("sz_b") <= F.col("sz_a"))
+        & ((F.col("pr_b") < F.col("pr_a")) | (F.col("sz_b") < F.col("sz_a"))),
+        "left_semi",
+    ).select(F.col("k").alias("p_partkey"))
+    return cand.join(dominated, "p_partkey", "left_anti")
+
+
 @register(
     "pareto_frontier_parts",
     """
@@ -83,7 +121,8 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominance self-join is deliberately non-equi but runs on the
     candidate set only — bounded by the frontier's size, not the
     relation's (whitelisted in the plan gate alongside the other
-    bounded broadcast patterns)."""
+    bounded broadcast patterns), and broadcast only below
+    PARETO_BROADCAST_CAP (see _exact_dominance)."""
     p = spread(read_testdata(spark, sf_dir, "part")).select(
         F.col("p_partkey").cast("bigint").alias("p_partkey"),
         "p_retailprice",
@@ -97,19 +136,4 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scope = CacheScope("pareto_frontier_parts")
     cand = scope.persist(p.mapInPandas(_local_frontier, _CAND_SCHEMA))
-    a = cand.select(
-        F.col("p_partkey").alias("k"),
-        F.col("p_retailprice").alias("pr_a"),
-        F.col("p_size").alias("sz_a"),
-    )
-    b = cand.select(
-        F.col("p_retailprice").alias("pr_b"), F.col("p_size").alias("sz_b")
-    )
-    dominated = a.join(
-        F.broadcast(b),
-        (F.col("pr_b") <= F.col("pr_a"))
-        & (F.col("sz_b") <= F.col("sz_a"))
-        & ((F.col("pr_b") < F.col("pr_a")) | (F.col("sz_b") < F.col("sz_a"))),
-        "left_semi",
-    ).select(F.col("k").alias("p_partkey"))
-    return cand.join(dominated, "p_partkey", "left_anti")
+    return _exact_dominance(cand, PARETO_BROADCAST_CAP)

@@ -1049,9 +1049,19 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~3e12 rows/group and DuckDB's integer sums widen to HUGEINT
     natively; each per-row product still fits int64 — and the closing
     Pearson formula is an identical-order IEEE chain rounded 1e-6.
-    Zero rank variance (all values tied) pins NULL on both sides."""
-    from pyspark.sql import Window
+    Zero rank variance (all values tied) pins NULL on both sides.
+    The exclusive cumulative count runs through the distributed-rank
+    recipe (functions/ranking.distributed_cumsum) rather than a
+    window partitioned only by the 3-value flag — the value table is
+    domain-bounded for cents, but the recipe stays scale-safe even
+    for a genuinely continuous value column (round-7 verdict
+    item 3)."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
 
+    scope = CacheScope("spearman_rank_corr")
     li = read_testdata(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
@@ -1060,19 +1070,9 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank_table(col: str, out: str) -> DataFrame:
         t = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("t"))
-        w = (
-            Window.partitionBy("flag")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return t.select(
-            "flag",
-            col,
-            (
-                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
-                + F.col("t")
-                + 1
-            ).alias(out),
+        c = distributed_cumsum(t, "flag", [F.col(col)], {"cb": "t"}, scope)
+        return c.select(
+            "flag", col, (2 * F.col("cb") + F.col("t") + 1).alias(out)
         )
 
     vx = rank_table("x", "r2x")

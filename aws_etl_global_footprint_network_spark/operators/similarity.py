@@ -29,7 +29,7 @@ from aws_etl_global_footprint_network_spark.functions.vectors import (
     norm,
     norm_sql,
 )
-from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+from aws_etl_global_footprint_network_spark.functions.cache import cut_lineage, CacheScope
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.functions.hashing import (
     md5_hash60,
@@ -763,7 +763,7 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             asg.join(exv, "vec_id")
             .groupBy("label", "pos")
             .agg(round_compat(F.avg("val"), CENTROID_ROUND).alias("cv"))
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
     sizes = asg.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")

@@ -454,14 +454,19 @@ def window_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = F.lit(WJ_WINDOW_US)
+    # Exact integer floor division for the bucket index (advisor,
+    # round 7): double division + cast truncates (not floors) and its
+    # precision headroom shrinks as t grows; (t - pmod(t, w)) DIV w is
+    # exact int64 floor division for any sign of t.
+    bucket = F.expr(f"(t - pmod(t, {WJ_WINDOW_US})) DIV {WJ_WINDOW_US}")
     p = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "t", (F.col("t") / w).cast("long").alias("b")
+        "event_id", "user_id", "t", bucket.alias("b")
     )
     v = e.filter(F.col("event_type").isin("view", "click")).select(
         F.col("user_id").alias("v_user"),
         F.col("t").alias("tv"),
         "cents",
-        (F.col("t") / w).cast("long").alias("vb"),
+        bucket.alias("vb"),
     )
     # each purchase probes its own and the previous window-width cell
     pb = p.select(

@@ -92,9 +92,22 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = -1.0
-    key = (spark.sparkContext.applicationId, path, mtime)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path, mtime)
     df = _READ_MEMO.get(key)
     if df is None:
+        # Evict on insert (advisor, round 7): keys carrying a stopped
+        # session's applicationId, or this path under a stale mtime,
+        # are dead plans that would otherwise accumulate for the life
+        # of the driver process (each pinning a JVM-side logical
+        # plan). A miss means either a new session or a regenerated
+        # file — both invalidate exactly those entries.
+        for k in [
+            k
+            for k in _READ_MEMO
+            if k[0] != app_id or (k[1] == path and k[2] != mtime)
+        ]:
+            del _READ_MEMO[k]
         df = normalize_nanos(read_testdata_raw(spark, sf_dir, table))
         _READ_MEMO[key] = df
     return df

@@ -185,6 +185,16 @@ HEADLINE = [
 ]
 
 
+def _median(vals: list[float]) -> float | None:
+    """True median (advisor, round 7): the two middle elements are
+    averaged for even n instead of reporting the upper-middle one."""
+    if not vals:
+        return None
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 4)
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(os.path.normpath(d))
     try:
@@ -434,9 +444,7 @@ def duck_mode(specs, names) -> None:
                 "metric": "duckdb_oracle_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "median_query": sorted(timings.values())[len(timings) // 2]
-                if timings
-                else None,
+                "median_query": _median(list(timings.values())),
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
             }
@@ -548,13 +556,12 @@ def main() -> None:
     # 2000 chars — the round-5 line with 52 warm + 52 cold per-query
     # entries outgrew it and the round shipped no parsed bench number).
     # Per-query maps go to stderr + a sidecar file instead.
-    sorted_t = sorted(timings.values())
     line = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
-        "median_query": sorted_t[len(sorted_t) // 2] if sorted_t else None,
+        "median_query": _median(list(timings.values())),
         "sf": _sf_from_dir(SF_DIR),
     }
     details = {"queries": timings}

@@ -106,3 +106,70 @@ def test_distributed_row_number_empty(spark):
     out = distributed_row_number(df, [F.col("v").asc()], "rn", scope)
     assert out.count() == 0 and "rn" in out.columns
     scope.release()
+
+
+@pytest.mark.parametrize("inclusive", [False, True])
+def test_distributed_cumsum_matches_group_window(spark, inclusive):
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
+
+    import random
+
+    random.seed(11)
+    rows = [
+        (random.choice("ABC"), random.randint(0, 50), random.randint(1, 5),
+         random.randint(1, 3))
+        for _ in range(500)
+    ]
+    df = (
+        spark.createDataFrame(rows, "g string, x int, t int, u int")
+        .groupBy("g", "x")
+        .agg(F.sum("t").alias("t"), F.sum("u").alias("u"))
+    )
+    scope = CacheScope(f"test_cumsum_{inclusive}")
+    got = distributed_cumsum(
+        df, "g", [F.col("x")], {"cb": "t", "cu": "u"}, scope,
+        inclusive=inclusive,
+    ).select("g", "x", "cb", "cu")
+    w = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0 if inclusive else -1
+    )
+    want = df.select(
+        "g", "x",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("cb"),
+        F.coalesce(F.sum("u").over(w), F.lit(0)).cast("long").alias("cu"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    scope.release()
+
+
+def test_distributed_cumsum_empty(spark):
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
+
+    df = spark.range(5).select(
+        F.lit("A").alias("g"), F.col("id").alias("x"), F.lit(1).alias("t")
+    ).filter(F.col("x") < 0)
+    scope = CacheScope("test_cumsum_empty")
+    out = distributed_cumsum(df, "g", [F.col("x")], {"cb": "t"}, scope)
+    assert out.count() == 0 and "cb" in out.columns
+    scope.release()
+
+
+def test_distributed_cumsum_plan_windows_keyed_by_pid(spark):
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("x"),
+        F.lit(1).alias("t"),
+    )
+    scope = CacheScope("test_cumsum_plan")
+    out = distributed_cumsum(df, "g", [F.col("x")], {"cb": "t"}, scope)
+    assert unpartitioned_windows(out) == []
+    scope.release()

@@ -1,0 +1,863 @@
+"""Round-8 analytics operators ([EXT] — operator-surface breadth
+beyond the reference): survival hazard, one-way ANOVA, inter-rater
+agreement, categorical mutual information, threshold PR curves,
+seasonal decomposition, Theil-Sen robust trend, and multi-source BFS.
+
+Every operator follows the house rules: exact integer sufficient
+statistics wherever possible, one rounded float step at the end
+(identical fold order both engines), no windows partitioned by an
+unbounded key, and a DuckDB oracle twin for hash parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.functions.compat import round_compat
+from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+# --------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (sibling of kaplan_meier_churn)
+# --------------------------------------------------------------------
+
+NA_CENSOR_MONTHS = 3  # same right-censoring rule as the KM operator
+
+
+@register(
+    "nelson_aalen_hazard",
+    f"""
+    WITH u AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+             MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+      FROM orders GROUP BY o_custkey),
+    h AS (SELECT MAX(last_m) AS horizon FROM u),
+    lt AS (
+      SELECT u.last_m - u.first_m AS t,
+             CASE WHEN h.horizon - u.last_m <= {NA_CENSOR_MONTHS}
+                  THEN 0 ELSE 1 END AS died
+      FROM u CROSS JOIN h),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lt),
+    byt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS leaving,
+             CAST(SUM(died) AS BIGINT) AS d
+      FROM lt GROUP BY t),
+    r AS (
+      SELECT t, d,
+             tot.n_users
+               - COALESCE(SUM(leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n_risk
+      FROM byt CROSS JOIN tot),
+    s AS (
+      SELECT t, d, n_risk,
+             SUM(d * 1.0 / n_risk)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumhaz,
+             SUM(d * 1.0 / (n_risk * 1.0 * n_risk))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS varhaz
+      FROM r)
+    SELECT CAST(t AS BIGINT) AS tenure_months,
+           CAST(d AS BIGINT) AS churned,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           ROUND(cumhaz * 1e6, 0) / 1e6 AS cumhaz_r6,
+           ROUND(varhaz * 1e6, 0) / 1e6 AS varhaz_r6
+    FROM s
+    """,
+    "Nelson-Aalen cumulative hazard over customer order tenure"
+    " (months first->last order), right-censored like the KM twin:"
+    " H(t) = SUM(d_i/n_i), Var = SUM(d_i/n_i^2), both as cumulative"
+    " windows over the calendar-bounded tenure table",
+    tags=("behavioral", "stats", "timeseries"),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimator pair to kaplan_meier_churn: KM multiplies
+    survival factors, Nelson-Aalen sums hazard increments — the
+    robust-at-small-risk-sets choice and the base of the Fleming-
+    Harrington S(t) = exp(-H(t)). Identical scale shape: per-customer
+    tenure in one custkey groupBy, 1-row horizon broadcast, tenure
+    distribution at calendar cardinality, at-risk via exclusive
+    running count, then two cumulative float sums in identical fold
+    order both engines (ordered by t — deterministic), rounded 1e-6.
+    The d/n and d/n^2 steps are each ONE float division on exact
+    integers. No degenerate-step guard is needed: unlike ln(1-d/n),
+    d/n is finite at d == n_risk.
+
+    reference parity: extends the reference's cohort/retention
+    analytics surface (local_test/scripts, events notebook); no
+    reference twin — breadth beyond it."""
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    u = (
+        read_testdata(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(month_idx).alias("first_m"),
+            F.max(month_idx).alias("last_m"),
+        )
+    )
+    h = u.agg(F.max("last_m").alias("horizon"))
+    lt = u.crossJoin(F.broadcast(h)).select(
+        (F.col("last_m") - F.col("first_m")).alias("t"),
+        F.when(
+            F.col("horizon") - F.col("last_m") <= NA_CENSOR_MONTHS, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("died"),
+    )
+    tot = lt.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    byt = lt.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum("died").cast("bigint").alias("d"),
+    )
+    wo = Window.orderBy("t")
+    r = byt.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_users")
+        - F.coalesce(
+            F.sum("leaving").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    cum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    s = r.select(
+        F.col("t").cast("bigint").alias("tenure_months"),
+        F.col("d").cast("bigint").alias("churned"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(cum).alias("cumhaz"),
+        F.sum(
+            F.col("d") * 1.0 / (F.col("n_risk") * 1.0 * F.col("n_risk"))
+        )
+        .over(cum)
+        .alias("varhaz"),
+    )
+    return s.select(
+        "tenure_months",
+        "churned",
+        "n_at_risk",
+        round_compat(F.col("cumhaz"), 6).alias("cumhaz_r6"),
+        round_compat(F.col("varhaz"), 6).alias("varhaz_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# One-way ANOVA F test (spend across event types)
+# --------------------------------------------------------------------
+
+
+@register(
+    "anova_f_oneway",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS ss
+      FROM e GROUP BY event_type),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM(CAST(s AS DOUBLE)) AS s_all,
+             SUM(CAST(ss AS DOUBLE)) AS ss_all,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
+      FROM g)
+    SELECT k AS k_groups, n_total,
+           ROUND((sb - s_all * s_all / n_total) / 10000.0 * 1e6, 0) / 1e6
+             AS ss_between_r6,
+           ROUND((ss_all - sb) / 10000.0 * 1e6, 0) / 1e6 AS ss_within_r6,
+           CASE WHEN ss_all - sb > 0 AND k > 1 AND n_total > k
+                THEN ROUND(((sb - s_all * s_all / n_total) / (k - 1))
+                           / ((ss_all - sb) / (n_total - k)) * 1e6, 0) / 1e6
+                ELSE NULL END AS f_stat_r6
+    FROM t
+    """,
+    "one-way ANOVA F statistic for spend across event types: per-group"
+    " exact (n, sum, sum-of-squares) sufficient statistics in one"
+    " groupBy, between/within sums of squares and F from the k-row"
+    " reduce — the k-sample generalization of welch_mean_test",
+    tags=("diagnostics", "stats", "agg"),
+)
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's one-way analysis of variance at corpus scale: F =
+    (SSB/(k-1)) / (SSW/(N-k)) needs only per-group (n, Σx, Σx²) — ONE
+    combinable groupBy over the corpus, then a k-row reduce. Integer
+    cents sums accumulate as DECIMAL(38,0) (Σx² crosses int64 around
+    1e6 rows/group under ANSI — the spearman lesson; DuckDB widens to
+    HUGEINT natively and both cast to DOUBLE before the closing
+    formula, per the cross-engine decimal-overflow gotcha). The
+    closing chain is a fixed float expression in identical order both
+    engines; SS columns are reported in squared currency units
+    (cents²/1e4) rounded 1e-6; degenerate within-variance pins NULL.
+    The k-row float additions (s_all, ss_all, sb) reduce over k<=7
+    group partials — ordering noise ~1e-16 relative sits far below
+    the 1e-6 rounding grain (the chisq_type_weekday precedent)."""
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    dec = "decimal(38,0)"
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("s"),
+        F.sum((F.col("cents").cast(dec) * F.col("cents"))).alias("ss"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.col("s").cast("double")).alias("s_all"),
+        F.sum(F.col("ss").cast("double")).alias("ss_all"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        ).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s_all") * F.col("s_all") / F.col("n_total")
+    ssw = F.col("ss_all") - F.col("sb")
+    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return t.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        round_compat(ssb / 10000.0, 6).alias("ss_between_r6"),
+        round_compat(ssw / 10000.0, 6).alias("ss_within_r6"),
+        F.when(
+            (ssw > 0) & (F.col("k") > 1) & (F.col("n_total") > F.col("k")),
+            round_compat(f, 6),
+        ).alias("f_stat_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Cohen's kappa: agreement between two deterministic document raters
+# --------------------------------------------------------------------
+
+KAPPA_CHAR_MIN = 300  # rater A: doc is "substantial" by raw length
+KAPPA_TOKEN_MIN = 55  # rater B: same judgment from token count
+
+
+@register(
+    "cohens_kappa_labels",
+    f"""
+    WITH lab AS (
+      SELECT CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(text) - length(replace(text, ' ', ''))
+                       + 1 >= {KAPPA_TOKEN_MIN}
+                  THEN 1 ELSE 0 END AS b
+      FROM documents),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00,
+             CAST(SUM(a) AS BIGINT) AS a1, CAST(SUM(b) AS BIGINT) AS b1
+      FROM lab)
+    SELECT n AS n_docs, n11, n00,
+           ROUND((n11 + n00) * 1.0 / n * 1e6, 0) / 1e6 AS po_r6,
+           ROUND((a1 * 1.0 * b1 + (n - a1) * 1.0 * (n - b1))
+                 / (n * 1.0 * n) * 1e6, 0) / 1e6 AS pe_r6,
+           CASE WHEN n * 1.0 * n
+                     > a1 * 1.0 * b1 + (n - a1) * 1.0 * (n - b1)
+                THEN ROUND(((n11 + n00) * 1.0 / n
+                            - (a1 * 1.0 * b1 + (n - a1) * 1.0 * (n - b1))
+                              / (n * 1.0 * n))
+                           / (1.0 - (a1 * 1.0 * b1
+                                     + (n - a1) * 1.0 * (n - b1))
+                                    / (n * 1.0 * n)) * 1e6, 0) / 1e6
+                ELSE NULL END AS kappa_r6
+    FROM c
+    """,
+    "Cohen's kappa inter-rater agreement between two deterministic"
+    " document quality raters (char-count vs token-count gates):"
+    " chance-corrected agreement from one 2x2 confusion pass —"
+    " the label-audit primitive for LLM annotation pipelines",
+    tags=("text", "stats", "governance"),
+)
+def cohens_kappa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-quality auditing at corpus scale: kappa =
+    (p_o - p_e)/(1 - p_e), the agreement between raters corrected
+    for the agreement their marginals produce by chance. Raters here
+    are two deterministic length gates (correlated but not identical
+    — the interesting regime). ONE map + ONE combinable aggregate
+    gives the full 2x2 table; the closing formula is a fixed float
+    chain on exact integers, identical order both engines, rounded
+    1e-6. Perfect-chance (p_e = 1) pins NULL. Token count uses the
+    space-count+1 identity so both engines tokenize identically."""
+    d = read_testdata(spark, sf_dir, "documents")
+    toks = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    lab = d.select(
+        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, 1).otherwise(0).alias("a"),
+        F.when(toks >= KAPPA_TOKEN_MIN, 1).otherwise(0).alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum("a").cast("bigint").alias("a1"),
+        F.sum("b").cast("bigint").alias("b1"),
+    )
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = (
+        F.col("a1") * 1.0 * F.col("b1")
+        + (F.col("n") - F.col("a1")) * 1.0 * (F.col("n") - F.col("b1"))
+    ) / (F.col("n") * 1.0 * F.col("n"))
+    return c.select(
+        F.col("n").alias("n_docs"),
+        "n11",
+        "n00",
+        round_compat(po, 6).alias("po_r6"),
+        round_compat(pe, 6).alias("pe_r6"),
+        F.when(
+            F.col("n") * 1.0 * F.col("n")
+            > F.col("a1") * 1.0 * F.col("b1")
+            + (F.col("n") - F.col("a1")) * 1.0 * (F.col("n") - F.col("b1")),
+            round_compat((po - pe) / (1.0 - pe), 6),
+        ).alias("kappa_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Mutual information between two categorical columns
+# --------------------------------------------------------------------
+
+
+@register(
+    "mutual_information_cats",
+    """
+    WITH j AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+    mp AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cp FROM j GROUP BY p),
+    ms AS (SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM j GROUP BY s),
+    terms AS (
+      SELECT j.p, j.s, j.c, mp.cp, ms.cs, tot.n,
+             (j.c * 1.0 / tot.n)
+               * ln((j.c * 1.0 * tot.n) / (mp.cp * 1.0 * ms.cs)) AS term
+      FROM j JOIN mp USING (p) JOIN ms USING (s) CROSS JOIN tot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           MAX(n) AS n_rows,
+           ROUND(SUM(term) * 1e6, 0) / 1e6 AS mi_nats_r6,
+           ROUND(-SUM((cp * 1.0 / n) * ln(cp * 1.0 / n)) * 1e6, 0) / 1e6
+             AS hp_proxy_r6
+    FROM terms
+    """,
+    "mutual information I(priority; status) in nats from the RxC"
+    " contingency table: joint counts in one corpus pass, marginals"
+    " re-aggregated from the cell table, per-cell p*ln(p/(px*py))"
+    " terms summed over the bounded cell set — the dependence-"
+    "screening primitive feature selection runs at scale",
+    tags=("diagnostics", "stats", "agg"),
+)
+def mutual_information_cats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI needs exactly what chi-square needs — the contingency table
+    — so the scale recipe is the same: ONE corpus groupBy to the RxC
+    cell grain (bounded: 5 priorities x 3 statuses), marginals from
+    the cell table (never a second corpus pass), per-cell float terms
+    at one depth summed over <=15 cells (ordering noise ~1e-16
+    relative, far below the 1e-6 grain — chisq precedent). Zero
+    cells contribute nothing by construction (inner joins on observed
+    cells only), which is the correct 0*ln(0)=0 limit. hp_proxy is
+    the priority marginal entropy summed over the SAME terms relation
+    (each p repeated per status cell — a deliberate same-grain
+    formulation kept identical in both engines)."""
+    o = read_testdata(spark, sf_dir, "orders")
+    j = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = j.agg(F.sum("c").cast("bigint").alias("n"))
+    mp = j.groupBy("p").agg(F.sum("c").cast("bigint").alias("cp"))
+    ms = j.groupBy("s").agg(F.sum("c").cast("bigint").alias("cs"))
+    terms = (
+        j.join(mp, "p")
+        .join(ms, "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            "s",
+            "c",
+            "cp",
+            "cs",
+            "n",
+            (
+                (F.col("c") * 1.0 / F.col("n"))
+                * F.log(
+                    (F.col("c") * 1.0 * F.col("n"))
+                    / (F.col("cp") * 1.0 * F.col("cs"))
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n").alias("n_rows"),
+        round_compat(F.sum("term"), 6).alias("mi_nats_r6"),
+        round_compat(
+            -F.sum(
+                (F.col("cp") * 1.0 / F.col("n"))
+                * F.log(F.col("cp") * 1.0 / F.col("n"))
+            ),
+            6,
+        ).alias("hp_proxy_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Precision/recall/F1 across a threshold grid (classifier eval)
+# --------------------------------------------------------------------
+
+PR_N_THRESHOLDS = 9
+
+
+@register(
+    "threshold_pr_curve",
+    f"""
+    WITH scored AS (
+      SELECT c.c_custkey,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS score,
+             CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT') u
+        ON u.o_custkey = c.c_custkey),
+    b AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored),
+    grid AS (
+      SELECT k,
+             b.lo + ((b.hi - b.lo) * k) // {PR_N_THRESHOLDS + 1} AS thr
+      FROM range(1, {PR_N_THRESHOLDS + 1}) r(k) CROSS JOIN b),
+    agg AS (
+      SELECT g.k, g.thr,
+             CAST(SUM(CASE WHEN s.score >= g.thr AND s.y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.score >= g.thr AND s.y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s.score < g.thr AND s.y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored s CROSS JOIN grid g
+      GROUP BY g.k, g.thr)
+    SELECT CAST(k AS INT) AS k, thr, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN ROUND(tp * 1.0 / (tp + fp) * 1e6, 0) / 1e6 END
+             AS precision_r6,
+           CASE WHEN tp + fn > 0
+                THEN ROUND(tp * 1.0 / (tp + fn) * 1e6, 0) / 1e6 END
+             AS recall_r6,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN ROUND(2.0 * tp / (2 * tp + fp + fn) * 1e6, 0) / 1e6 END
+             AS f1_r6
+    FROM agg
+    """,
+    f"precision/recall/F1 at {PR_N_THRESHOLDS} evenly-spaced score"
+    " thresholds for the acctbal->has-urgent-order classifier: the"
+    " classifier-evaluation sweep (PR curve) as one bounded-grid"
+    " fanout + combinable conditional aggregate — how a data-quality"
+    " model's operating point is chosen over a 100 TB corpus",
+    tags=("ml-prep", "stats", "agg"),
+)
+def threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation without per-row ranking: confusion
+    counts at each threshold are CASE-gated sums, so the whole PR
+    curve is one fanout join against a {PR_N_THRESHOLDS}-row
+    threshold grid (broadcast — bounded by construction) + one
+    combinable groupBy. Nothing sorts, nothing windows; integer
+    cents scores make every comparison exact. The grid itself comes
+    from a 1-row min/max aggregate (broadcast scalar-subquery
+    pattern) with integer-truncated evenly-spaced edges — identical
+    arithmetic both engines. Label = customer placed >=1 URGENT
+    order (the decile_lift_table labeling, ~86% base rate)."""
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("score"),
+    )
+    u = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    scored = c.join(u, c.c_custkey == u.o_custkey, "left").select(
+        "score",
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("y"),
+    )
+    b = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    grid = (
+        spark.range(1, PR_N_THRESHOLDS + 1)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "k",
+            # exact integer floor division (all operands nonnegative):
+            # double division + cast would round vs truncate
+            # differently across engines at edge values
+            (
+                F.col("lo")
+                + F.expr(f"((hi - lo) * k) DIV {PR_N_THRESHOLDS + 1}")
+            ).alias("thr"),
+        )
+    )
+    agg = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("k", "thr")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when((F.col("score") < F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, round_compat(tp * 1.0 / (tp + fp), 6)).alias(
+            "precision_r6"
+        ),
+        F.when(tp + fn > 0, round_compat(tp * 1.0 / (tp + fn), 6)).alias(
+            "recall_r6"
+        ),
+        F.when(
+            2 * tp + fp + fn > 0,
+            round_compat(2.0 * tp / (2 * tp + fp + fn), 6),
+        ).alias("f1_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Seasonal decomposition of the daily spend series (trend/seasonal/resid)
+# --------------------------------------------------------------------
+
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    win AS (
+      SELECT a.day, a.cents,
+             CAST(SUM(b.cents) AS BIGINT) AS sum7,
+             CAST(COUNT(*) AS BIGINT) AS cnt7
+      FROM daily a
+      JOIN daily b ON b.day BETWEEN a.day - 3 AND a.day + 3
+      GROUP BY a.day, a.cents
+      HAVING COUNT(*) = 7),
+    detr AS (
+      SELECT day, cents, sum7,
+             isodow(day) AS dow,
+             cents * 7 - sum7 AS detr7
+      FROM win),
+    seas AS (
+      SELECT dow, CAST(SUM(detr7) AS BIGINT) AS s_sum,
+             CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM detr GROUP BY dow),
+    out AS (
+      SELECT d.day, d.cents,
+             d.sum7 / 7.0 AS trend,
+             s.s_sum / (7.0 * s.s_cnt) AS seasonal,
+             d.detr7 / 7.0 - s.s_sum / (7.0 * s.s_cnt) AS resid
+      FROM detr d JOIN seas s ON s.dow = d.dow)
+    SELECT day, cents,
+           ROUND(trend * 1e6, 0) / 1e6 AS trend_r6,
+           ROUND(seasonal * 1e6, 0) / 1e6 AS seasonal_r6,
+           ROUND(resid * 1e6, 0) / 1e6 AS resid_r6
+    FROM out
+    """,
+    "classical additive seasonal decomposition of daily spend: trend"
+    " = centered 7-day moving average (gap-aware shifted-join window,"
+    " full windows only), weekly seasonal = per-ISO-weekday mean of"
+    " the detrended series, residual = remainder — all sufficient"
+    " sums exact integers, three rounded divisions",
+    tags=("temporal", "stats", "timeseries"),
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The moving-average decomposition every forecasting pipeline
+    starts with, computed gap-aware and engine-exact: the centered
+    window is a CALENDAR self-join (day +/- 3) on the bounded daily
+    table — never a ROWS window, which silently misaligns across
+    missing days (the acf_daily_counts lesson) — and full 7-day
+    windows only (HAVING cnt = 7) pin the same edge handling in both
+    engines. Exactness recipe: detrended values are kept on the x7
+    integer scale (cents*7 - sum7 — exact int64), the weekday
+    seasonal means are exact integer sums with ONE division, and the
+    residual is a single float subtraction of two exact-input
+    divisions — no accumulated float summation anywhere. The daily
+    relation is calendar-cardinality, so every join here is
+    AQE-broadcast-sized regardless of corpus size; the corpus-scale
+    work is exactly one groupBy(day)."""
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    daily = e.groupBy("day").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    win = (
+        a.join(
+            b,
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), 3))
+            & (F.col("b.day") <= F.date_add(F.col("a.day"), 3)),
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.cents").alias("cents"))
+        .agg(
+            F.sum("b.cents").cast("bigint").alias("sum7"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+    )
+    # ISO weekday: Spark dayofweek is 1=Sunday; shift to 1=Monday..7=Sunday
+    isodow = (F.dayofweek("day") + 5) % 7 + 1
+    detr = win.select(
+        "day",
+        "cents",
+        "sum7",
+        isodow.alias("dow"),
+        (F.col("cents") * 7 - F.col("sum7")).alias("detr7"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.sum("detr7").cast("bigint").alias("s_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
+    )
+    out = detr.join(F.broadcast(seas), "dow").select(
+        "day",
+        "cents",
+        (F.col("sum7") / 7.0).alias("trend"),
+        (F.col("s_sum") / (7.0 * F.col("s_cnt"))).alias("seasonal"),
+        (
+            F.col("detr7") / 7.0
+            - F.col("s_sum") / (7.0 * F.col("s_cnt"))
+        ).alias("resid"),
+    )
+    return out.select(
+        "day",
+        "cents",
+        round_compat(F.col("trend"), 6).alias("trend_r6"),
+        round_compat(F.col("seasonal"), 6).alias("seasonal_r6"),
+        round_compat(F.col("resid"), 6).alias("resid_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes) per event type
+# --------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             (b.cents - a.cents) * 1.0 / (b.day - a.day) AS slope
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day),
+    sen AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             quantile_cont(CAST(slope AS DOUBLE), 0.5) AS sen_slope
+      FROM slopes GROUP BY event_type),
+    icpt AS (
+      SELECT d.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             quantile_cont(
+               CAST(d.cents - s.sen_slope
+                    * (d.day - DATE '2024-01-01') AS DOUBLE),
+               0.5) AS sen_icpt
+      FROM daily d JOIN sen s ON s.event_type = d.event_type
+      GROUP BY d.event_type)
+    SELECT i.event_type, i.n_days, s.n_pairs,
+           ROUND(s.sen_slope * 1e6, 0) / 1e6 AS sen_slope_r6,
+           ROUND(i.sen_icpt * 1e6, 0) / 1e6 AS sen_intercept_r6
+    FROM icpt i JOIN sen s ON s.event_type = i.event_type
+    """,
+    "Theil-Sen robust trend of daily spend per event type: the median"
+    " of all pairwise slopes (29.3% breakdown point vs OLS's 0) over"
+    " the calendar-bounded daily series, intercept = median residual"
+    " at the fitted slope — gap-aware via calendar day differences",
+    tags=("temporal", "stats", "timeseries"),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust companion to spend_trend_ols: OLS flips sign under
+    a single corrupted day, the Theil-Sen median-of-slopes estimator
+    tolerates ~29% outliers. The pair join is quadratic ONLY in the
+    number of DAYS (calendar-bounded — 435 pairs per type for a
+    30-day corpus, invariant to corpus row count), so the corpus-
+    scale work is one groupBy(type, day); everything after runs on
+    bounded relations. Slopes divide by calendar-day differences
+    (gap-aware). Median = exact interpolated percentile on doubles:
+    Spark `percentile` and DuckDB `quantile_cont` sort identical
+    doubles and average the same two middles — bit-equal before the
+    1e-6 rounding. (DuckDB's bare `median` on DECIMAL is DISCRETE —
+    the oracle must cast to DOUBLE and use quantile_cont.) The
+    intercept pass joins the 1-row-per-type slope back (broadcast)
+    and medians the per-day residuals."""
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            * 1.0
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    sen = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(CAST(slope AS DOUBLE), 0.5)").alias("sen_slope"),
+    )
+    icpt = (
+        daily.join(F.broadcast(sen), "event_type")
+        .select(
+            "event_type",
+            (
+                F.col("cents")
+                - F.col("sen_slope")
+                * F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            ).cast("double").alias("res"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("percentile(res, 0.5)").alias("sen_icpt"),
+        )
+    )
+    return icpt.join(sen, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        round_compat(F.col("sen_slope"), 6).alias("sen_slope_r6"),
+        round_compat(F.col("sen_icpt"), 6).alias("sen_intercept_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Table-valued function suite: posexplode ordinality + sequence
+# --------------------------------------------------------------------
+
+TVF_KEY_CAP = 300  # bounded output: parts under this key only
+
+
+@register(
+    "tvf_suite",
+    f"""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_size FROM part
+      WHERE p_partkey < {TVF_KEY_CAP}),
+    words AS (
+      SELECT p_partkey, 'word' AS kind,
+             CAST(generate_subscripts(string_split(p_name, ' '), 1)
+                  AS INT) AS idx,
+             unnest(string_split(p_name, ' ')) AS val
+      FROM p),
+    seqs AS (
+      SELECT p_partkey, 'seq' AS kind,
+             CAST(unnest(generate_series(1, p_size % 4 + 1)) AS INT)
+               AS idx,
+             CAST(unnest(generate_series(1, p_size % 4 + 1)) AS VARCHAR)
+               AS val
+      FROM p)
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, kind, idx, val
+    FROM (SELECT * FROM words UNION ALL SELECT * FROM seqs)
+    """,
+    "table-valued-function breadth: posexplode-with-ordinality over"
+    " split part names (1-based positions pinned across engines) and"
+    " sequence() generation, unioned into one typed relation — the"
+    " generator surface ETL uses for array flattening and date/index"
+    " spines",
+    tags=("functions", "tvf"),
+)
+def tvf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/TVF surface in one hash-checked relation:
+    ``posexplode`` (position + value — Spark's 0-based pos shifted to
+    1-based to match SQL ordinality) and ``sequence`` (dynamic
+    per-row integer spine, exercised with a data-dependent length).
+    Both are map-side whole-stage-codegen generators — no shuffle at
+    any scale; the key cap only bounds the oracle's output, not the
+    plan shape. The DuckDB twin derives ordinality via
+    generate_subscripts (WITH ORDINALITY is unimplemented there) —
+    an independent formulation of the same contract."""
+    p = (
+        read_testdata(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < TVF_KEY_CAP)
+        .select("p_partkey", "p_name", "p_size")
+    )
+    words = p.select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.lit("word").alias("kind"),
+        F.posexplode(F.split("p_name", " ")).alias("pos", "val"),
+    ).select(
+        "p_partkey",
+        "kind",
+        (F.col("pos") + 1).cast("int").alias("idx"),
+        "val",
+    )
+    seqs = p.select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.lit("seq").alias("kind"),
+        F.explode(
+            F.sequence(F.lit(1), F.col("p_size") % 4 + 1)
+        ).alias("k"),
+    ).select(
+        "p_partkey",
+        "kind",
+        F.col("k").cast("int").alias("idx"),
+        F.col("k").cast("string").alias("val"),
+    )
+    return words.unionByName(seqs)

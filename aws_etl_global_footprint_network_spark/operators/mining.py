@@ -1721,3 +1721,92 @@ def next_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Multi-hop BFS levels from the minimum-key node (graph reachability)
+# --------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    # Levels chain like the k-core oracle: every l_i is MATERIALIZED
+    # because level i+1 references it in both the frontier join and
+    # the visited-set exclusion — inlining recomputes the whole chain
+    # exponentially.
+    parts = [
+        f"e0 AS MATERIALIZED ({_COPURCHASE_EDGES_SQL}"
+        f" HAVING COUNT(*) >= {TRI_MIN_SUPPORT})",
+        "dir AS MATERIALIZED (SELECT u AS s, v AS d FROM e0"
+        " UNION ALL SELECT v AS s, u AS d FROM e0)",
+        "l0 AS MATERIALIZED (SELECT MIN(s) AS node FROM dir)",
+    ]
+    visited = "SELECT node FROM l0"
+    for i in range(1, BFS_ROUNDS + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT DISTINCT dir.d AS node
+      FROM dir JOIN l{i - 1} f ON f.node = dir.s
+      WHERE dir.d NOT IN ({visited}))"""
+        )
+        visited += f" UNION ALL SELECT node FROM l{i}"
+    levels = " UNION ALL ".join(
+        f"SELECT node, {i} AS hop FROM l{i}" for i in range(BFS_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS l_partkey, CAST(hop AS INT) AS hop
+    FROM ({levels})"""
+    )
+
+
+@register(
+    "bfs_hops_copurchase",
+    _bfs_oracle(),
+    f"breadth-first search ({BFS_ROUNDS} hops) over the support>="
+    f"{TRI_MIN_SUPPORT} part co-purchase graph from the minimum-key"
+    " node: per-node shortest hop distance — the reachability/radius"
+    " primitive of the graph family",
+    tags=("graph", "iterative"),
+)
+def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-expansion BFS, the fourth member of the bounded-round
+    Pregel family (components propagate labels, PageRank propagates
+    mass, k-core peels, BFS expands): each round is one equi-join of
+    the current frontier against the directed adjacency list, a
+    DISTINCT, and a left_anti against the visited set — all shuffles
+    on the node key. Both frontier and visited cut lineage per round
+    via ``cut_lineage`` (localCheckpoint locally, durable checkpoint
+    on a cluster): round i references visited i+1 times otherwise.
+    Deterministic by construction — the frontier of round i is
+    exactly the nodes at shortest-hop distance i, independent of
+    execution order. Source = MIN node key (a 1-row broadcast), hop
+    cap = {BFS_ROUNDS}."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=TRI_MIN_SUPPORT)
+    fwd = edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+    rev = edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    dir_e = fwd.unionAll(rev).transform(cut_lineage)
+    src = dir_e.agg(F.min("s").alias("node"))
+    frontier = src.select("node").transform(cut_lineage)
+    visited = frontier
+    out = [frontier.select("node", F.lit(0).alias("hop"))]
+    for i in range(1, BFS_ROUNDS + 1):
+        frontier = (
+            dir_e.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .transform(cut_lineage)
+        )
+        out.append(frontier.select("node", F.lit(i).alias("hop")))
+        visited = visited.unionAll(frontier).transform(cut_lineage)
+    res = out[0]
+    for lv in out[1:]:
+        res = res.unionAll(lv)
+    return res.select(
+        F.col("node").cast("bigint").alias("l_partkey"),
+        F.col("hop").cast("int").alias("hop"),
+    )

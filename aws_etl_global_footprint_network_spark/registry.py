@@ -135,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
     from aws_etl_global_footprint_network_spark.operators import (  # noqa: F401
         advanced,
         analytics_plus,
+        analytics_r8,
         behavioral,
         corpus_prep,
         curation,

@@ -861,3 +861,481 @@ def tvf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("string").alias("val"),
     )
     return words.unionByName(seqs)
+
+
+# --------------------------------------------------------------------
+# Exact ROC AUC, rank-free (the Mann-Whitney identity)
+# --------------------------------------------------------------------
+
+
+@register(
+    "auc_roc_score",
+    """
+    WITH scored AS (
+      SELECT CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS score,
+             CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT') u
+        ON u.o_custkey = c.c_custkey),
+    v AS (
+      SELECT score, SUM(y) AS n1v, COUNT(*) AS t
+      FROM scored GROUP BY score),
+    c AS (
+      SELECT score, n1v, t,
+             COALESCE(SUM(t) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+      FROM v),
+    s AS (
+      SELECT SUM(n1v) AS n1, SUM(t - n1v) AS n0,
+             SUM(n1v * (2 * cb + t + 1)) AS r1_twice
+      FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN ROUND((r1_twice - n1 * (n1 + 1)) / 2.0
+                           / (CAST(n1 AS DOUBLE) * n0) * 1e6, 0) / 1e6
+                END AS auc_r6,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN ROUND(((r1_twice - n1 * (n1 + 1)) / 1.0
+                            / (CAST(n1 AS DOUBLE) * n0) - 1.0)
+                           * 1e6, 0) / 1e6
+                END AS gini_r6
+    FROM s
+    """,
+    "exact ROC AUC of the acctbal->has-urgent-order classifier via"
+    " the Mann-Whitney identity AUC = U/(n1*n0): value-grouped counts"
+    " + one exclusive cumulative count — ties get the standard 0.5"
+    " credit automatically, no per-row rank ever materialises; Gini"
+    " coefficient = 2*AUC - 1 from the same statistic",
+    tags=("ml-prep", "stats", "agg"),
+)
+def auc_roc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion to threshold_pr_curve: the PR sweep evaluates
+    chosen operating points, AUC integrates over all of them — and
+    the exact tie-corrected AUC is U/(n1*n0), the Mann-Whitney
+    statistic this repo already computes rank-free (mann_whitney_u's
+    doubled-rank recipe over value-grouped counts, cumulative count
+    via distributed_cumsum — no window partitioned by a constant).
+    r1_twice <= 2N^2 stays exact int64 to ~2^31 rows; two float
+    divisions close, rounded 1e-6. Degenerate single-class input
+    pins NULL both engines."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
+
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("score"),
+    )
+    u = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    scored = c.join(u, c.c_custkey == u.o_custkey, "left").select(
+        "score",
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("y"),
+    )
+    v = scored.groupBy("score").agg(
+        F.sum("y").alias("n1v"), F.count(F.lit(1)).alias("t")
+    ).withColumn("g", F.lit(1))
+    cum = distributed_cumsum(
+        v, "g", [F.col("score")], {"cb": "t"}, CacheScope("auc_roc_score")
+    )
+    s = cum.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("t") - F.col("n1v")).alias("n0"),
+        F.sum(F.col("n1v") * (2 * F.col("cb") + F.col("t") + 1)).alias(
+            "r1_twice"
+        ),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    u1 = (F.col("r1_twice") - n1 * (n1 + 1)) / 2.0
+    auc = u1 / (n1.cast("double") * n0)
+    return s.select(
+        n1.cast("bigint").alias("n_pos"),
+        n0.cast("bigint").alias("n_neg"),
+        F.when((n1 > 0) & (n0 > 0), round_compat(auc, 6)).alias("auc_r6"),
+        F.when(
+            (n1 > 0) & (n0 > 0), round_compat(2.0 * auc - 1.0, 6)
+        ).alias("gini_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Zipf rank-frequency slope of the token distribution
+# --------------------------------------------------------------------
+
+
+@register(
+    "zipf_slope_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS token
+      FROM documents),
+    tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok GROUP BY token),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM tf),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+      FROM ranked),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts)
+    SELECT n AS n_vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6, 0) / 1e6
+             AS zipf_slope_r6,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 * 1e6, 0) / 1e6 AS intercept_r6,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1e6, 0) / 1e6 AS r2_r6
+    FROM s
+    """,
+    "Zipf's-law exponent of the corpus token distribution: log-log"
+    " OLS of frequency vs rank over the full vocabulary (ranks from"
+    " the distributed-rank recipe, never a global window) — the"
+    " corpus-health diagnostic (natural text ~ -1; spam/boilerplate"
+    " bends the tail)",
+    tags=("text", "stats", "corpus"),
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus linguistics at scale: token frequencies from one
+    explode+groupBy, exact global ranks over (freq DESC, token) via
+    distributed_row_number (range repartition + offsets — the same
+    recipe percent_rank_normalize uses; a bare ROW_NUMBER() OVER
+    (ORDER BY ...) single-tasks the whole vocabulary), then the
+    log-log OLS slope from six sufficient sums. The float sums run
+    over vocabulary-cardinality doubles in engine-local order —
+    summation noise ~1e-11 relative sits far below the 1e-6 rounding
+    grain (the partial_corr precedent); ln on identical doubles is
+    correctly-rounded in both engines' libm (the A4 compound-return
+    precedent)."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_row_number,
+    )
+    from aws_etl_global_footprint_network_spark.functions.text import tokens
+
+    d = read_testdata(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    ranked = distributed_row_number(
+        tf,
+        [F.col("freq").desc(), F.col("token").asc()],
+        "rnk",
+        CacheScope("zipf_slope_tokens"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    dxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = dxy / dxx
+    return s.select(
+        n.alias("n_vocab"),
+        round_compat(slope, 6).alias("zipf_slope_r6"),
+        round_compat((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept_r6"
+        ),
+        round_compat(dxy * dxy / (dxx * dyy), 6).alias("r2_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Brown-Forsythe robust variance-equality test (median-centered Levene)
+# --------------------------------------------------------------------
+
+
+@register(
+    "brown_forsythe_test",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    v AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS t
+      FROM e GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, cents, t,
+             SUM(t) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS c1
+      FROM v),
+    n AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n
+          FROM v GROUP BY event_type),
+    med AS (
+      SELECT c.event_type,
+             SUM(CASE WHEN c.c1 >= (n.n + 1) // 2
+                       AND c.c1 - c.t < (n.n + 1) // 2
+                      THEN c.cents ELSE 0 END)
+             + SUM(CASE WHEN c.c1 >= n.n // 2 + 1
+                         AND c.c1 - c.t < n.n // 2 + 1
+                        THEN c.cents ELSE 0 END) AS med2
+      FROM c JOIN n USING (event_type) GROUP BY c.event_type),
+    z AS (
+      SELECT e.event_type, ABS(2 * e.cents - m.med2) AS z2
+      FROM e JOIN med m USING (event_type)),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z2) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(z2 AS DECIMAL(38,0)) * z2) AS DECIMAL(38,0))
+               AS ss
+      FROM z GROUP BY event_type),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM(CAST(s AS DOUBLE)) AS s_all,
+             SUM(CAST(ss AS DOUBLE)) AS ss_all,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
+      FROM g)
+    SELECT k AS k_groups, n_total,
+           CASE WHEN ss_all - sb > 0 AND k > 1 AND n_total > k
+                THEN ROUND(((sb - s_all * s_all / n_total) / (k - 1))
+                           / ((ss_all - sb) / (n_total - k)) * 1e6, 0) / 1e6
+                END AS f_bf_r6
+    FROM t
+    """,
+    "Brown-Forsythe variance-equality test for spend across event"
+    " types: one-way ANOVA on |x - group median| — the robust"
+    " pre-check before pooled-variance tests; exact doubled-scale"
+    " medians located from value-grouped cumulative counts (no"
+    " per-group sort buffers), then the anova_f_oneway machinery",
+    tags=("diagnostics", "stats", "agg"),
+)
+def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance homogeneity without fragile normality assumptions
+    (Levene centered at the MEDIAN — the Brown-Forsythe variant).
+    Scale recipe in three exact-integer stages: (1) per-group exact
+    medians on the DOUBLED scale (med2 = lo+hi order statistics, so
+    .5 medians stay integer) located from value-grouped counts + an
+    inclusive distributed cumulative count — never a per-group sort
+    buffer (Spark's exact `percentile` agg holds the whole group on
+    one reducer); (2) z2 = |2x - med2| per row, exact int64, via a
+    k-row broadcast join; (3) the one-way-F close over DECIMAL(38,0)
+    sufficient sums (the anova_f_oneway machinery — the x2 scale
+    cancels in F). The oracle derives the same medians from a plain
+    value window (sound single-node), an independent formulation."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
+
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    v = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    c = distributed_cumsum(
+        v,
+        "event_type",
+        [F.col("cents")],
+        {"c1": "t"},
+        CacheScope("brown_forsythe_test"),
+        inclusive=True,
+    )
+    n = v.groupBy("event_type").agg(F.sum("t").cast("bigint").alias("n"))
+    cn = c.join(F.broadcast(n), "event_type")
+    # median order-statistic positions as exact integer floor division
+    lo_pos = F.expr("(n + 1) DIV 2")
+    hi_pos = F.expr("n DIV 2 + 1")
+    at = lambda pos: F.sum(  # noqa: E731 - local alias for symmetry
+        F.when((F.col("c1") >= pos) & (F.col("c1") - F.col("t") < pos),
+               F.col("cents")).otherwise(0)
+    )
+    med = cn.groupBy("event_type").agg(
+        (at(lo_pos) + at(hi_pos)).alias("med2")
+    )
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("cents") - F.col("med2")).alias("z2")
+    )
+    dec = "decimal(38,0)"
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("z2").cast(dec)).alias("s"),
+        F.sum(F.col("z2").cast(dec) * F.col("z2")).alias("ss"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.col("s").cast("double")).alias("s_all"),
+        F.sum(F.col("ss").cast("double")).alias("ss_all"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        ).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s_all") * F.col("s_all") / F.col("n_total")
+    ssw = F.col("ss_all") - F.col("sb")
+    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return t.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        F.when(
+            (ssw > 0) & (F.col("k") > 1) & (F.col("n_total") > F.col("k")),
+            round_compat(f, 6),
+        ).alias("f_bf_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# --------------------------------------------------------------------
+
+PBA_WINDOW_US = 1_800_000_000  # 30-minute attribution lookback
+
+
+@register(
+    "position_based_attribution",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    p AS (SELECT event_id AS pid, user_id, t AS tp, cents AS pcents
+          FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS tid, user_id, event_type AS ttype, t AS tv
+          FROM e WHERE event_type IN ('view', 'click')),
+    pair AS (
+      SELECT p.pid, p.pcents, v.tid, v.ttype, v.tv
+      FROM p JOIN v ON v.user_id = p.user_id
+       AND v.tv >= p.tp - {PBA_WINDOW_US} AND v.tv < p.tp),
+    pos AS (
+      SELECT pid, pcents, ttype,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY tv, tid) AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+      FROM pair),
+    credit AS (
+      SELECT pid, pcents, ttype, pos, n,
+             CASE WHEN n = 1 THEN 1000
+                  WHEN n = 2 THEN 500
+                  WHEN pos = 1 OR pos = n THEN 400
+                  ELSE 200 // (n - 2)
+                       + CASE WHEN pos - 1 <= 200 % (n - 2)
+                              THEN 1 ELSE 0 END
+             END AS milli
+      FROM pos)
+    SELECT ttype AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(pcents * milli) AS BIGINT) AS credited_millicents
+    FROM credit GROUP BY ttype
+    """,
+    "position-based (U-shaped 40/20/40) multi-touch attribution:"
+    " each purchase's value splits 40% to the first touch, 40% to the"
+    " last, 20% across the middles (largest-remainder in exact"
+    " milli-credits) over view/click touches in the preceding 30"
+    " minutes — all-integer credit accounting, zero float drift",
+    tags=("behavioral", "attribution", "temporal"),
+)
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-touch member of the attribution family (last_touch_
+    attribution = winner-take-all): credit is a deterministic integer
+    function of (position, n) — 1000 milli for solo touches, 500/500
+    for pairs, 400/middles/400 otherwise with the 200-milli middle
+    pool split by largest remainder (earliest middles take the
+    remainder — the proration_largest_remainder discipline), so
+    credited value is an EXACT integer millicents sum at any scale.
+    The touch-pair join buckets time into window-width cells (the
+    window_agg_join recipe: purchase probes its own + previous cell,
+    exact band as residual) — an equi-join on (user, bucket) that
+    shuffles and AQE-skew-splits normally; position/count windows
+    partition by PURCHASE id, bounded by touches-per-30-minutes.
+    The oracle keeps the naive band join (sound single-node)."""
+    e = (
+        read_testdata(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    bucket = F.expr(f"(t - pmod(t, {PBA_WINDOW_US})) DIV {PBA_WINDOW_US}")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("t").alias("tp"),
+        F.col("cents").alias("pcents"),
+        bucket.alias("b"),
+    )
+    v = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("v_user"),
+        F.col("event_type").alias("ttype"),
+        F.col("t").alias("tv"),
+        bucket.alias("vb"),
+    )
+    pb = p.select(
+        "pid",
+        "user_id",
+        "tp",
+        "pcents",
+        F.explode(F.array(F.col("b") - 1, F.col("b"))).alias("probe_b"),
+    )
+    pair = pb.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("vb") == F.col("probe_b")),
+    ).filter(
+        (F.col("tv") >= F.col("tp") - PBA_WINDOW_US)
+        & (F.col("tv") < F.col("tp"))
+    )
+    wp = Window.partitionBy("pid")
+    pos = pair.select(
+        "pid",
+        "pcents",
+        "ttype",
+        F.row_number().over(wp.orderBy("tv", "tid")).alias("pos"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    nm2 = F.col("n") - 2
+    milli = (
+        F.when(F.col("n") == 1, 1000)
+        .when(F.col("n") == 2, 500)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 400)
+        .otherwise(
+            F.expr("200 DIV (n - 2)")
+            + F.when(F.col("pos") - 1 <= 200 % nm2, 1).otherwise(0)
+        )
+    )
+    return (
+        pos.withColumn("milli", milli)
+        .groupBy(F.col("ttype").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.col("pcents") * F.col("milli"))
+            .cast("bigint")
+            .alias("credited_millicents"),
+        )
+    )

@@ -192,6 +192,10 @@ HEADLINE = [
     "theil_sen_trend",
     "tvf_suite",
     "bfs_hops_copurchase",
+    "auc_roc_score",
+    "zipf_slope_tokens",
+    "brown_forsythe_test",
+    "position_based_attribution",
 ]
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
-from aws_etl_global_footprint_network_spark.registry import register
+from aws_etl_global_footprint_network_spark.registry import REGISTRY, register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 
 # --------------------------------------------------------------------
@@ -1338,4 +1338,349 @@ def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("credited_millicents"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# kNN label classification accuracy over the ANN top-k (ML eval)
+# --------------------------------------------------------------------
+
+# The eval operators below reuse the exact ANN top-k as their ranked
+# input — importing the module registers it, and its oracle SQL is
+# inlined as a CTE so both engines share ONE definition of the
+# ranking under evaluation.
+from aws_etl_global_footprint_network_spark.operators import (  # noqa: E402
+    similarity as _similarity,
+)
+
+_ANN_SQL = REGISTRY["ann_cosine_topk"].oracle
+
+
+@register(
+    "knn_label_accuracy",
+    f"""
+    WITH knn AS ({_ANN_SQL}),
+    q AS (SELECT vec_id, label AS true_label FROM embeddings),
+    votes AS (
+      SELECT k.query_id, e.label AS pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+      GROUP BY 1, 2),
+    best AS (
+      SELECT query_id, pred, n,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n DESC, pred) AS rn
+      FROM votes)
+    SELECT b.query_id, CAST(q.true_label AS INT) AS true_label,
+           CAST(b.pred AS INT) AS pred_label, b.n AS n_votes,
+           CAST(CASE WHEN b.pred = q.true_label THEN 1 ELSE 0 END AS INT)
+             AS correct
+    FROM best b JOIN q ON q.vec_id = b.query_id
+    WHERE b.rn = 1
+    """,
+    "k-nearest-neighbor label classification over the exact cosine"
+    " top-k: majority vote of neighbor labels per query (count desc,"
+    " label tie-break) vs the query's own label — the eval loop that"
+    " validates an embedding space before it curates data",
+    tags=("similarity", "ml-prep", "eval"),
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the exact ANN operator into a classifier eval: the
+    top-k relation is bounded (N_QUERIES x TOPK rows), so the vote
+    aggregation, the argmax window (partitioned by query — <= k rows
+    per partition), and the label joins all run on a tiny relation;
+    the corpus-scale work is exactly the ANN scored pass it reuses.
+    Deterministic argmax: highest vote count, smallest label on
+    ties. The oracle inlines the ann_cosine_topk oracle as a CTE —
+    one definition, two engines."""
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        ann_cosine_topk,
+    )
+
+    knn = ann_cosine_topk(spark, sf_dir)
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    votes = (
+        knn.join(emb, knn.neighbor_id == emb.vec_id)
+        .groupBy("query_id", F.col("label").alias("pred"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), F.col("pred")
+    )
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return best.join(q, "query_id").select(
+        "query_id",
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("pred").cast("int").alias("pred_label"),
+        F.col("n").alias("n_votes"),
+        F.when(F.col("pred") == F.col("true_label"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+# --------------------------------------------------------------------
+# nDCG@k of the ANN ranking against label-match relevance (retrieval eval)
+# --------------------------------------------------------------------
+
+
+@register(
+    "ndcg_label_relevance",
+    f"""
+    WITH knn AS ({_ANN_SQL}),
+    rel AS (
+      SELECT k.query_id, k.rank,
+             CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS gain
+      FROM knn k
+      JOIN embeddings e ON e.vec_id = k.neighbor_id
+      JOIN embeddings q ON q.vec_id = k.query_id),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(gain) AS BIGINT) AS n_rel,
+             SUM(gain / (ln(rank + 1) / ln(2))) AS dcg
+      FROM rel GROUP BY query_id),
+    ideal AS (
+      SELECT query_id,
+             SUM(1.0 / (ln(r + 1) / ln(2))) AS idcg
+      FROM (SELECT query_id, n_rel FROM dcg) d,
+           unnest(generate_series(1, GREATEST(d.n_rel, 0))) AS s(r)
+      GROUP BY query_id)
+    SELECT d.query_id, d.n_rel,
+           ROUND(d.dcg * 1e6, 0) / 1e6 AS dcg_r6,
+           CASE WHEN d.n_rel > 0
+                THEN ROUND(d.dcg / i.idcg * 1e6, 0) / 1e6 END AS ndcg_r6
+    FROM dcg d LEFT JOIN ideal i ON i.query_id = d.query_id
+    """,
+    "nDCG@k of the exact cosine ranking with label-match relevance:"
+    " DCG = sum gain/log2(rank+1) per query, normalized by the ideal"
+    " ordering of the same gains — the standard graded retrieval"
+    " metric, here over binary gains on the bounded top-k relation",
+    tags=("similarity", "retrieval", "eval"),
+)
+def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval on the same composed machinery as
+    knn_label_accuracy: binary gain (neighbor label == query label)
+    over the bounded top-k relation, DCG with the standard
+    1/log2(rank+1) discount, ideal DCG from the gains re-ranked
+    perfectly — for binary gains that is the first n_rel discount
+    terms, generated with a sequence() spine (no sort needed). All
+    sums run over <= k = 5 terms per query (ordering noise ~1e-16,
+    far below the 1e-6 grain); log2 via ln(x)/ln(2) spelled
+    identically in both engines. Zero-relevant queries pin NULL
+    nDCG."""
+    from aws_etl_global_footprint_network_spark.operators.similarity import (
+        ann_cosine_topk,
+    )
+
+    knn = ann_cosine_topk(spark, sf_dir)
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    rel = (
+        knn.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nl"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("nl") == F.col("ql"), 1).otherwise(0).alias("gain"),
+        )
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    dcg = rel.groupBy("query_id").agg(
+        F.sum("gain").cast("bigint").alias("n_rel"),
+        F.sum(F.col("gain") / log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    # Spark's sequence(1, 0) counts DOWN (yielding r=0 and a log2(1)
+    # division by zero under ANSI); zero-relevant queries need no
+    # ideal row at all — the left join pins their nDCG to NULL.
+    ideal = (
+        dcg.filter(F.col("n_rel") > 0)
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_rel"))).alias("r"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.lit(1.0) / log2(F.col("r") + 1)).alias("idcg"))
+    )
+    return dcg.join(ideal, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        round_compat(F.col("dcg"), 6).alias("dcg_r6"),
+        F.when(
+            F.col("n_rel") > 0, round_compat(F.col("dcg") / F.col("idcg"), 6)
+        ).alias("ndcg_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Conditional entropy of the event-type Markov chain
+# --------------------------------------------------------------------
+
+
+@register(
+    "conditional_entropy_markov",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    tr AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    m AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS n_out FROM tr GROUP BY cur)
+    SELECT t.cur AS cur_type, m.n_out,
+           CAST(COUNT(*) AS BIGINT) AS n_next_states,
+           ROUND(-SUM((t.c * 1.0 / m.n_out)
+                      * ln(t.c * 1.0 / m.n_out)) * 1e6, 0) / 1e6
+             AS h_next_given_cur_r6
+    FROM tr t JOIN m ON m.cur = t.cur
+    GROUP BY t.cur, m.n_out
+    """,
+    "conditional entropy H(next | cur) of the per-user event-type"
+    " Markov chain, per current state: how predictable the next"
+    " action is — the information-theoretic summary of the"
+    " markov_event_transitions matrix, from the bounded cell table",
+    tags=("behavioral", "stats", "sequence"),
+)
+def conditional_entropy_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence predictability at corpus scale: transitions come from
+    one per-user LEAD (the next_order_transitions recipe — partition
+    by user, total (ts, event_id) order), reduce to the bounded KxK
+    cell table in one groupBy, and the entropy close runs over <= K
+    cells per row (K = 7 event types; float ordering noise far below
+    the 1e-6 grain — the chisq/MI precedent). Observed cells only,
+    which is the correct 0*ln(0) = 0 limit."""
+    e = read_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    m = tr.groupBy("cur").agg(F.sum("c").cast("bigint").alias("n_out"))
+    p = F.col("c") * 1.0 / F.col("n_out")
+    return (
+        tr.join(m, "cur")
+        .groupBy(F.col("cur").alias("cur_type"), F.col("n_out"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_next_states"),
+            round_compat(-F.sum(p * F.log(p)), 6).alias(
+                "h_next_given_cur_r6"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Rolling 7-day regression beta: daily purchase spend on view traffic
+# --------------------------------------------------------------------
+
+
+@register(
+    "rolling_regression_beta",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS views,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pcents
+      FROM events GROUP BY 1),
+    win AS (
+      SELECT a.day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(b.views) AS BIGINT) AS sx,
+             CAST(SUM(b.pcents) AS BIGINT) AS sy,
+             CAST(SUM(b.views * b.pcents) AS BIGINT) AS sxy,
+             CAST(SUM(b.views * b.views) AS BIGINT) AS sxx
+      FROM daily a JOIN daily b ON b.day BETWEEN a.day - 3 AND a.day + 3
+      GROUP BY a.day HAVING COUNT(*) = 7)
+    SELECT day, n AS n_days,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN ROUND((n * sxy - sx * sy) * 1.0
+                           / (n * sxx - sx * sx) * 1e6, 0) / 1e6
+                END AS beta_r6
+    FROM win
+    """,
+    "rolling 7-day OLS beta of daily purchase spend on daily view"
+    " traffic: centered calendar window via the gap-aware shifted"
+    " self-join (full windows only), exact int64 sufficient sums per"
+    " window, one rounded division — the local elasticity series",
+    tags=("temporal", "stats", "timeseries"),
+)
+def rolling_regression_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-window regression without windowed float state: each
+    day's beta needs (n, Σx, Σy, Σxy, Σxx) over its 7 calendar
+    neighbors — gathered by the same day±3 CALENDAR self-join as
+    seasonal_decompose_daily (gap-aware; a ROWS frame misaligns
+    across missing days), all sums exact int64 (views ~1e7/day and
+    cents ~1e9/day at 100 TB keep n*Σxy under 2^63 comfortably at
+    daily grain), one float division per output row. The daily
+    relation is calendar-cardinality — corpus-scale work is exactly
+    one groupBy(day). Zero view-variance windows pin NULL."""
+    e = read_testdata(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("views"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pcents"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    win = (
+        a.join(
+            b,
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), 3))
+            & (F.col("b.day") <= F.date_add(F.col("a.day"), 3)),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("b.views").cast("bigint").alias("sx"),
+            F.sum("b.pcents").cast("bigint").alias("sy"),
+            F.sum(F.col("b.views") * F.col("b.pcents"))
+            .cast("bigint")
+            .alias("sxy"),
+            F.sum(F.col("b.views") * F.col("b.views"))
+            .cast("bigint")
+            .alias("sxx"),
+        )
+        .filter(F.col("n") == 7)
+    )
+    n = F.col("n")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return win.select(
+        "day",
+        n.alias("n_days"),
+        F.when(den > 0, round_compat(num * 1.0 / den, 6)).alias("beta_r6"),
     )

@@ -196,6 +196,10 @@ HEADLINE = [
     "zipf_slope_tokens",
     "brown_forsythe_test",
     "position_based_attribution",
+    "knn_label_accuracy",
+    "ndcg_label_relevance",
+    "conditional_entropy_markov",
+    "rolling_regression_beta",
 ]
 
 

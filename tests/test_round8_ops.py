@@ -167,3 +167,115 @@ def test_stats_ops_have_no_group_only_windows(spark, sf_dir, name):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "__ntile_pid" in spec, (name, spec)
+
+
+# --------------------------------------------------------------------
+# Round-8 operator properties (beyond hash parity)
+# --------------------------------------------------------------------
+
+
+def test_bfs_hops_source_and_monotonicity(spark, sf_dir_mid):
+    rows = {
+        r.l_partkey: r.hop
+        for r in SPECS["bfs_hops_copurchase"].builder(spark, sf_dir_mid).collect()
+    }
+    assert rows[min(rows)] == 0 or 0 in rows.values()
+    # exactly one source at hop 0, and no hop level is skipped
+    hops = sorted(set(rows.values()))
+    assert hops[0] == 0 and hops == list(range(len(hops)))
+    assert sum(1 for h in rows.values() if h == 0) == 1
+
+
+def test_ndcg_bounds_and_kappa_range(spark, sf_dir):
+    nd = SPECS["ndcg_label_relevance"].builder(spark, sf_dir).collect()
+    for r in nd:
+        if r.ndcg_r6 is not None:
+            assert 0.0 <= r.ndcg_r6 <= 1.0 + 1e-9
+    kap = SPECS["cohens_kappa_labels"].builder(spark, sf_dir).collect()[0]
+    assert -1.0 <= kap.kappa_r6 <= 1.0
+    assert 0.0 <= kap.po_r6 <= 1.0 and 0.0 <= kap.pe_r6 <= 1.0
+
+
+def test_auc_matches_bruteforce_pair_count(spark, sf_dir):
+    """AUC must equal P(score_pos > score_neg) + 0.5*P(tie) computed
+    by the direct quadratic pair count (bounded at test SF)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    got = SPECS["auc_roc_score"].builder(spark, sf_dir).collect()[0]
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("s")
+    )
+    u = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    rows = (
+        c.join(u, c.c_custkey == u.o_custkey, "left")
+        .select("s", F.col("o_custkey").isNotNull().alias("y"))
+        .collect()
+    )
+    pos = [r.s for r in rows if r.y]
+    neg = [r.s for r in rows if not r.y]
+    wins = sum(1 for p, n in itertools.product(pos, neg) if p > n)
+    ties = sum(1 for p, n in itertools.product(pos, neg) if p == n)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got.auc_r6 - expect) < 1e-5
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+
+
+def test_attribution_credit_conserved(spark, sf_dir_mid):
+    """Every attributed purchase's 1000 milli-credits must be fully
+    distributed: total credited millicents == sum over attributed
+    purchases of 1000 * purchase cents."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.operators.analytics_r8 import (
+        PBA_WINDOW_US,
+    )
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    out = SPECS["position_based_attribution"].builder(spark, sf_dir_mid)
+    total_credited = out.agg(
+        F.sum("credited_millicents").cast("bigint")
+    ).collect()[0][0]
+    e = (
+        read_testdata(spark, sf_dir_mid, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    v = e.filter(F.col("event_type").isin("view", "click")).alias("v")
+    attributed = (
+        p.join(
+            v,
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("v.t") >= F.col("p.t") - PBA_WINDOW_US)
+            & (F.col("v.t") < F.col("p.t")),
+        )
+        .select(F.col("p.event_id").alias("pid"), F.col("p.cents").alias("c"))
+        .distinct()
+    )
+    expect = attributed.agg(
+        F.sum(F.col("c") * 1000).cast("bigint")
+    ).collect()[0][0]
+    assert total_credited == expect
+
+
+def test_seasonal_components_reconstruct(spark, sf_dir):
+    """trend + seasonal + resid must reconstruct the observed value
+    on every full-window day (the defining identity of the additive
+    decomposition)."""
+    for r in SPECS["seasonal_decompose_daily"].builder(spark, sf_dir).collect():
+        assert abs((r.trend_r6 + r.seasonal_r6 + r.resid_r6) - r.cents) < 1e-2

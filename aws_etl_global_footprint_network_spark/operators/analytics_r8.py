@@ -1684,3 +1684,257 @@ def rolling_regression_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_days"),
         F.when(den > 0, round_compat(num * 1.0 / den, 6)).alias("beta_r6"),
     )
+
+
+# --------------------------------------------------------------------
+# Cramér's V effect size for the priority x status contingency table
+# --------------------------------------------------------------------
+
+
+@register(
+    "cramers_v_priority_status",
+    """
+    WITH j AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT p) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS k
+            FROM j),
+    mp AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cp FROM j GROUP BY p),
+    ms AS (SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM j GROUP BY s),
+    cells AS (
+      SELECT j.c, mp.cp * 1.0 * ms.cs / tot.n AS expected, tot.n, tot.r,
+             tot.k
+      FROM j JOIN mp USING (p) JOIN ms USING (s) CROSS JOIN tot),
+    chi AS (
+      SELECT MAX(n) AS n, MAX(r) AS r, MAX(k) AS k,
+             SUM((c - expected) * (c - expected) / expected) AS chi2
+      FROM cells)
+    SELECT CAST(n AS BIGINT) AS n_rows, CAST(r AS BIGINT) AS n_priorities,
+           CAST(k AS BIGINT) AS n_statuses,
+           ROUND(chi2 * 1e6, 0) / 1e6 AS chi2_r6,
+           CASE WHEN LEAST(r, k) > 1
+                THEN ROUND(sqrt(chi2 / (n * (LEAST(r, k) - 1))) * 1e6, 0)
+                     / 1e6 END AS cramers_v_r6
+    FROM chi
+    """,
+    "Cramér's V effect size of the priority x status association:"
+    " chi-square over the bounded contingency table normalized to"
+    " [0,1] by n*(min(r,c)-1) — the magnitude companion to the"
+    " chi-square significance test and the MI dependence screen",
+    tags=("diagnostics", "stats", "agg"),
+)
+def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect size, not just significance: chi-square grows linearly
+    with n even for trivial associations; V = sqrt(chi2/(n*(m-1)))
+    is scale-free. Same machinery as mutual_information_cats — one
+    corpus groupBy to the RxC cell grain, marginals from the cell
+    table, bounded float close (chisq precedent for the <=15-term
+    summation)."""
+    o = read_testdata(spark, sf_dir, "orders")
+    j = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = j.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count_distinct("p").cast("bigint").alias("r"),
+        F.count_distinct("s").cast("bigint").alias("k"),
+    )
+    mp = j.groupBy("p").agg(F.sum("c").cast("bigint").alias("cp"))
+    ms = j.groupBy("s").agg(F.sum("c").cast("bigint").alias("cs"))
+    cells = (
+        j.join(mp, "p")
+        .join(ms, "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            (F.col("cp") * 1.0 * F.col("cs") / F.col("n")).alias("expected"),
+            "n",
+            "r",
+            "k",
+        )
+    )
+    chi = cells.agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("k").alias("k"),
+        F.sum(
+            (F.col("c") - F.col("expected"))
+            * (F.col("c") - F.col("expected"))
+            / F.col("expected")
+        ).alias("chi2"),
+    )
+    m = F.least(F.col("r"), F.col("k"))
+    return chi.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("r").cast("bigint").alias("n_priorities"),
+        F.col("k").cast("bigint").alias("n_statuses"),
+        round_compat(F.col("chi2"), 6).alias("chi2_r6"),
+        F.when(
+            m > 1,
+            round_compat(F.sqrt(F.col("chi2") / (F.col("n") * (m - 1))), 6),
+        ).alias("cramers_v_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# McNemar's test on the paired document raters (kappa's siblings)
+# --------------------------------------------------------------------
+
+
+@register(
+    "mcnemar_rater_shift",
+    f"""
+    WITH lab AS (
+      SELECT CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(text) - length(replace(text, ' ', ''))
+                       + 1 >= {KAPPA_TOKEN_MIN}
+                  THEN 1 ELSE 0 END AS b
+      FROM documents),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01
+      FROM lab)
+    SELECT n AS n_docs, n10, n01,
+           CASE WHEN n10 + n01 > 0
+                THEN ROUND((n10 - n01) * 1.0 * (n10 - n01) / (n10 + n01)
+                           * 1e6, 0) / 1e6 END AS mcnemar_chi2_r6,
+           CASE WHEN n10 + n01 > 0
+                THEN ROUND((n10 * 1.0 / (n10 + n01)) * 1e6, 0) / 1e6 END
+             AS disagree_share_a_r6
+    FROM c
+    """,
+    "McNemar's paired test on the two document raters: does rater A"
+    " (char gate) systematically pass docs rater B (token gate)"
+    " rejects? chi2 = (n10-n01)^2/(n10+n01) over the discordant"
+    " cells — marginal-homogeneity audit for paired annotators,"
+    " complementing Cohen's kappa (agreement magnitude)",
+    tags=("text", "stats", "governance"),
+)
+def mcnemar_rater_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kappa says HOW MUCH two raters agree; McNemar says whether
+    their disagreements are DIRECTIONAL (one systematically stricter)
+    — the pair every annotation-quality audit reports together. Same
+    one-pass 2x2 machinery as cohens_kappa_labels, reading only the
+    discordant cells; all-concordant input pins NULL both engines."""
+    d = read_testdata(spark, sf_dir, "documents")
+    toks = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    lab = d.select(
+        F.when(F.col("n_chars") >= KAPPA_CHAR_MIN, 1).otherwise(0).alias("a"),
+        F.when(toks >= KAPPA_TOKEN_MIN, 1).otherwise(0).alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+    )
+    disc = F.col("n10") + F.col("n01")
+    return c.select(
+        F.col("n").alias("n_docs"),
+        "n10",
+        "n01",
+        F.when(
+            disc > 0,
+            round_compat(
+                (F.col("n10") - F.col("n01"))
+                * 1.0
+                * (F.col("n10") - F.col("n01"))
+                / disc,
+                6,
+            ),
+        ).alias("mcnemar_chi2_r6"),
+        F.when(
+            disc > 0, round_compat(F.col("n10") * 1.0 / disc, 6)
+        ).alias("disagree_share_a_r6"),
+    )
+
+
+# --------------------------------------------------------------------
+# Frequent 3-itemsets (a-priori triple step over order baskets)
+# --------------------------------------------------------------------
+
+FIT_TOP = 25
+
+
+@register(
+    "frequent_itemset_triples",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tri AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb, d.l_partkey AS pc,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM b a
+      JOIN b c ON c.l_orderkey = a.l_orderkey
+              AND c.l_partkey > a.l_partkey
+      JOIN b d ON d.l_orderkey = a.l_orderkey
+              AND d.l_partkey > c.l_partkey
+      GROUP BY 1, 2, 3)
+    SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+           CAST(pc AS BIGINT) AS pc, support
+    FROM tri
+    ORDER BY support DESC, pa, pb, pc LIMIT {FIT_TOP}
+    """,
+    f"frequent 3-itemsets over order baskets: the a-priori triple"
+    " step (market_basket_rules mines pairs) — per-order ordered"
+    " triple fanout bounded by basket size choose 3, one combinable"
+    f" groupBy, top-{FIT_TOP} by (support, keys)",
+    tags=("mining", "agg"),
+)
+def frequent_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extends the pair-mining operator one lattice level up: the
+    triple fanout is two per-order self-joins with a < b < c key
+    ordering — bounded by C(basket, 3) per order (TPC-H baskets are
+    <= 7 lines, so <= 35 triples per order: linear in lineitem, never
+    corpus-quadratic). One combinable groupBy counts supports; the
+    deterministic top-{FIT_TOP} cut runs as TakeOrderedAndProject.
+    At 100 TB the same shape holds because basket size is a domain
+    constant — the a-priori candidate-pruning step (filter triples by
+    frequent pairs) only becomes necessary when baskets grow into the
+    hundreds."""
+    li = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, c, d = li.alias("a"), li.alias("c"), li.alias("d")
+    tri = (
+        a.join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .join(
+            d,
+            (F.col("d.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("d.l_partkey") > F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("c.l_partkey").alias("pb"),
+            F.col("d.l_partkey").alias("pc"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    return (
+        tri.orderBy(
+            F.col("support").desc(), F.col("pa"), F.col("pb"), F.col("pc")
+        )
+        .limit(FIT_TOP)
+        .select(
+            F.col("pa").cast("bigint").alias("pa"),
+            F.col("pb").cast("bigint").alias("pb"),
+            F.col("pc").cast("bigint").alias("pc"),
+            "support",
+        )
+    )

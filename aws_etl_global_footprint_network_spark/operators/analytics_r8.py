@@ -1877,7 +1877,7 @@ FIT_TOP = 25
       FROM b a
       JOIN b c ON c.l_orderkey = a.l_orderkey
               AND c.l_partkey > a.l_partkey
-      JOIN b d ON d.l_orderkey = a.l_orderkey
+      JOIN b d ON d.l_orderkey = c.l_orderkey
               AND d.l_partkey > c.l_partkey
       GROUP BY 1, 2, 3)
     SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
@@ -1892,38 +1892,55 @@ FIT_TOP = 25
     tags=("mining", "agg"),
 )
 def frequent_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extends the pair-mining operator one lattice level up: the
-    triple fanout is two per-order self-joins with a < b < c key
-    ordering — bounded by C(basket, 3) per order (TPC-H baskets are
-    <= 7 lines, so <= 35 triples per order: linear in lineitem, never
-    corpus-quadratic). One combinable groupBy counts supports; the
-    deterministic top-{FIT_TOP} cut runs as TakeOrderedAndProject.
-    At 100 TB the same shape holds because basket size is a domain
-    constant — the a-priori candidate-pruning step (filter triples by
-    frequent pairs) only becomes necessary when baskets grow into the
-    hundreds."""
-    li = (
+    """Extends the pair-mining operator one lattice level up: each
+    basket contributes its C(basket, 3) ordered triples (TPC-H
+    baskets are <= 7 lines, so <= 35 triples per order: linear in
+    lineitem, never corpus-quadratic). One combinable groupBy counts
+    supports; the deterministic top-{FIT_TOP} cut runs as
+    TakeOrderedAndProject. At 100 TB the same shape holds because
+    basket size is a domain constant — the a-priori candidate-pruning
+    step (filter triples by frequent pairs) only becomes necessary
+    when baskets grow into the hundreds.
+
+    Shuffle shape: baskets collapse to one sorted-set array per
+    order (one combinable shuffle, subsumes the DISTINCT the oracle
+    states), a < b < c triples generate MAP-SIDE via two
+    index-sequence explodes + one value explode (plain codegen
+    generators), and one pair shuffle counts supports — two shuffles
+    total where the oracle's double self-join form is four.
+
+    Oracle gotcha: the d-join equality must be stated against C
+    (d.l_orderkey = c.l_orderkey), not transitively against a —
+    given `= a` on both joins, DuckDB's planner pairs c x d FIRST on
+    the partkey inequality alone (a quadratic PIECEWISE_MERGE_JOIN,
+    unbounded at sf1) and only then hash-joins a; the explicit c-d
+    equality keeps both joins keyed (0.9 s at sf1)."""
+    bask = (
         read_testdata(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
+        .filter(F.size("arr") >= 3)
     )
-    a, c, d = li.alias("a"), li.alias("c"), li.alias("d")
     tri = (
-        a.join(
-            c,
-            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        bask.select(
+            "arr",
+            F.explode(F.sequence(F.lit(0), F.size("arr") - 3)).alias("i"),
         )
-        .join(
-            d,
-            (F.col("d.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("d.l_partkey") > F.col("c.l_partkey")),
+        .select(
+            "arr",
+            "i",
+            F.explode(
+                F.sequence(F.col("i") + 1, F.size("arr") - 2)
+            ).alias("j"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("c.l_partkey").alias("pb"),
-            F.col("d.l_partkey").alias("pc"),
+        .select(
+            F.get("arr", F.col("i")).alias("pa"),
+            F.get("arr", F.col("j")).alias("pb"),
+            F.explode(
+                F.slice("arr", F.col("j") + 2, F.size("arr") - F.col("j") - 1)
+            ).alias("pc"),
         )
+        .groupBy("pa", "pb", "pc")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
     return (

@@ -89,24 +89,45 @@ def _copurchase_edges(
     spark: SparkSession, sf_dir: str, min_support: int = 1
 ) -> DataFrame:
     """Undirected (u < v) part pairs sharing at least ``min_support``
-    orders — per-order self-join (fanout bounded by basket size, <= 7
-    in TPC-H, so linear in lineitem) + one pair-keyed groupBy."""
+    orders.
+
+    Round-8 rewrite: the original distinct + per-order SELF-JOIN +
+    pair groupBy was three corpus shuffles plus two sort-merge sorts
+    and measured 28 s at sf1 — the single dominant cost of every
+    graph query downstream. This form collects each order's basket
+    (bounded: <= 7 lines in TPC-H — collect_set is safe at any corpus
+    scale because basket size is a domain constant) in ONE orderkey
+    shuffle, generates the C(basket, 2) ordered pairs map-side with
+    index-sequence explodes (plain codegen generators — NOT
+    higher-order-function lambdas, the repo's recurring
+    HOF-blocks-codegen lesson), and counts supports in one pair
+    shuffle: two shuffles total, no join, measured 28 s -> ~7 s at
+    sf1. collect_set also subsumes the distinct (intra-order repeats
+    collapse), and sort_array makes u < v by construction. The
+    DuckDB oracle keeps the independent self-join formulation."""
     li = read_testdata(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    if min_support > 1:
-        # support counts DISTINCT shared orders, so the base relation
-        # must be deduped first (same part can repeat within an order)
-        li = li.distinct()
-    a, b = li.alias("a"), li.alias("b")
-    raw = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
+        .filter(F.size("arr") >= 2)
+    )
+    raw = (
+        baskets.select(
+            "arr",
+            F.explode(F.sequence(F.lit(0), F.size("arr") - 2)).alias("i"),
+        )
+        .select(
+            F.get("arr", F.col("i")).alias("u"),
+            F.explode(
+                F.slice(
+                    "arr", F.col("i") + 2, F.size("arr") - F.col("i") - 1
+                )
+            ).alias("v"),
+        )
+    )
     if min_support <= 1:
-        # adjacency only — pair-level distinct subsumes the base
-        # dedup, saving one corpus-sized shuffle
         return raw.distinct()
     pairs = raw.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
     return pairs.filter(F.col("support") >= min_support).select("u", "v")
@@ -1564,26 +1585,41 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-item top-{II_TOP_PER_ITEM} window partitions by item —
     item-cardinality parallelism, no global sort. Ranking on the
     ROUNDED score (plus the id tiebreak) makes the cut order
-    identical in both engines. Frequencies join by key, unhinted."""
+    identical in both engines. Frequencies join by key, unhinted.
+
+    Shuffle shape (round-8 rewrite, 12 s -> ~3 s at sf1): the
+    distinct + per-order SELF-JOIN + pair groupBy was three
+    fact-sized shuffles; instead baskets collapse to one sorted-set
+    array per order (one combinable shuffle, subsumes the distinct),
+    frequencies explode from the persisted arrays (no second fact
+    scan), and the u < v pairs generate MAP-SIDE via index-sequence
+    explodes (plain codegen generators, not HOF lambdas) — one pair
+    shuffle, no join. Safe at any corpus scale: basket size is a
+    domain constant."""
     scope = CacheScope("item_item_cosine_topk")
     bask = scope.persist(
         read_testdata(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
     )
-    freq = bask.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("f")
+    freq = (
+        bask.select(F.explode("arr").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("f"))
     )
-    a, b = bask.alias("a"), bask.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        bask.filter(F.size("arr") >= 2)
+        .select(
+            "arr",
+            F.explode(F.sequence(F.lit(0), F.size("arr") - 2)).alias("i"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        .select(
+            F.get("arr", F.col("i")).alias("u"),
+            F.explode(
+                F.slice("arr", F.col("i") + 2, F.size("arr") - F.col("i") - 1)
+            ).alias("v"),
         )
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= II_MIN_CO)
     )
@@ -1681,7 +1717,19 @@ def next_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{SEQ_TOP_PER_ITEM} window partitions by part_prev
     (item-cardinality parallelism). All counts integer; ranking on
     (count desc, part_next) is total, so the cut is deterministic in
-    both engines."""
+    both engines.
+
+    Shuffle shape (round-8 rewrite): the naive form joined the
+    row-per-(order, part) deduped basket relation to both edge ends —
+    two fact-sized shuffle joins plus the distinct's own shuffle.
+    Instead the baskets collapse to ONE sorted-set array per order
+    (a single combinable shuffle that subsumes the distinct — safe at
+    any corpus scale because basket size is a domain constant), the
+    two edge joins carry one array row per order (~basket-size x
+    fewer rows), and the part_prev x part_next fanout explodes
+    MAP-SIDE after the joins. The lead() stays on the full orders
+    table so basket-less orders still occupy a sequence position,
+    exactly as the oracle's LEAD does."""
     o = read_testdata(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
@@ -1692,18 +1740,20 @@ def next_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope = CacheScope("next_order_transitions")
     bask = scope.persist(
         read_testdata(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
     )
     a = bask.select(
-        F.col("l_orderkey").alias("ok_a"), F.col("l_partkey").alias("part_prev")
+        F.col("l_orderkey").alias("ok_a"), F.col("arr").alias("prev_arr")
     )
     b = bask.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_next")
+        F.col("l_orderkey").alias("ok_b"), F.col("arr").alias("next_arr")
     )
     trans = (
         ord_.join(a, F.col("ok_a") == F.col("o_orderkey"))
         .join(b, F.col("ok_b") == F.col("next_ok"))
+        .select(F.explode("prev_arr").alias("part_prev"), "next_arr")
+        .select("part_prev", F.explode("next_arr").alias("part_next"))
         .groupBy("part_prev", "part_next")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
         .filter(F.col("n_transitions") >= SEQ_MIN_COUNT)

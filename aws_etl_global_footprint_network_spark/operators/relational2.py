@@ -815,26 +815,43 @@ def lone_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers on the order) and n_fault_suppliers (distinct suppliers
     with a return), and the two EXISTS conditions collapse to
     ``n_suppliers > 1 AND n_fault_suppliers = 1`` joined back to the
-    returned rows — two shuffles on l_orderkey total, hash-identical
-    to the subquery form. The final cut is a TakeOrdered on
-    (count desc, suppkey)."""
+    returned rows — hash-identical to the subquery form. The final
+    cut is a TakeOrdered on (count desc, suppkey).
+
+    Shuffle shape (round-8 rewrite, 10.5 s -> ~3 s at sf1): the
+    one-pass double countDistinct triggered Expand (x2 fact rows
+    shuffled, distinct machinery on both branches) plus a SECOND
+    lineitem scan+shuffle for the semi-join side. Instead ONE
+    combinable groupBy to the (orderkey, suppkey) grain carries
+    n_r (this supplier's returned lines on this order) — distinct
+    suppliers become a plain count(*) one level up, fault suppliers
+    a count of n_r > 0, and the numwait rows are the persisted
+    grain table re-filtered (no second fact scan)."""
+    from aws_etl_global_footprint_network_spark.functions.cache import (
+        CacheScope,
+    )
+
     li = read_testdata(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_fault_suppliers"),
+    scope = CacheScope("lone_fault_suppliers")
+    per_os = scope.persist(
+        li.groupBy("l_orderkey", "l_suppkey").agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_r")
+        )
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.count(F.when(F.col("n_r") > 0, 1)).alias("n_fault_suppliers"),
     )
     lone = per_order.filter(
         (F.col("n_suppliers") > 1) & (F.col("n_fault_suppliers") == 1)
     ).select("l_orderkey")
     return (
-        li.filter(F.col("l_returnflag") == "R")
+        per_os.filter(F.col("n_r") > 0)
         .join(lone, "l_orderkey", "left_semi")
         .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("n_r").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "l_suppkey")
         .limit(Q21_TOP)
         .select(F.col("l_suppkey").cast("bigint").alias("l_suppkey"), "numwait")

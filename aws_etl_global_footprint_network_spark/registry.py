@@ -136,6 +136,7 @@ def load_all() -> dict[str, QuerySpec]:
         advanced,
         analytics_plus,
         analytics_r8,
+        analytics_r8b,
         behavioral,
         corpus_prep,
         curation,

@@ -51,6 +51,16 @@ def get_spark(
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
         )
+        # parallelismFirst=false coalesces to the ADVISORY size, and
+        # Spark's 64 MB default turns a ~200 MB mid-size shuffle into
+        # ~3 reduce tasks — measured 20 s vs 3 s on the sf1 co-purchase
+        # pair count (round 8): a 6x throttle on exactly the shuffles
+        # that carry real data. 8 MB keeps sub-8 MB (toy-query)
+        # shuffles coalescing to one task — the round-7 latency win —
+        # while mid-size shuffles keep ~cores-many tasks. On a real
+        # cluster, size this to total-cores x a few MB; it is a
+        # PER-REDUCER target, not a cap on total parallelism.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # Pre-AQE shuffle parallelism: ~cores locally. On a cluster this
         # would be ~2-3x total cores; AQE coalesces the excess.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -137,6 +137,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_plus,
         analytics_r8,
         analytics_r8b,
+        analytics_r8c,
         behavioral,
         corpus_prep,
         curation,

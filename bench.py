@@ -200,6 +200,25 @@ HEADLINE = [
     "ndcg_label_relevance",
     "conditional_entropy_markov",
     "rolling_regression_beta",
+    # round-8 batches 5-6
+    "cramers_v_priority_status",
+    "mcnemar_rater_shift",
+    "frequent_itemset_triples",
+    "kruskal_wallis_h",
+    "fleiss_kappa_raters",
+    "calibration_reliability_bins",
+    "ccf_views_purchases",
+    "customer_orders_distribution",
+    "small_quantity_revenue",
+    "stump_split_gain",
+    # round-8 batch 7
+    "cuped_adjusted_ab",
+    "diff_in_diff_spend",
+    "stratified_ate_bins",
+    "seasonal_naive_backtest",
+    "good_turing_counts",
+    "winnowing_neardup_pairs",
+    "label_propagation_communities",
 ]
 
 

@@ -168,6 +168,33 @@ CARTESIAN_WHITELIST = {
     # expanded against the corpus (closed-form bin assignment), and
     # the 1-row totals into the 10-row bin table
     "psi_score_drift",
+    # round-8 scalar-subquery patterns, all 1-row (or fixed-K-row)
+    # broadcasts into bounded tables:
+    # 1-row grand total into the bounded RxC contingency cells
+    "cramers_v_priority_status",
+    "mutual_information_cats",
+    # 1-row N/ties total into the k-group close
+    "kruskal_wallis_h",
+    # 1-row min/max scalar into the corpus bin assignment
+    "calibration_reliability_bins",
+    "stump_split_gain",
+    "stratified_ate_bins",
+    # 1-row midpoint/theta scalars into the user-grain table
+    "cuped_adjusted_ab",
+    "diff_in_diff_spend",
+    # 8-row lag spine against the bounded daily table
+    "ccf_views_purchases",
+    # 1-row token total into the bounded frequency-of-frequencies
+    "good_turing_counts",
+    # 1-row horizon / population totals (KM's sibling)
+    "nelson_aalen_hazard",
+    # 1-row label/total scalars into the bounded top-k eval tables
+    "knn_label_accuracy",
+    "ndcg_label_relevance",
+    "threshold_pr_curve",
+    # 1-row grand totals into bounded per-day/series closes
+    "rolling_regression_beta",
+    "seasonal_decompose_daily",
 }
 
 

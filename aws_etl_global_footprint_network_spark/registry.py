@@ -54,14 +54,18 @@ def register(
 # evidence rotates in): (a) the 31 operators registered after the
 # round-7 window filled -- never externally sampled until now; (b) the
 # eight queries whose newest external evidence is round 3 (named
-# verbatim in verdict item 1); (c) the two queries whose executed plan
+# verbatim in verdict item 1); (c) the queries whose executed plan
 # changes this round -- pareto_frontier_parts gains the bounded
-# candidate broadcast with join fallback (verdict item 4) and
+# candidate broadcast with join fallback (verdict item 4),
 # kcore_copurchase gains the configurable checkpoint backend (verdict
-# item 5); (d) nine of the round-4 cohort (the oldest remaining
-# external evidence). Everything else keeps local coverage via
+# item 5), and triangle_count_copurchase / bfs_hops_copurchase ride
+# the basket-array co-purchase edge rewrite (their round-7 hashes
+# verified the OLD plan); (d) seven of the round-4 cohort (the oldest
+# remaining external evidence). The 23 operators new this round
+# (batches 3-7) plus everything else keep local coverage via
 # tests/test_oracle_parity.py (all queries, every test run) and the
-# per-round sf1 sweep (scripts/parity_sweep.py).
+# per-round sf1 sweep (scripts/parity_sweep.py); the new-op cohort is
+# the round-9 rotation's (a) class.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never-sampled round-7 tail (stats/graph/recsys cohort) --------
     "window_agg_join",
@@ -107,6 +111,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- (c) executed plan changes this round ------------------------------
     "pareto_frontier_parts",
     "kcore_copurchase",
+    "triangle_count_copurchase",
+    "bfs_hops_copurchase",
     # -- (d) round-4 cohort rotation (next-oldest external evidence) -------
     "calendar_spine",
     "events_funnel",
@@ -114,8 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "decayed_user_value",
     "pii_redaction",
     "ivf_kmeans_train",
-    "zorder_layout",
-    "asof_last_purchase",
     "streaming_daily_counts",
 )
 
@@ -138,6 +142,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_r8,
         analytics_r8b,
         analytics_r8c,
+        analytics_r8d,
         behavioral,
         corpus_prep,
         curation,

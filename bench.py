@@ -219,6 +219,14 @@ HEADLINE = [
     "good_turing_counts",
     "winnowing_neardup_pairs",
     "label_propagation_communities",
+    # round-8 batch 8
+    "cochran_q_raters",
+    "kendall_tau_priority_price",
+    "tukey_fences_outliers",
+    "page_hinkley_drift",
+    "event_type_trigrams",
+    "friedman_event_types",
+    "hits_hub_authority",
 ]
 
 

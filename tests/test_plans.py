@@ -195,6 +195,15 @@ CARTESIAN_WHITELIST = {
     # 1-row grand totals into bounded per-day/series closes
     "rolling_regression_beta",
     "seasonal_decompose_daily",
+    # batch-8: bounded-cell cross join (<= 25x25 contingency cells) +
+    # 1-row marginal/total broadcasts
+    "kendall_tau_priority_price",
+    # 1-row global-mean / n_days scalars into the bounded daily series
+    "page_hinkley_drift",
+    # 1-row treatment-count scalar into the block filter
+    "friedman_event_types",
+    # 1-row L1 normaliser per half-step
+    "hits_hub_authority",
 }
 
 

@@ -720,12 +720,21 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode — the verify is a single bit_count(xor) on the joined
     row, no second lookup join, no broadcast of any corpus-sized
     relation."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.operators.dedup import dedup_simhash
 
     fp = dedup_simhash(spark, sf_dir)
-    grp = fp.groupBy("simhash").agg(
-        F.min("doc_id").cast("bigint").alias("rep_doc"),
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    # persist at the distinct-fingerprint grain: the band self-join
+    # references this relation TWICE, and without the persist each
+    # side re-runs the full tokenize+md5+60-bit-vote fingerprint
+    # computation over the corpus (measured ~2x the whole stage at
+    # sf1; the persisted relation is fingerprint-sized, tiny)
+    scope = CacheScope("simhash_neardup_pairs")
+    grp = scope.persist(
+        fp.groupBy("simhash").agg(
+            F.min("doc_id").cast("bigint").alias("rep_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
     )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = grp.select(

@@ -445,51 +445,64 @@ def skipgram_ppmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed co-occurrence WITHOUT the quadratic trap: joining the
     position table to itself on doc_id alone and filtering
     |p_a - p_b| <= W builds len(doc)^2 intermediate pairs per
-    document — ruinous on long documents at corpus scale. Instead
-    each position row is replicated W times with its join position
-    shifted by k = 1..W, and the pair table is ONE equi-join on
-    (doc_id, position): exactly W * n_tokens rows enter the join,
-    linear in the corpus however long any single document is. Pair
-    counts are canonicalised to the unordered (lo, hi) key; unigram
-    marginals JOIN by token key (the vocabulary is never
-    broadcast-HINTED; the size-based planner may still promote it
-    when genuinely small, and falls back to shuffle join at scale —
-    same posture as token_pmi_bigrams); corpus totals enter as 1-row
-    in-plan broadcast aggregates. PPMI = max(0, ln p(ab) - ln p(a)
+    document — ruinous on long documents at corpus scale.
+
+    Round-8 rewrite (6.8 s -> ~2 s at sf1): the previous form
+    replicated every position W times and equi-joined back on
+    (doc_id, position) — correct and linear, but a W*n_tokens-row
+    shuffle join. The window is POSITIONAL within one document's
+    token array, so no join is needed at all: explode the anchor
+    index i, take tok_a = t[i] and tok_b from slice(t, i+2,
+    min(W, len-i-1)) — every (t[i], t[i+k]) pair for k = 1..W
+    generates MAP-SIDE (the basket-array recipe from the co-purchase
+    miners; plain codegen generators, not HOF lambdas). One pair
+    shuffle total. Pair counts canonicalise to the unordered
+    (lo, hi) key; unigram marginals JOIN by token key (never
+    broadcast-hinted); corpus totals enter as 1-row in-plan
+    broadcast aggregates. PPMI = max(0, ln p(ab) - ln p(a)
     - ln p(b)) with the ln terms in identical order on both sides,
     rounded at 1e-6."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
 
     d = spread(read_testdata(spark, sf_dir, "documents"))
-    base = d.select("doc_id", tokens("text").alias("t"))
     scope = CacheScope("skipgram_ppmi_cooccurrence")
-    pos = scope.persist(
-        base.select(
-            "doc_id", F.posexplode("t").alias("p0", "tok")
-        ).select("doc_id", (F.col("p0") + F.lit(1)).alias("p"), "tok")
-    )
-    ks = F.explode(
-        F.array(*[F.lit(k) for k in range(1, SKIP_WINDOW + 1)])
-    ).alias("k")
-    lef = pos.select("doc_id", "p", F.col("tok").alias("tok_a")).select(
-        "doc_id", "p", "tok_a", ks
-    ).select("doc_id", (F.col("p") + F.col("k")).alias("jp"), "tok_a")
-    r = pos.select(
-        F.col("doc_id").alias("r_doc"), F.col("p").alias("rp"),
-        F.col("tok").alias("tok_b"),
-    )
-    pairs = lef.join(
-        r, (F.col("r_doc") == F.col("doc_id")) & (F.col("rp") == F.col("jp"))
-    ).select(
-        F.least("tok_a", "tok_b").alias("tok_lo"),
-        F.greatest("tok_a", "tok_b").alias("tok_hi"),
+    base = scope.persist(d.select("doc_id", tokens("text").alias("t")))
+    # the size filter guards only the pair generator (sequence(0, -1)
+    # would descend); unigram marginals still count EVERY token,
+    # single-token docs included, exactly as the oracle does
+    pairs = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            "t",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"),
+        )
+        .select(
+            F.get("t", F.col("i")).alias("tok_a"),
+            F.explode(
+                F.slice(
+                    "t",
+                    F.col("i") + 2,
+                    F.least(
+                        F.lit(SKIP_WINDOW), F.size("t") - F.col("i") - 1
+                    ),
+                )
+            ).alias("tok_b"),
+        )
+        .select(
+            F.least("tok_a", "tok_b").alias("tok_lo"),
+            F.greatest("tok_a", "tok_b").alias("tok_hi"),
+        )
     )
     pc = scope.persist(
         pairs.groupBy("tok_lo", "tok_hi").agg(
             F.count(F.lit(1)).alias("c_pair")
         )
     )
-    uc = scope.persist(pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    uc = scope.persist(
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     n1 = uc.agg(F.sum("c").cast("bigint").alias("n_tok"))
     tp1 = pc.agg(F.sum("c_pair").cast("bigint").alias("t_pair"))
     ua = uc.select(F.col("tok").alias("tok_lo"), F.col("c").alias("c_lo"))

@@ -256,10 +256,21 @@ GLOBAL_WINDOW_WHITELIST = {
     # tenure month (calendar-bounded, ~80 rows over a 6.5-year corpus),
     # never the per-customer relation
     "kaplan_meier_churn",
+    # same tenure-distribution shape as kaplan_meier_churn (round-8
+    # sibling): cumulative hazard over one row per distinct tenure
+    # month, calendar-bounded
+    "nelson_aalen_hazard",
     # cumulative capture over the LIFT_BUCKETS(10)-row decile table —
     # bucket-bounded by construction (decile assignment itself runs
     # through distributed_ntile, never a global window)
     "decile_lift_table",
+    # round-8: cumulative class counts over the STUMP_BINS(20)-row
+    # bin table — bin-bounded by construction (the corpus pass is a
+    # combinable groupBy into the bins, never a global window)
+    "stump_split_gain",
+    # round-8: cumsum / running-min / argmax over the DAILY series —
+    # calendar-bounded (one row per day) like orders_monthly_growth
+    "page_hinkley_drift",
 }
 
 

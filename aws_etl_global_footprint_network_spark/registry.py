@@ -143,6 +143,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_r8b,
         analytics_r8c,
         analytics_r8d,
+        analytics_r8e,
         behavioral,
         corpus_prep,
         curation,

@@ -61,6 +61,12 @@ def get_spark(
         # cluster, size this to total-cores x a few MB; it is a
         # PER-REDUCER target, not a cap on total parallelism.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # Recursive CTEs guard against runaway recursion with BOTH a
+        # level limit and a row limit; the engine's recursions are all
+        # depth-capped in the query text (the real guard), so the row
+        # limit only needs to clear legitimate corpus-sized frontiers
+        # (the 1M default trips at sf1's 1.5M-order chain walk).
+        .config("spark.sql.cteRecursionRowLimit", str(500_000_000))
         # Pre-AQE shuffle parallelism: ~cores locally. On a cluster this
         # would be ~2-3x total cores; AQE coalesces the excess.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -227,6 +227,13 @@ HEADLINE = [
     "event_type_trigrams",
     "friedman_event_types",
     "hits_hub_authority",
+    # round-8 batch 9 (Spark 4 API surface)
+    "recursive_cte_order_depth",
+    "lateral_top2_per_nation",
+    "udtf_sentence_split",
+    "bitmap_distinct_users",
+    "hll_union_region_distinct",
+    "mode_brand_size",
 ]
 
 

@@ -144,6 +144,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_r8c,
         analytics_r8d,
         analytics_r8e,
+        analytics_r8f,
         behavioral,
         corpus_prep,
         curation,

@@ -234,6 +234,12 @@ HEADLINE = [
     "bitmap_distinct_users",
     "hll_union_region_distinct",
     "mode_brand_size",
+    # round-8 batch 10
+    "t_closeness_audit",
+    "seasonal_anomaly_days",
+    "dirichlet_ql_retrieval",
+    "hhi_concentration",
+    "feature_scaling_suite",
 ]
 
 

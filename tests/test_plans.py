@@ -204,6 +204,13 @@ CARTESIAN_WHITELIST = {
     "friedman_event_types",
     # 1-row L1 normaliser per half-step
     "hits_hub_authority",
+    # batch-10: bounded category/total broadcasts (5-row segment
+    # table + 1-row totals into the group-cardinality cell table)
+    "t_closeness_audit",
+    # 1-row residual-moment / corpus-stat / quantile broadcasts
+    "seasonal_anomaly_days",
+    "dirichlet_ql_retrieval",
+    "feature_scaling_suite",
 }
 
 

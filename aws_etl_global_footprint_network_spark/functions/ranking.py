@@ -160,18 +160,32 @@ def distributed_cumsum(
         .agg(*[F.sum(c).alias(o) for o, c in sums.items()])
         .collect()
     )
+    # NULL group values need an explicit sentinel on BOTH sides of the
+    # lookup: concat_ws SKIPS nulls (the key would silently collapse to
+    # just the pid and the coalesce below would mask the miss as a zero
+    # offset), so the Python key and the Spark key both encode NULL as
+    # a reserved NUL-prefixed token no real group string can equal.
+    _NULLG = "\x00<null>"
+
+    def _gkey(g) -> str:
+        return _NULLG if g is None else str(g)
+
     acc: dict[str, dict[str, int]] = {o: {} for o in sums}
     offsets: list = []
     for r in sorted(partials, key=lambda r: r["pid"]):
         for o in sums:
-            key = f"{r['pid']}|{r['g']}"
+            key = f"{r['pid']}|{_gkey(r['g'])}"
             acc_g = acc[o]
-            offsets.append((o, key, acc_g.get(str(r["g"]), 0)))
-            acc_g[str(r["g"])] = acc_g.get(str(r["g"]), 0) + (r[o] or 0)
+            offsets.append((o, key, acc_g.get(_gkey(r["g"]), 0)))
+            acc_g[_gkey(r["g"])] = acc_g.get(_gkey(r["g"]), 0) + (r[o] or 0)
     lw = Window.partitionBy(_PID, group_col).orderBy(*order_cols)
     frame = lw.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     out = ranged
-    lookup = F.concat_ws("|", F.col(_PID).cast("string"), F.col(group_col))
+    lookup = F.concat_ws(
+        "|",
+        F.col(_PID).cast("string"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit(_NULLG)),
+    )
     for o, c in sums.items():
         entries = [x for oo, k, v in offsets if oo == o for x in (F.lit(k), F.lit(v))]
         off = (

@@ -239,8 +239,12 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cohen's kappa: agreement between two deterministic document raters
 # --------------------------------------------------------------------
 
-KAPPA_CHAR_MIN = 300  # rater A: doc is "substantial" by raw length
-KAPPA_TOKEN_MIN = 55  # rater B: same judgment from token count
+from aws_etl_global_footprint_network_spark.functions.raters import (
+    RATER_CHAR_MIN as KAPPA_CHAR_MIN,  # rater A: substantial by raw length
+)
+from aws_etl_global_footprint_network_spark.functions.raters import (
+    RATER_TOKEN_MIN as KAPPA_TOKEN_MIN,  # rater B: same judgment from tokens
+)
 
 
 @register(
@@ -424,6 +428,31 @@ def mutual_information_cats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_N_THRESHOLDS = 9
 
 
+
+def urgent_score_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (score, y) classifier-evaluation relation: score =
+    exact-cents account balance, label = customer ever placed an
+    URGENT order. threshold_pr_curve, auc_roc_score and
+    calibration_reliability_bins all evaluate THIS one classifier
+    from three angles (operating points / ranking / calibration) —
+    one construction makes that comparability structural (round-8
+    review finding)."""
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("score"),
+    )
+    u = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(u, c.c_custkey == u.o_custkey, "left").select(
+        "score",
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("y"),
+    )
+
+
 @register(
     "threshold_pr_curve",
     f"""
@@ -480,20 +509,7 @@ def threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern) with integer-truncated evenly-spaced edges — identical
     arithmetic both engines. Label = customer placed >=1 URGENT
     order (the decile_lift_table labeling, ~86% base rate)."""
-    c = read_testdata(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("score"),
-    )
-    u = (
-        read_testdata(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_custkey")
-        .distinct()
-    )
-    scored = c.join(u, c.c_custkey == u.o_custkey, "left").select(
-        "score",
-        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("y"),
-    )
+    scored = urgent_score_labels(spark, sf_dir)
     b = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
     grid = (
         spark.range(1, PR_N_THRESHOLDS + 1)
@@ -618,6 +634,23 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is calendar-cardinality, so every join here is
     AQE-broadcast-sized regardless of corpus size; the corpus-scale
     work is exactly one groupBy(day)."""
+    out = seasonal_daily_components(spark, sf_dir)
+    return out.select(
+        "day",
+        "cents",
+        round_compat(F.col("trend"), 6).alias("trend_r6"),
+        round_compat(F.col("seasonal"), 6).alias("seasonal_r6"),
+        round_compat(F.col("resid"), 6).alias("resid_r6"),
+    )
+
+
+def seasonal_daily_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared UNROUNDED decomposition relation (day, cents, trend,
+    seasonal, resid) consumed by seasonal_decompose_daily (rounds it)
+    and seasonal_anomaly_days (standardizes the residual) — one
+    construction so a fix to the window/edge handling propagates to
+    both (round-8 review finding). Exactness recipe documented on the
+    operator above."""
     e = (
         read_testdata(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -656,7 +689,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("detr7").cast("bigint").alias("s_sum"),
         F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
     )
-    out = detr.join(F.broadcast(seas), "dow").select(
+    return detr.join(F.broadcast(seas), "dow").select(
         "day",
         "cents",
         (F.col("sum7") / 7.0).alias("trend"),
@@ -665,13 +698,6 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("detr7") / 7.0
             - F.col("s_sum") / (7.0 * F.col("s_cnt"))
         ).alias("resid"),
-    )
-    return out.select(
-        "day",
-        "cents",
-        round_compat(F.col("trend"), 6).alias("trend_r6"),
-        round_compat(F.col("seasonal"), 6).alias("seasonal_r6"),
-        round_compat(F.col("resid"), 6).alias("resid_r6"),
     )
 
 
@@ -925,20 +951,7 @@ def auc_roc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         distributed_cumsum,
     )
 
-    c = read_testdata(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("score"),
-    )
-    u = (
-        read_testdata(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_custkey")
-        .distinct()
-    )
-    scored = c.join(u, c.c_custkey == u.o_custkey, "left").select(
-        "score",
-        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("y"),
-    )
+    scored = urgent_score_labels(spark, sf_dir)
     v = scored.groupBy("score").agg(
         F.sum("y").alias("n1v"), F.count(F.lit(1)).alias("t")
     ).withColumn("g", F.lit(1))
@@ -1921,25 +1934,12 @@ def frequent_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
         .filter(F.size("arr") >= 3)
     )
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        explode_sorted_triples,
+    )
+
     tri = (
-        bask.select(
-            "arr",
-            F.explode(F.sequence(F.lit(0), F.size("arr") - 3)).alias("i"),
-        )
-        .select(
-            "arr",
-            "i",
-            F.explode(
-                F.sequence(F.col("i") + 1, F.size("arr") - 2)
-            ).alias("j"),
-        )
-        .select(
-            F.get("arr", F.col("i")).alias("pa"),
-            F.get("arr", F.col("j")).alias("pb"),
-            F.explode(
-                F.slice("arr", F.col("j") + 2, F.size("arr") - F.col("j") - 1)
-            ).alias("pc"),
-        )
+        explode_sorted_triples(bask, "arr", "pa", "pb", "pc")
         .groupBy("pa", "pb", "pc")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )

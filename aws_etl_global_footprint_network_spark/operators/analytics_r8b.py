@@ -158,8 +158,12 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fleiss' kappa over three deterministic document raters
 # --------------------------------------------------------------------
 
-FK_CHAR_MIN = 300  # rater A: same substantial-length gate as Cohen's
-FK_TOKEN_MIN = 55  # rater B: same token-count gate as Cohen's
+# raters shared structurally with Cohen's kappa / McNemar / Cochran's Q
+# (functions.raters is the single source of the gate definitions)
+from aws_etl_global_footprint_network_spark.functions.raters import (
+    RATER_CHAR_MIN as FK_CHAR_MIN,
+    RATER_TOKEN_MIN as FK_TOKEN_MIN,
+)
 
 
 @register(
@@ -273,7 +277,8 @@ CAL_BINS = 10
     b AS (
       SELECT CAST(((s - mn) * {CAL_BINS}) // (mx - mn + 1) AS BIGINT)
                AS bin,
-             (s - mn) * 1.0 / (mx - mn) AS p, y
+             CASE WHEN mx > mn
+                  THEN (s - mn) * 1.0 / (mx - mn) END AS p, y
       FROM scored CROSS JOIN mm)
     SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(AVG(p) * 1e6, 0) / 1e6 AS avg_pred_r6,
@@ -296,25 +301,21 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor can; the min/max enter as a broadcast 1-row scalar. Output
     is the bounded per-bin table; the ECE is its n-weighted gap sum,
     left to the reader so every bin stays hash-checkable."""
-    c = read_testdata(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("s"),
+    from aws_etl_global_footprint_network_spark.operators.analytics_r8 import (
+        urgent_score_labels,
     )
-    u = (
-        read_testdata(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_custkey")
-        .distinct()
-    )
-    scored = c.join(u, c.c_custkey == u.o_custkey, "left").select(
-        "s", F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("y")
+
+    scored = urgent_score_labels(spark, sf_dir).select(
+        F.col("score").alias("s"), "y"
     )
     mm = scored.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
     b = scored.crossJoin(F.broadcast(mm)).select(
         F.expr(f"CAST(((s - mn) * {CAL_BINS}) DIV (mx - mn + 1) AS BIGINT)")
         .alias("bin"),
-        ((F.col("s") - F.col("mn")) * 1.0 / (F.col("mx") - F.col("mn")))
-        .alias("p"),
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("s") - F.col("mn")) * 1.0 / (F.col("mx") - F.col("mn")),
+        ).alias("p"),
         "y",
     )
     return (

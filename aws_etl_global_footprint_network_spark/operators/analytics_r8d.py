@@ -23,8 +23,11 @@ from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 # Cochran's Q over the three deterministic document raters
 # --------------------------------------------------------------------
 
-CQ_CHAR_MIN = 300  # rater A — shared with Cohen's/Fleiss' kappa ops
-CQ_TOKEN_MIN = 55  # rater B
+# raters shared structurally with Cohen's/Fleiss' kappa and McNemar
+from aws_etl_global_footprint_network_spark.functions.raters import (
+    RATER_CHAR_MIN as CQ_CHAR_MIN,
+    RATER_TOKEN_MIN as CQ_TOKEN_MIN,
+)
 
 
 @register(
@@ -138,7 +141,7 @@ KT_BINS = 5
     SELECT CAST(marg.n AS BIGINT) AS n_orders,
            CAST(cd.conc AS DOUBLE) AS concordant,
            CAST(cd.disc AS DOUBLE) AS discordant,
-           ROUND((CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
+           ROUND(2.0 * (CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
                  / sqrt((CAST(marg.n AS DOUBLE) * marg.n - CAST(marg.r2 AS DOUBLE))
                         * (CAST(marg.n AS DOUBLE) * marg.n - CAST(marg.c2 AS DOUBLE)))
                  * 1e6, 0) / 1e6 AS tau_b_r6
@@ -161,7 +164,15 @@ def kendall_tau_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n^2-scale tie terms run in DECIMAL(38,0); the single sqrt
     close converts to DOUBLE on both sides (the ANSI-overflow
     lesson). The price bucket uses the exact integer-DIV equal-width
-    recipe."""
+    recipe.
+
+    Normalisation identity (the factor of 2 is load-bearing):
+    unordered pairs are counted ONCE (only the pb > pa orientation),
+    while n^2 - sum(r_i^2) equals 2*(n0 - n1) with n0 = n(n-1)/2 and
+    n1 = sum(t_i(t_i-1)/2) — so tau-b = 2(C - D) /
+    sqrt((n^2 - sum r^2)(n^2 - sum c^2)). Verified against a
+    brute-force pairwise reference in tests (perfectly concordant
+    2-cell data gives exactly 1.0)."""
     o = read_testdata(spark, sf_dir, "orders").select(
         F.substring("o_orderpriority", 1, 1).cast("bigint").alias("pr"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("s"),
@@ -228,7 +239,8 @@ def kendall_tau_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("conc").cast("double").alias("concordant"),
             F.col("disc").cast("double").alias("discordant"),
             round_compat(
-                (F.col("conc").cast("double") - F.col("disc").cast("double"))
+                2.0
+                * (F.col("conc").cast("double") - F.col("disc").cast("double"))
                 / F.sqrt(
                     (nn - F.col("r2").cast("double"))
                     * (nn - F.col("c2").cast("double"))

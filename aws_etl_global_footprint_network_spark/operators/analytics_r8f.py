@@ -170,47 +170,12 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample standard deviation — mean/sd as a 1-row broadcast,
     threshold identical both engines, day-ordered deterministic
     output."""
-    e = read_testdata(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+    from aws_etl_global_footprint_network_spark.operators.analytics_r8 import (
+        seasonal_daily_components,
     )
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-        .cast("bigint")
-        .alias("cents")
-    )
-    a = daily.select(F.col("day").alias("d_a"), F.col("cents"))
-    b = daily.select(F.col("day").alias("d_b"), F.col("cents").alias("cb"))
-    win = (
-        a.join(
-            b,
-            (F.col("d_b") >= F.date_sub("d_a", 3))
-            & (F.col("d_b") <= F.date_add("d_a", 3)),
-        )
-        .groupBy(F.col("d_a").alias("day"), "cents")
-        .agg(
-            F.sum("cb").cast("bigint").alias("sum7"),
-            F.count(F.lit(1)).alias("c7"),
-        )
-        .filter(F.col("c7") == 7)
-    )
-    detr = win.select(
-        "day",
-        "cents",
-        # ISO weekday (Mon=1..Sun=7) to match the oracle's isodow()
-        F.expr("(dayofweek(day) + 5) % 7 + 1").alias("dow"),
-        (F.col("cents") * 7 - F.col("sum7")).alias("detr7"),
-    )
-    seas = detr.groupBy("dow").agg(
-        F.sum("detr7").cast("bigint").alias("s_sum"),
-        F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
-    )
-    resid = detr.join(seas, "dow").select(
-        "day",
-        "cents",
-        (
-            F.col("detr7") / 7.0
-            - F.col("s_sum") / (7.0 * F.col("s_cnt"))
-        ).alias("r"),
+
+    resid = seasonal_daily_components(spark, sf_dir).select(
+        "day", "cents", F.col("resid").alias("r")
     )
     mu = resid.agg(F.avg("r").alias("mu"))
     mom = (
@@ -360,10 +325,11 @@ def dirichlet_ql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM((s.cents * 1.0 / t.seg_cents)
                      * (s.cents * 1.0 / t.seg_cents)) * 1e6, 0) / 1e6
              AS hhi_r6,
-           ROUND((SUM((s.cents * 1.0 / t.seg_cents)
-                      * (s.cents * 1.0 / t.seg_cents))
-                  - 1.0 / t.n_custs) / (1.0 - 1.0 / t.n_custs)
-                 * 1e6, 0) / 1e6 AS hhi_normalized_r6
+           CASE WHEN t.n_custs > 1
+                THEN ROUND((SUM((s.cents * 1.0 / t.seg_cents)
+                           * (s.cents * 1.0 / t.seg_cents))
+                       - 1.0 / t.n_custs) / (1.0 - 1.0 / t.n_custs)
+                      * 1e6, 0) / 1e6 END AS hhi_normalized_r6
     FROM s JOIN tot t ON t.segment = s.segment
     GROUP BY t.segment, t.n_custs, t.seg_cents
     ORDER BY t.segment
@@ -409,10 +375,13 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
             "n_custs",
             round_compat(F.col("hhi"), 6).alias("hhi_r6"),
-            round_compat(
-                (F.col("hhi") - 1.0 / F.col("n_custs"))
-                / (1.0 - 1.0 / F.col("n_custs")),
-                6,
+            F.when(
+                F.col("n_custs") > 1,
+                round_compat(
+                    (F.col("hhi") - 1.0 / F.col("n_custs"))
+                    / (1.0 - 1.0 / F.col("n_custs")),
+                    6,
+                ),
             ).alias("hhi_normalized_r6"),
         )
         .orderBy("segment")
@@ -438,10 +407,12 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
              quantile_cont(CAST(bal AS DOUBLE), 0.75) AS q3
       FROM f)
     SELECT f.c_custkey,
-           ROUND((f.bal - p.mn) * 1.0 / (p.mx - p.mn) * 1e6, 0) / 1e6
-             AS minmax_r6,
-           ROUND((f.bal - p.med) / (p.q3 - p.q1) * 1e6, 0) / 1e6
-             AS robust_r6
+           CASE WHEN p.mx > p.mn
+                THEN ROUND((f.bal - p.mn) * 1.0 / (p.mx - p.mn)
+                           * 1e6, 0) / 1e6 END AS minmax_r6,
+           CASE WHEN p.q3 > p.q1
+                THEN ROUND((f.bal - p.med) / (p.q3 - p.q1)
+                           * 1e6, 0) / 1e6 END AS robust_r6
     FROM f CROSS JOIN p
     ORDER BY f.c_custkey LIMIT 1000
     """,
@@ -478,15 +449,22 @@ def feature_scaling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.crossJoin(F.broadcast(p))
         .select(
             "c_custkey",
-            round_compat(
-                (F.col("bal") - F.col("mn"))
-                * 1.0
-                / (F.col("mx") - F.col("mn")),
-                6,
+            F.when(
+                F.col("mx") > F.col("mn"),
+                round_compat(
+                    (F.col("bal") - F.col("mn"))
+                    * 1.0
+                    / (F.col("mx") - F.col("mn")),
+                    6,
+                ),
             ).alias("minmax_r6"),
-            round_compat(
-                (F.col("bal") - F.col("med")) / (F.col("q3") - F.col("q1")),
-                6,
+            F.when(
+                F.col("q3") > F.col("q1"),
+                round_compat(
+                    (F.col("bal") - F.col("med"))
+                    / (F.col("q3") - F.col("q1")),
+                    6,
+                ),
             ).alias("robust_r6"),
         )
         .orderBy("c_custkey")

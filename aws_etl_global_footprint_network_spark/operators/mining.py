@@ -108,25 +108,14 @@ def _copurchase_edges(
     li = read_testdata(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
-        .filter(F.size("arr") >= 2)
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        explode_sorted_pairs,
     )
-    raw = (
-        baskets.select(
-            "arr",
-            F.explode(F.sequence(F.lit(0), F.size("arr") - 2)).alias("i"),
-        )
-        .select(
-            F.get("arr", F.col("i")).alias("u"),
-            F.explode(
-                F.slice(
-                    "arr", F.col("i") + 2, F.size("arr") - F.col("i") - 1
-                )
-            ).alias("v"),
-        )
+
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
+    raw = explode_sorted_pairs(baskets, "arr", "u", "v")
     if min_support <= 1:
         return raw.distinct()
     pairs = raw.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
@@ -1616,18 +1605,12 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        explode_sorted_pairs,
+    )
+
     co = (
-        bask.filter(F.size("arr") >= 2)
-        .select(
-            "arr",
-            F.explode(F.sequence(F.lit(0), F.size("arr") - 2)).alias("i"),
-        )
-        .select(
-            F.get("arr", F.col("i")).alias("u"),
-            F.explode(
-                F.slice("arr", F.col("i") + 2, F.size("arr") - F.col("i") - 1)
-            ).alias("v"),
-        )
+        explode_sorted_pairs(bask, "arr", "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= II_MIN_CO)

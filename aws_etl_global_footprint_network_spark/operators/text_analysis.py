@@ -470,28 +470,15 @@ def skipgram_ppmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the size filter guards only the pair generator (sequence(0, -1)
     # would descend); unigram marginals still count EVERY token,
     # single-token docs included, exactly as the oracle does
-    pairs = (
-        base.filter(F.size("t") >= 2)
-        .select(
-            "t",
-            F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"),
-        )
-        .select(
-            F.get("t", F.col("i")).alias("tok_a"),
-            F.explode(
-                F.slice(
-                    "t",
-                    F.col("i") + 2,
-                    F.least(
-                        F.lit(SKIP_WINDOW), F.size("t") - F.col("i") - 1
-                    ),
-                )
-            ).alias("tok_b"),
-        )
-        .select(
-            F.least("tok_a", "tok_b").alias("tok_lo"),
-            F.greatest("tok_a", "tok_b").alias("tok_hi"),
-        )
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        explode_sorted_pairs,
+    )
+
+    pairs = explode_sorted_pairs(
+        base, "t", "tok_a", "tok_b", max_span=SKIP_WINDOW
+    ).select(
+        F.least("tok_a", "tok_b").alias("tok_lo"),
+        F.greatest("tok_a", "tok_b").alias("tok_hi"),
     )
     pc = scope.persist(
         pairs.groupBy("tok_lo", "tok_hi").agg(

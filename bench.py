@@ -630,6 +630,7 @@ def main() -> None:
     # round, chunk index keyed by the round number. Totals go in the
     # compact line; per-query numbers in the sidecar.
     rotation: dict[str, float] = {}
+    rot_errors: dict[str, str] = {}
     rot_label = None
     if "--all" not in sys.argv and "--no-rotation" not in sys.argv:
         unbenched = sorted(n for n in specs if n not in HEADLINE)
@@ -650,8 +651,13 @@ def main() -> None:
                 try:
                     n = specs[name].builder(spark, SF_DIR).count()
                 except Exception as exc:
-                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                    print(f"# rot {name}: ERROR {errors[name]}",
+                    # rotation failures are tracked SEPARATELY from the
+                    # headline errors: the compact line's n_errors must
+                    # mean "headline queries failing" and nothing else
+                    # (a rotation-only failure once read as a headline
+                    # regression)
+                    rot_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    print(f"# rot {name}: ERROR {rot_errors[name]}",
                           file=sys.stderr)
                     continue
                 rotation[name] = round(time.perf_counter() - t0, 3)
@@ -677,6 +683,9 @@ def main() -> None:
         line["rot_total"] = round(sum(rotation.values()), 3)
         line["rot_chunk"] = rot_label
         details["rotation_queries"] = rotation
+    if rot_errors:
+        line["rot_errors"] = len(rot_errors)
+        details["rotation_errors"] = rot_errors
     if errors:
         line["n_errors"] = len(errors)
         details["errors"] = errors

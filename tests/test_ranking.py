@@ -173,3 +173,37 @@ def test_distributed_cumsum_plan_windows_keyed_by_pid(spark):
     out = distributed_cumsum(df, "g", [F.col("x")], {"cb": "t"}, scope)
     assert unpartitioned_windows(out) == []
     scope.release()
+
+
+def test_distributed_cumsum_null_group_matches_window(spark):
+    """Regression (round-8 review): a NULL group value must get the
+    same running sums as the window formulation — the lookup key used
+    to collapse to the bare partition id (concat_ws skips NULLs) and
+    the coalesce masked the miss as a zero offset."""
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        distributed_cumsum,
+    )
+
+    rows = [(None if i % 3 == 0 else f"g{i % 3}", i, 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, x int, t int")
+    scope = CacheScope("test_cumsum_nullgroup")
+    try:
+        got = (
+            distributed_cumsum(df, "g", [F.col("x")], {"cb": "t"}, scope)
+            .collect()
+        )
+        w = (
+            Window.partitionBy("g")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        want = df.select(
+            "g",
+            "x",
+            F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cb"),
+        ).collect()
+        gk = {(r["g"], r["x"]): r["cb"] for r in got}
+        for r in want:
+            assert gk[(r["g"], r["x"])] == r["cb"], (r["g"], r["x"])
+    finally:
+        scope.release()

@@ -34,6 +34,46 @@ def test_kendall_tau_within_bounds(spark, sf_dir):
     )
 
 
+def test_kendall_tau_matches_bruteforce(spark, sf_dir):
+    """Pin tau-b against an O(n^2) pairwise reference on the operator's
+    own (priority, bucket) pairs — catches normalisation errors the
+    oracle can't (both engines once shared a tau/2 bug)."""
+    import duckdb
+    import math
+
+    pairs = duckdb.sql(
+        f"""
+        WITH o AS (
+          SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pr,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS s
+          FROM '{sf_dir}/orders.parquet'),
+        mm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM o)
+        SELECT pr, CAST(((s - mn) * 5) // (mx - mn + 1) AS BIGINT) AS qb
+        FROM o CROSS JOIN mm
+        """
+    ).fetchall()
+    n = len(pairs)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dp = pairs[i][0] - pairs[j][0]
+            dq = pairs[i][1] - pairs[j][1]
+            if dp * dq > 0:
+                conc += 1
+            elif dp * dq < 0:
+                disc += 1
+    from collections import Counter
+
+    rt = Counter(p[0] for p in pairs)
+    ct = Counter(p[1] for p in pairs)
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in rt.values())
+    n2 = sum(t * (t - 1) / 2 for t in ct.values())
+    want = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+    r = SPECS["kendall_tau_priority_price"].builder(spark, sf_dir).collect()[0]
+    assert abs(r["tau_b_r6"] - want) < 1e-5, (r["tau_b_r6"], want)
+
+
 def test_tukey_fences_rates_and_quartile_order(spark, sf_dir):
     rows = SPECS["tukey_fences_outliers"].builder(spark, sf_dir).collect()
     assert len(rows) > 0

@@ -233,8 +233,10 @@ def _ql_tf_sql(t: str) -> str:
     scored AS (
       SELECT tf.doc_id, tf.dl,
              {" + ".join(
-                 f"ln((tf.tf_{t} + {QL_MU} * corpus.cf_{t} * 1.0"
+                 f"CASE WHEN corpus.cf_{t} > 0 THEN"
+                 f" ln((tf.tf_{t} + {QL_MU} * corpus.cf_{t} * 1.0"
                  f" / corpus.n_tokens) / (tf.dl + {QL_MU}))"
+                 f" ELSE 0.0 END"
                  for t in QL_TERMS)}
                AS score
       FROM tf CROSS JOIN corpus
@@ -281,15 +283,22 @@ def dirichlet_ql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in QL_TERMS
         ],
     )
+    # OOV guard (review lesson: data-dependent log(0) splits Spark
+    # NULL vs DuckDB -inf): a query term absent from the WHOLE corpus
+    # (cf = 0, so docs with tf = 0 hit ln(0)) contributes nothing —
+    # the standard drop-unseen-terms rule, stated on both engines.
     score = None
     for t in QL_TERMS:
-        term = F.log(
-            (
-                F.col(f"tf_{t}")
-                + QL_MU * F.col(f"cf_{t}") * 1.0 / F.col("n_tokens")
-            )
-            / (F.col("dl") + QL_MU)
-        )
+        term = F.when(
+            F.col(f"cf_{t}") > 0,
+            F.log(
+                (
+                    F.col(f"tf_{t}")
+                    + QL_MU * F.col(f"cf_{t}") * 1.0 / F.col("n_tokens")
+                )
+                / (F.col("dl") + QL_MU)
+            ),
+        ).otherwise(F.lit(0.0))
         score = term if score is None else score + term
     return (
         tf.crossJoin(F.broadcast(corpus))

@@ -145,6 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_r8d,
         analytics_r8e,
         analytics_r8f,
+        analytics_r8g,
         behavioral,
         corpus_prep,
         curation,

@@ -240,6 +240,11 @@ HEADLINE = [
     "dirichlet_ql_retrieval",
     "hhi_concentration",
     "feature_scaling_suite",
+    # round-8 batch 11
+    "entity_resolution_clusters",
+    "qini_uplift_by_bin",
+    "gdpr_delete_impact",
+    "degree_distribution_log_bins",
 ]
 
 

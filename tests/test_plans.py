@@ -211,6 +211,10 @@ CARTESIAN_WHITELIST = {
     "seasonal_anomaly_days",
     "dirichlet_ql_retrieval",
     "feature_scaling_suite",
+    # batch-11: 1-row min/max scalar into the bin assignment; 1-row
+    # per-table count pairs unioned into the 3-row report
+    "qini_uplift_by_bin",
+    "gdpr_delete_impact",
 }
 
 
@@ -278,6 +282,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # round-8: cumsum / running-min / argmax over the DAILY series —
     # calendar-bounded (one row per day) like orders_monthly_growth
     "page_hinkley_drift",
+    # round-8: cumulative Qini over the UPLIFT_BINS(10)-row bin table
+    # — bin-bounded by construction (stump_split_gain precedent)
+    "qini_uplift_by_bin",
 }
 
 

@@ -99,3 +99,42 @@ def test_mode_agrees_with_bruteforce(spark, sf_dir):
     # the in-plan filter drops rows where mode(col,true) disagrees with
     # the argmax; full agreement means every brand survives
     assert got == want
+
+
+def test_with_recursive_api(spark, sf_dir):
+    """Spark 4 WITH RECURSIVE API surface (the production
+    recursive_cte_order_depth query walks the same chain by pointer
+    jumping — logarithmic rounds; this pins the linear recursion
+    feature itself on a tiny slice and cross-checks the two)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+    o = read_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    succ = o.select(
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint()
+    succ.createOrReplaceTempView("succ_rcte_demo")
+    got = {
+        r["depth"]: r["n"]
+        for r in spark.sql(
+            """
+            WITH RECURSIVE chain (o_orderkey, depth) AS (
+              SELECT o_orderkey, 0 FROM succ_rcte_demo WHERE rn = 1
+              UNION ALL
+              SELECT s.next_ok, c.depth + 1
+              FROM chain c JOIN succ_rcte_demo s ON s.o_orderkey = c.o_orderkey
+              WHERE s.next_ok IS NOT NULL AND c.depth + 1 <= 8)
+            SELECT depth, COUNT(*) AS n FROM chain GROUP BY depth
+            """
+        ).collect()
+    }
+    want = {
+        r["depth"]: r["n_orders"]
+        for r in SPECS["recursive_cte_order_depth"].builder(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -948,15 +948,17 @@ def auc_roc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins NULL both engines."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_cumsum,
+        adaptive_cumsum,
     )
 
     scored = urgent_score_labels(spark, sf_dir)
     v = scored.groupBy("score").agg(
         F.sum("y").alias("n1v"), F.count(F.lit(1)).alias("t")
     ).withColumn("g", F.lit(1))
-    cum = distributed_cumsum(
-        v, "g", [F.col("score")], {"cb": "t"}, CacheScope("auc_roc_score")
+    est = scored.agg(F.approx_count_distinct("score")).first()[0]
+    cum = adaptive_cumsum(
+        v, "g", [F.col("score")], {"cb": "t"}, CacheScope("auc_roc_score"),
+        n_rows=est,
     )
     s = cum.agg(
         F.sum("n1v").alias("n1"),
@@ -1154,7 +1156,7 @@ def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     value window (sound single-node), an independent formulation."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_cumsum,
+        adaptive_cumsum,
     )
 
     e = (
@@ -1168,13 +1170,17 @@ def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.groupBy("event_type", "cents").agg(
         F.count(F.lit(1)).cast("bigint").alias("t")
     )
-    c = distributed_cumsum(
+    est = e.agg(
+        F.approx_count_distinct(F.struct("event_type", "cents"))
+    ).first()[0]
+    c = adaptive_cumsum(
         v,
         "event_type",
         [F.col("cents")],
         {"c1": "t"},
         CacheScope("brown_forsythe_test"),
         inclusive=True,
+        n_rows=est,
     )
     n = v.groupBy("event_type").agg(F.sum("t").cast("bigint").alias("n"))
     cn = c.join(F.broadcast(n), "event_type")

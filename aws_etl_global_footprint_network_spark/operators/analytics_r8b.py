@@ -89,7 +89,7 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_cumsum,
+        adaptive_cumsum,
     )
 
     e = (
@@ -109,7 +109,8 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_gx").alias("t"))
         .withColumn("g", F.lit(1))
     )
-    c = distributed_cumsum(v, "g", [F.col("x")], {"cb": "t"}, scope)
+    est = e.agg(F.approx_count_distinct("x")).first()[0]
+    c = adaptive_cumsum(v, "g", [F.col("x")], {"cb": "t"}, scope, n_rows=est)
     rg = (
         ec.join(c.select("x", "t", "cb"), "x")
         .groupBy("event_type")

@@ -152,21 +152,32 @@ def test_kcore_result_backend_independent(spark, sf_dir_mid, tmp_path):
 @pytest.mark.parametrize(
     "name", ["spearman_rank_corr", "mann_whitney_u", "ks_two_sample"]
 )
-def test_stats_ops_have_no_group_only_windows(spark, sf_dir, name):
-    """The cumulative value counts must run through the distributed-
-    rank recipe: every window in the plan is partitioned by the range-
-    partition id (+ group), never by the 3-7-value group key alone.
-    unpartitioned_windows catches the fully-global case; the group-
-    only case is caught by asserting the __ntile_pid column keys every
-    Window's partition spec."""
-    df = SPECS[name].builder(spark, sf_dir)
-    assert unpartitioned_windows(df) == []
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+def test_stats_ops_dispatch_on_value_cardinality(spark, sf_dir, name, monkeypatch):
+    """Round-8 verdict item 3: the cumulative value counts dispatch on
+    MEASURED value cardinality.  Under the cap (always true at test
+    scale) the plan windows over the aggregated value table — cheap,
+    but every window must still be partitioned (by the group key; the
+    table it runs over is cardinality-bounded by the cap, so this is
+    not the single-task shape the recipe exists to avoid).  With the
+    cap forced to zero the value column counts as continuous and the
+    distributed-rank recipe must take over: every window keyed by the
+    range-partition id.  Both paths must return identical rows."""
+    from aws_etl_global_footprint_network_spark.functions import ranking
+
     import re
 
+    df_win = SPECS[name].builder(spark, sf_dir)
+    assert unpartitioned_windows(df_win) == []
+    monkeypatch.setattr(ranking, "ADAPTIVE_WINDOW_CAP", 0)
+    df_dist = SPECS[name].builder(spark, sf_dir)
+    assert unpartitioned_windows(df_dist) == []
+    plan = df_dist._jdf.queryExecution().optimizedPlan().toString()
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "__ntile_pid" in spec, (name, spec)
+    got_w = sorted(map(tuple, df_win.collect()))
+    got_d = sorted(map(tuple, df_dist.collect()))
+    assert got_w == got_d and len(got_w) > 0
 
 
 # --------------------------------------------------------------------

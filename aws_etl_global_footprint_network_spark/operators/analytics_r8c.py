@@ -594,7 +594,8 @@ _POS_SCALE = 1 << 20  # position packed under the hash for tie-breaks
              ({md5_hash60_sql("substr(s, CAST(i AS INT), {k})")} % {{p}})
                * {_POS_SCALE} + i AS packed
       FROM nrm, unnest(range(1, length(s) - {WIN_K} + 2)) AS t(i)
-      WHERE length(s) >= {WIN_K + WIN_W - 1}),
+      WHERE length(s) >= {WIN_K + WIN_W - 1}
+        AND length(s) < {_POS_SCALE}),
     w AS (
       SELECT doc_id,
              MIN(packed) OVER (PARTITION BY doc_id ORDER BY i
@@ -657,7 +658,15 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "").alias("s"),
     )
-    nrm = d.filter(F.length("s") >= WIN_K + WIN_W - 1)
+    # upper bound mirrors the oracle: the k-gram position packs into
+    # the low 20 bits of the fingerprint (h * _POS_SCALE + i), so a
+    # normalised text of >= 2^20 chars would bleed position bits into
+    # the hash — identically in both engines, which is exactly why
+    # hash parity could never catch it (round-8 advice); docs that
+    # long are excluded explicitly on both sides instead
+    nrm = d.filter(
+        (F.length("s") >= WIN_K + WIN_W - 1) & (F.length("s") < _POS_SCALE)
+    )
     g = nrm.select(
         "doc_id",
         F.explode(
@@ -773,7 +782,7 @@ def _lpa_round_sql(prev: str, out: str) -> str:
     "label-propagation community detection on the support-filtered"
     f" co-purchase graph: {LPA_ROUNDS} SYNCHRONOUS rounds of"
     " neighbor-majority label updates (ties to the smallest label —"
-    " fully deterministic), community sizes top-{LPA_TOP} — the"
+    f" fully deterministic), community sizes top-{LPA_TOP} — the"
     " cheap-and-cheerful communities baseline next to"
     " connected-components and PageRank",
     tags=("graph", "mining"),

@@ -276,7 +276,12 @@ def first_seen_transform_with_state(
             )
 
         def close(self) -> None:
-            pass
+            # StatefulProcessor lifecycle hook (API-mandated, called
+            # once per task at shutdown): this processor holds no
+            # resources beyond the engine-managed ValueState, so
+            # there is genuinely nothing to release — a no-op, not a
+            # swallowed exception.
+            return
 
     return stream.groupBy("user_id", "event_type").transformWithStateInPandas(
         FirstSeen(),

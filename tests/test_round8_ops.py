@@ -44,14 +44,26 @@ def _anticorrelated_candidates(spark, n: int):
 
 def test_pareto_dominance_fallback_anticorrelated(spark):
     cand = _anticorrelated_candidates(spark, 200).persist()
+    # with broadcasts disabled the dominance pass MUST still have a
+    # non-broadcast physical candidate: the inner cross-join form
+    # plans as a distributed CartesianProduct, whereas the old
+    # non-equi left_semi form's ONLY candidate was
+    # BroadcastNestedLoopJoin — one side resident in every executor
+    # regardless of size (round-8 advice). At real sizes AQE picks
+    # broadcast only when the measured side is actually small.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         out = pareto._exact_dominance(cand, max_broadcast=10)
         analyzed = out._jdf.queryExecution().analyzed().toString()
-        # over the cap: no user hint anywhere — Catalyst alone picks
-        # the strategy (it will never force-collect an O(n) frontier)
         assert "ResolvedHint" not in analyzed, analyzed[:500]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" in plan, plan[:800]
+        assert "BroadcastNestedLoop" not in plan, plan[:800]
         assert out.count() == 200  # every point survives
     finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         cand.unpersist()
 
 

@@ -46,9 +46,17 @@ class CacheScope:
 
 
 def release_all() -> None:
-    """Unpersist every live scope (test teardown / session shutdown)."""
+    """Unpersist every live scope AND every cross-query memoized build
+    (test teardown / session shutdown) — the single 'release
+    everything persisted by the engine' entry point."""
     for name in list(_LIVE):
         _LIVE.pop(name).release()
+    # late import: baskets imports cache (cut_lineage), not vice versa
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        release_builds,
+    )
+
+    release_builds()
 
 
 def cut_lineage(df: DataFrame) -> DataFrame:

@@ -613,13 +613,12 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
 
-    scope = CacheScope("market_basket_rules")
-    li = read_testdata(spark, sf_dir, "lineitem")
-    baskets = scope.persist(
-        li.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("ps")
-        )
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        basket_arrays,
     )
+
+    scope = CacheScope("market_basket_rules")
+    baskets = basket_arrays(spark, sf_dir).withColumnRenamed("arr", "ps")
     n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
     cnt = (
         baskets.select(F.explode("ps").alias("l_partkey"))

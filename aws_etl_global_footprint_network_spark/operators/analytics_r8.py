@@ -1934,12 +1934,11 @@ def frequent_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partkey inequality alone (a quadratic PIECEWISE_MERGE_JOIN,
     unbounded at sf1) and only then hash-joins a; the explicit c-d
     equality keeps both joins keyed (0.9 s at sf1)."""
-    bask = (
-        read_testdata(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
-        .filter(F.size("arr") >= 3)
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        basket_arrays,
     )
+
+    bask = basket_arrays(spark, sf_dir).filter(F.size("arr") >= 3)
     from aws_etl_global_footprint_network_spark.functions.baskets import (
         explode_sorted_triples,
     )

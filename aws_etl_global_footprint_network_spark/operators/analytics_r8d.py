@@ -651,43 +651,25 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     authorities) from DESTINATION items on the directed consecutive-
     order transition graph. Bounded {HITS_ITERS}-round Pregel shape:
     each half-step is one keyed join + one combinable groupBy, the
-    L1 normaliser is a 1-row broadcast scalar, lineage cut per round.
+    L1 normaliser is a 1-row broadcast scalar; both half-steps of a
+    round batch into ONE lineage-cut job (intermediate hubs have a
+    single consumer and stay lazy — only the final hub, consumed by
+    both the last auth step and the output join, gets its own cut).
     The oracle unrolls identical MATERIALIZED rounds (the k-core
     reinlining lesson). Rounding at 1e-6 after normalisation closes
     the double fold-order gap as in PageRank."""
-    from aws_etl_global_footprint_network_spark.functions.cache import (
-        CacheScope,
-        cut_lineage,
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        transition_pair_counts,
     )
+    from aws_etl_global_footprint_network_spark.functions.cache import cut_lineage
 
-    o = read_testdata(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
-    )
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ord_ = o.select(
-        "o_orderkey", F.lead("o_orderkey").over(w).alias("next_ok")
-    ).filter(F.col("next_ok").isNotNull())
-    scope = CacheScope("hits_hub_authority")
-    bask = scope.persist(
-        read_testdata(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
-    )
-    a_side = bask.select(
-        F.col("l_orderkey").alias("ok_a"), F.col("arr").alias("src_arr")
-    )
-    b_side = bask.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("arr").alias("dst_arr")
-    )
-    edges = scope.persist(
-        ord_.join(a_side, F.col("ok_a") == F.col("o_orderkey"))
-        .join(b_side, F.col("ok_b") == F.col("next_ok"))
-        .select(F.explode("src_arr").alias("src"), "dst_arr")
-        .select("src", F.explode("dst_arr").alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= HITS_MIN_COUNT)
-        .select("src", "dst")
+    # shared memoized transition build (round-8 verdict item 7):
+    # identical frame to next_order_transitions' opening subplan
+    # (lead over the FULL orders table per customer, basket joins on
+    # both endpoints, map-side part x part fanout, support count) —
+    # one persisted build per session serves both queries
+    edges = transition_pair_counts(spark, sf_dir, HITS_MIN_COUNT).select(
+        "src", "dst"
     )
     auth = (
         edges.select(F.col("src").alias("node"))
@@ -696,7 +678,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.lit(1.0).alias("a"))
     )
     hub = None
-    for _ in range(HITS_ITERS):
+    for it in range(HITS_ITERS):
         hr = (
             edges.join(
                 auth.select(F.col("node").alias("dst"), "a"), "dst"
@@ -705,11 +687,16 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("a").alias("h"))
         )
         hs = hr.agg(F.sum("h").alias("s"))
-        hub = cut_lineage(
-            hr.crossJoin(F.broadcast(hs)).select(
-                "node", (F.col("h") / F.col("s")).alias("h")
-            )
+        hub = hr.crossJoin(F.broadcast(hs)).select(
+            "node", (F.col("h") / F.col("s")).alias("h")
         )
+        if it == HITS_ITERS - 1:
+            # the final hub feeds both the last auth half-step and
+            # the output join — cut so it computes once; earlier
+            # hubs have a single consumer and stay lazy, batching
+            # both half-steps of a round into the auth cut's job
+            # (round-8 verdict item 7: fewer jobs per round)
+            hub = cut_lineage(hub)
         ar = (
             edges.join(
                 hub.select(F.col("node").alias("src"), "h"), "src"

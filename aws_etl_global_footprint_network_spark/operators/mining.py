@@ -89,37 +89,45 @@ def _copurchase_edges(
     spark: SparkSession, sf_dir: str, min_support: int = 1
 ) -> DataFrame:
     """Undirected (u < v) part pairs sharing at least ``min_support``
-    orders.
+    orders — PERSISTED + MEMOIZED per (session, lineitem generation,
+    min_support), because six registered graph queries (triangle,
+    k-core, LPA, BFS, Jaccard link prediction, degree distribution)
+    open with this identical subplan (round-8 verdict item 7: the
+    family re-paid the two build shuffles per query).
 
-    Round-8 rewrite: the original distinct + per-order SELF-JOIN +
-    pair groupBy was three corpus shuffles plus two sort-merge sorts
-    and measured 28 s at sf1 — the single dominant cost of every
-    graph query downstream. This form collects each order's basket
-    (bounded: <= 7 lines in TPC-H — collect_set is safe at any corpus
-    scale because basket size is a domain constant) in ONE orderkey
-    shuffle, generates the C(basket, 2) ordered pairs map-side with
+    Round-8 rewrite recap: the original distinct + per-order
+    SELF-JOIN + pair groupBy was three corpus shuffles plus two
+    sort-merge sorts and measured 28 s at sf1. This form reuses the
+    shared memoized basket-array frame (one orderkey shuffle,
+    collect_set bounded by the domain-constant basket size),
+    generates the C(basket, 2) ordered pairs map-side with
     index-sequence explodes (plain codegen generators — NOT
     higher-order-function lambdas, the repo's recurring
     HOF-blocks-codegen lesson), and counts supports in one pair
-    shuffle: two shuffles total, no join, measured 28 s -> ~7 s at
-    sf1. collect_set also subsumes the distinct (intra-order repeats
-    collapse), and sort_array makes u < v by construction. The
-    DuckDB oracle keeps the independent self-join formulation."""
-    li = read_testdata(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
+    shuffle. collect_set also subsumes the distinct (intra-order
+    repeats collapse), and sort_array makes u < v by construction.
+    The DuckDB oracle keeps the independent self-join formulation."""
     from aws_etl_global_footprint_network_spark.functions.baskets import (
+        _table_mtime,
+        basket_arrays,
         explode_sorted_pairs,
+        memo_persisted,
     )
 
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("arr")
+    def build() -> DataFrame:
+        baskets = basket_arrays(spark, sf_dir)
+        raw = explode_sorted_pairs(baskets, "arr", "u", "v")
+        if min_support <= 1:
+            return raw.distinct()
+        pairs = raw.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+        return pairs.filter(F.col("support") >= min_support).select("u", "v")
+
+    return memo_persisted(
+        spark,
+        f"copurchase_edges_ms{min_support}",
+        _table_mtime(sf_dir, "lineitem"),
+        build,
     )
-    raw = explode_sorted_pairs(baskets, "arr", "u", "v")
-    if min_support <= 1:
-        return raw.distinct()
-    pairs = raw.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
-    return pairs.filter(F.col("support") >= min_support).select("u", "v")
 
 
 @register(
@@ -175,9 +183,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair count, wedge join, closing join); per-node counts are one
     explode + groupBy."""
     scope = CacheScope("triangle_count_copurchase")
-    pairs = scope.persist(
-        _copurchase_edges(spark, sf_dir, min_support=TRI_MIN_SUPPORT)
-    )
+    # already persisted by the cross-query memo — re-wrapping it in
+    # the scope would let scope teardown unpersist the shared frame
+    pairs = _copurchase_edges(spark, sf_dir, min_support=TRI_MIN_SUPPORT)
     deg = scope.persist(
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select("v"))
@@ -1471,9 +1479,8 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     division in both engines — and the top-{LINK_TOP} order is total
     (rounded score desc, then the unique pair key)."""
     scope = CacheScope("jaccard_link_prediction")
-    edges = scope.persist(
-        _copurchase_edges(spark, sf_dir, min_support=TRI_MIN_SUPPORT)
-    )
+    # shared memoized frame — not scope-tracked (see triangle note)
+    edges = _copurchase_edges(spark, sf_dir, min_support=TRI_MIN_SUPPORT)
     adj = scope.persist(
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(edges.select(F.col("v"), F.col("u")))
@@ -1594,12 +1601,12 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes (plain codegen generators, not HOF lambdas) — one pair
     shuffle, no join. Safe at any corpus scale: basket size is a
     domain constant."""
-    scope = CacheScope("item_item_cosine_topk")
-    bask = scope.persist(
-        read_testdata(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        basket_arrays,
     )
+
+    scope = CacheScope("item_item_cosine_topk")
+    bask = basket_arrays(spark, sf_dir)  # shared memoized frame
     freq = (
         bask.select(F.explode("arr").alias("item"))
         .groupBy("item")
@@ -1722,33 +1729,17 @@ def next_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAP-SIDE after the joins. The lead() stays on the full orders
     table so basket-less orders still occupy a sequence position,
     exactly as the oracle's LEAD does."""
-    o = read_testdata(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        transition_pair_counts,
     )
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ord_ = o.select(
-        "o_orderkey", F.lead("o_orderkey").over(w).alias("next_ok")
-    ).filter(F.col("next_ok").isNotNull())
-    scope = CacheScope("next_order_transitions")
-    bask = scope.persist(
-        read_testdata(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
-    )
-    a = bask.select(
-        F.col("l_orderkey").alias("ok_a"), F.col("arr").alias("prev_arr")
-    )
-    b = bask.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("arr").alias("next_arr")
-    )
-    trans = (
-        ord_.join(a, F.col("ok_a") == F.col("o_orderkey"))
-        .join(b, F.col("ok_b") == F.col("next_ok"))
-        .select(F.explode("prev_arr").alias("part_prev"), "next_arr")
-        .select("part_prev", F.explode("next_arr").alias("part_next"))
-        .groupBy("part_prev", "part_next")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
-        .filter(F.col("n_transitions") >= SEQ_MIN_COUNT)
+
+    # shared memoized transition build (round-8 verdict item 7):
+    # identical frame to hits_hub_authority's opening subplan — one
+    # persisted build per session serves both queries
+    trans = transition_pair_counts(spark, sf_dir, SEQ_MIN_COUNT).select(
+        F.col("src").alias("part_prev"),
+        F.col("dst").alias("part_next"),
+        F.col("cnt").alias("n_transitions"),
     )
     wr = Window.partitionBy("part_prev").orderBy(
         F.col("n_transitions").desc(), "part_next"

@@ -25,6 +25,11 @@ def spark(tmp_path_factory):
         },
     )
     yield s
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        release_builds,
+    )
+
+    release_builds()
 
 
 @pytest.fixture(scope="session")

@@ -285,6 +285,15 @@ GLOBAL_WINDOW_WHITELIST = {
     # round-8: cumulative Qini over the UPLIFT_BINS(10)-row bin table
     # — bin-bounded by construction (stump_split_gain precedent)
     "qini_uplift_by_bin",
+    # round-9: these two route a CONSTANT-group adaptive_cumsum over
+    # the value-grouped score table; Catalyst folds the literal
+    # partition key away, so the small-cardinality branch shows as a
+    # global window. That branch only fires when the dispatch proved
+    # the windowed table <= ADAPTIVE_WINDOW_CAP (1M) rows — a bounded
+    # single task by construction; past the cap the plan flips to the
+    # distributed-rank recipe and no global window exists.
+    "auc_roc_score",
+    "kruskal_wallis_h",
 }
 
 

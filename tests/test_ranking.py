@@ -268,3 +268,31 @@ def test_adaptive_cumsum_paths_agree(spark):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     finally:
         scope.release()
+
+
+def test_memo_persisted_reuse_and_eviction(spark):
+    """Shared-build memo (round-8 verdict item 7): same key returns
+    the SAME persisted frame; a changed key rebuilds and unpersists
+    the superseded generation."""
+    from aws_etl_global_footprint_network_spark.functions.baskets import (
+        _BUILD_MEMO,
+        memo_persisted,
+    )
+
+    calls = []
+
+    def build():
+        # distinct plan per call: identical plans would share one
+        # cache-manager entry, masking the eviction assertion below
+        calls.append(1)
+        return spark.range(10 + len(calls))
+
+    a = memo_persisted(spark, "test_memo", ("k1",), build)
+    b = memo_persisted(spark, "test_memo", ("k1",), build)
+    assert a is b and len(calls) == 1
+    assert a.storageLevel.useMemory
+    c = memo_persisted(spark, "test_memo", ("k2",), build)
+    assert c is not a and len(calls) == 2
+    assert not a.storageLevel.useMemory  # superseded generation dropped
+    _BUILD_MEMO.pop("test_memo", None)
+    c.unpersist()

@@ -121,9 +121,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # Never-externally-sampled after this window (round-10 rotation class
 # (a)): feature_scaling_suite, entity_resolution_clusters,
 # qini_uplift_by_bin, gdpr_delete_impact, degree_distribution_log_bins;
-# plus the round-9 plan-changed queries (the stats-dispatch trio and
-# any others touched this round).  Each is re-verified per test run by
-# tests/test_oracle_parity.py and by the per-round sf1 sweep.
+# plus the round-9 plan-changed queries: the stats-dispatch trio
+# (spearman_rank_corr, mann_whitney_u, ks_two_sample), auc_roc_score /
+# kruskal_wallis_h (adaptive cumsum), and the shared-build graph
+# family whose members are NOT already in this window —
+# triangle_count_copurchase, kcore_copurchase, jaccard_link_prediction,
+# item_item_cosine_topk, market_basket_rules, next_order_transitions,
+# bfs_hops_copurchase (memoized basket/edge/transition builds).  Each
+# is re-verified per test run by tests/test_oracle_parity.py and by
+# the per-round sf1 sweep.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -561,6 +561,23 @@ def cold_pass(specs, names, sf_dir) -> dict[str, float]:
 def main() -> None:
     specs = load_all()
     names = list(specs) if "--all" in sys.argv else HEADLINE
+    if "--only" in sys.argv:
+        # exact query list (comma-separated, or @file with one JSON
+        # array / one name per line) — used for apples-to-apples
+        # round-over-round reruns of a PRIOR round's exact set
+        arg = sys.argv[sys.argv.index("--only") + 1]
+        if arg.startswith("@"):
+            with open(arg[1:]) as fh:
+                txt = fh.read().strip()
+            names = (
+                json.loads(txt)
+                if txt.startswith("[")
+                else [ln.strip() for ln in txt.splitlines() if ln.strip()]
+            )
+        else:
+            names = arg.split(",")
+        unknown = [n for n in names if n not in specs]
+        assert not unknown, f"--only unknown queries: {unknown}"
 
     if "--duck" in sys.argv:
         duck_mode(specs, names)
@@ -637,7 +654,11 @@ def main() -> None:
     rotation: dict[str, float] = {}
     rot_errors: dict[str, str] = {}
     rot_label = None
-    if "--all" not in sys.argv and "--no-rotation" not in sys.argv:
+    if (
+        "--all" not in sys.argv
+        and "--only" not in sys.argv
+        and "--no-rotation" not in sys.argv
+    ):
         unbenched = sorted(n for n in specs if n not in HEADLINE)
         if unbenched:
             n_chunks = max(1, -(-len(unbenched) // 31))
@@ -725,6 +746,10 @@ def main() -> None:
         if sf_label == 0.1
         else f"bench_details_sf{sf_label:g}.json",
     )
+    if "--only" in sys.argv:
+        # an exact-list rerun must never clobber the full-set
+        # regression baseline (nor the round-stamped copy below)
+        sidecar = os.path.join(here, "bench_details_only.json")
     # Round-over-round regression visibility (round-6 verdict item 8):
     # compare this run's warm timings against the committed sidecar
     # from the previous run and surface >1.3x warm regressions in-round
@@ -750,7 +775,7 @@ def main() -> None:
     with open(sidecar, "w") as fh:
         json.dump(details, fh, indent=1, sort_keys=True)
     rn = _round_no()
-    if rn is not None and sf_label == 0.1:
+    if rn is not None and sf_label == 0.1 and "--only" not in sys.argv:
         stamped = os.path.join(here, f"bench_details_r{rn:02d}.json")
         with open(stamped, "w") as fh:
             json.dump(details, fh, indent=1, sort_keys=True)

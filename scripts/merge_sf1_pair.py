@@ -1,0 +1,55 @@
+"""Merge a Spark `bench.py --all` run and a DuckDB `bench.py --duck
+--all` run at sf1 into the judge-facing pair sidecar
+``bench_details_sf1.json``:
+
+    {"spark_queries": {name: sec}, "duckdb_queries": {name: sec},
+     "spark_total": s, "duckdb_total": s, "ratio": r,
+     "n_common": n, "sf": 1}
+
+Usage:
+    python scripts/merge_sf1_pair.py SPARK_DETAILS.json DUCK_STDOUT.json
+
+where SPARK_DETAILS.json is the sidecar bench.py wrote for the sf1 run
+(its ``queries`` map) and DUCK_STDOUT.json is the one-line JSON the
+--duck mode printed (its ``queries`` map). Totals and the ratio are
+computed over the intersection (queries the duck side skips — no
+oracle — stay in spark_queries but out of the ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    spark_path, duck_path = sys.argv[1], sys.argv[2]
+    with open(spark_path) as fh:
+        spark_q = json.load(fh)["queries"]
+    with open(duck_path) as fh:
+        duck_q = json.load(fh)["queries"]
+    common = sorted(set(spark_q) & set(duck_q))
+    s_tot = round(sum(spark_q[k] for k in common), 3)
+    d_tot = round(sum(duck_q[k] for k in common), 3)
+    out = {
+        "spark_queries": spark_q,
+        "duckdb_queries": duck_q,
+        "spark_total": s_tot,
+        "duckdb_total": d_tot,
+        "ratio": round(s_tot / d_tot, 3) if d_tot else None,
+        "n_common": len(common),
+        "sf": 1,
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dest = os.path.join(here, "bench_details_sf1.json")
+    with open(dest, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(
+        f"{dest}: {len(common)} paired, spark {s_tot}s vs duck {d_tot}s"
+        f" = {out['ratio']}x"
+    )
+
+
+if __name__ == "__main__":
+    main()

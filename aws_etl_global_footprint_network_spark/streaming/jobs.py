@@ -204,20 +204,45 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _staged_stream(spark: SparkSession, raw: DataFrame, n_files: int = 4):
+def _staged_stream(
+    spark: SparkSession,
+    raw: DataFrame,
+    n_files: int = 2,
+    cols: tuple | None = None,
+):
     """Stage the source as n_files parquet files and return a stream
     feeding ONE file per micro-batch — forces state to carry across
-    batches for any stateful operator under test."""
+    batches for any stateful operator under test. Two files is the
+    minimum that proves cross-batch carry-over, and every extra batch
+    re-emits the full touched keyspace in update mode — per-key emit
+    volume is batches x keys, so the batch count is a direct cost
+    knob. ``cols`` projects the staged copy down to what the operator
+    reads (cuts staging I/O, the state shuffle width, and the Arrow
+    batches handed to Python)."""
     import tempfile
 
     staged = tempfile.mkdtemp(prefix="stream_staged_src_")
-    raw.repartition(n_files).write.mode("overwrite").parquet(staged)
+    src = raw.select(*cols) if cols else raw
+    src.repartition(n_files).write.mode("overwrite").parquet(staged)
     return (
-        spark.readStream.schema(raw.schema)
+        spark.readStream.schema(src.schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(staged)
     )
+
+
+def _sized_state_partitions(spark: SparkSession, n_rows: int) -> int:
+    """Size streaming state partitions to the input. The toy default
+    (STREAM_STATE_PARTITIONS=8) keeps scheduling overhead off
+    sub-second test runs; past ~200k input rows the cost shifts to
+    per-key Python emits inside applyInPandasWithState, which
+    parallelise linearly with state partitions — use every core.
+    Production sizes this to keyspace x volume (thousands of
+    partitions at 100 TB), exactly like batch shuffle partitioning."""
+    if n_rows < 200_000:
+        return STREAM_STATE_PARTITIONS
+    return int(spark.sparkContext.defaultParallelism)
 
 
 def transform_with_state_available() -> bool:
@@ -337,7 +362,11 @@ def streaming_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
             }
         )
 
-    out = _staged_stream(spark, raw).groupBy("user_id", "event_type").applyInPandasWithState(
+    n_rows = raw.count()  # parquet count-star pushdown: metadata-only
+    stream = _staged_stream(
+        spark, raw, cols=("user_id", "event_type", "event_id")
+    )
+    out = stream.groupBy("user_id", "event_type").applyInPandasWithState(
         update,
         outputStructType=(
             "user_id bigint, event_type string, first_event_id bigint, n_seen bigint"
@@ -346,7 +375,7 @@ def streaming_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, _sized_state_partitions(spark, n_rows)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -407,7 +436,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     drop_table_and_location(spark, table)
 
     agg = (
-        normalize_nanos(_staged_stream(spark, raw))
+        normalize_nanos(_staged_stream(spark, raw, cols=("ts", "value")))
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -478,20 +507,12 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
             {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
         )
 
-    # Stage the source as 4 files and feed ONE file per micro-batch:
-    # the per-user GroupState must survive and accumulate across the 4
+    # Stage the source as 2 files and feed ONE file per micro-batch:
+    # the per-user GroupState must survive and accumulate across the
     # batches for the final totals to be right (pinned by test against
     # the batch aggregate).
-    import tempfile
-
-    staged = tempfile.mkdtemp(prefix="stream_state_src_")
-    raw.repartition(4).write.mode("overwrite").parquet(staged)
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(staged)
-    )
+    n_rows = raw.count()
+    stream = _staged_stream(spark, raw, cols=("user_id", "value"))
     out = stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=output_schema,
@@ -499,7 +520,7 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, _sized_state_partitions(spark, n_rows)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)

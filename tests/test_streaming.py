@@ -12,8 +12,8 @@ SPECS = load_all()
 
 
 def test_stateful_totals_accumulate_across_batches(spark, sf_dir):
-    """4 micro-batches (maxFilesPerTrigger=1): the last emitted state
-    per user must equal the plain batch aggregate — proof the
+    """Staged micro-batches (maxFilesPerTrigger=1): the last emitted
+    state per user must equal the plain batch aggregate — proof the
     GroupState carried across batches."""
     out = SPECS["streaming_user_totals_stateful"].builder(spark, sf_dir)
     got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}

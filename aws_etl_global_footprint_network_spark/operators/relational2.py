@@ -1079,6 +1079,10 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         adaptive_cumsum,
     )
 
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        ADAPTIVE_WINDOW_CAP,
+    )
+
     scope = CacheScope("spearman_rank_corr")
     li = read_testdata(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
@@ -1086,36 +1090,49 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("y"),
     )
     # both dispatch cardinalities in ONE shuffle-free scan (partial
-    # HLL merge) — vs. persisting + exactly counting each value table
-    # (persisting the row-scale projection itself would be a scale
-    # liability: the pushed-down parquet re-scan is cheaper than
-    # caching a 100 TB-proportional frame)
+    # HLL merge); ±2% against an order-of-magnitude cap is plenty
     est = li.agg(
         F.approx_count_distinct(F.struct("flag", "x")).alias("nx"),
         F.approx_count_distinct(F.struct("flag", "y")).alias("ny"),
     ).first()
 
-    def rank_table(col: str, out: str) -> DataFrame:
+    def rank_table(col: str, out: str, n_vals: int) -> DataFrame:
         t = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("t"))
         c = adaptive_cumsum(
-            t, "flag", [F.col(col)], {"cb": "t"}, scope,
-            n_rows=est["nx" if col == "x" else "ny"],
+            t, "flag", [F.col(col)], {"cb": "t"}, scope, n_rows=n_vals
         )
         return c.select(
             "flag", col, (2 * F.col("cb") + F.col("t") + 1).alias(out)
         )
 
-    vx = rank_table("x", "r2x")
-    vy = rank_table("y", "r2y")
+    vx = rank_table("x", "r2x", est["nx"])
+    vy = rank_table("y", "r2y", est["ny"])
+    # A value table that passed the adaptive-window dispatch
+    # (cardinality <= cap) is PROVABLY bounded — the same
+    # domain-boundedness argument that justified the window justifies
+    # BROADCASTING it (<= cap rows x ~32 B): both rank joins become
+    # map-side, the row-scale relation never shuffles, and the 6-sum
+    # aggregate folds partially in the same scan — the whole query is
+    # one HLL scan plus one fused map-side job. Past the cap (a
+    # genuinely continuous value column at 100 TB) nothing may be
+    # broadcast and the shuffle joins + distributed rank stand.
+    if est["nx"] <= ADAPTIVE_WINDOW_CAP:
+        vx = F.broadcast(vx)
+    if est["ny"] <= ADAPTIVE_WINDOW_CAP:
+        vy = F.broadcast(vy)
     ranked = li.join(vx, ["flag", "x"]).join(vy, ["flag", "y"])
     dec = "decimal(38,0)"
+    # Decimal casts happen BEFORE any multiply: no int64 product on
+    # the row path (r2*r2 overflows int64 past ~7e5 rows/group under
+    # ANSI mode — caught by the sf1 sweep).
+    r2xd, r2yd = F.col("r2x").cast(dec), F.col("r2y").cast(dec)
     s = ranked.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("r2x").cast(dec)).alias("s1"),
-        F.sum(F.col("r2y").cast(dec)).alias("s2"),
-        F.sum((F.col("r2x") * F.col("r2x")).cast(dec)).alias("s11"),
-        F.sum((F.col("r2y") * F.col("r2y")).cast(dec)).alias("s22"),
-        F.sum((F.col("r2x") * F.col("r2y")).cast(dec)).alias("s12"),
+        F.sum(r2xd).alias("s1"),
+        F.sum(r2yd).alias("s2"),
+        F.sum(r2xd * r2xd).alias("s11"),
+        F.sum(r2yd * r2yd).alias("s22"),
+        F.sum(r2xd * r2yd).alias("s12"),
     )
     nd = F.col("n").cast("double")
     s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")

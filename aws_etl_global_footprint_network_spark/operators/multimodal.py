@@ -220,6 +220,42 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
+def extract_headers(media: DataFrame) -> DataFrame:
+    """Header-only decode over binary payloads — the cheap subset of
+    extract_features for consumers that never read the byte-statistics
+    vector. Column pruning cannot reach INSIDE a mapInPandas stage, so
+    a query that projects only header fields out of extract_features
+    would still pay the full per-payload featurization in Python;
+    dropping it here cut multimodal_features ~2.5x at sf1 (the
+    remaining cost is the genuine PNG synth + header parse)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image_header(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "format": [d[0] for d in decoded],
+                    "width": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[2] for d in decoded], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        op,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_bytes", T.LongType()),
+                T.StructField("format", T.StringType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+            ]
+        ),
+    )
+
+
 @register(
     "binary_payload_meta",
     """
@@ -302,7 +338,9 @@ _HDR_H = "CASE WHEN doc_id % 4 = 0 THEN CAST(3 + doc_id % 17 AS INT) END"
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_testdata(spark, sf_dir, "documents")
     media = synthesize_image_payloads(attach_binary_payload(d))
-    feats = extract_features(media)
+    # header-only: this query projects no byte-statistics, and pruning
+    # cannot reach inside the Python stage (see extract_headers)
+    feats = extract_headers(media)
     return feats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "format",

@@ -89,13 +89,18 @@ def run_available_now(
     """Run a file-source stream to completion (AvailableNow) into a
     memory sink; return the sink table. AvailableNow processes the
     backlog in rate-limited micro-batches then stops — the idiom for
-    incremental ingestion jobs that run on a schedule."""
+    incremental ingestion jobs that run on a schedule. State
+    partitions size to the backlog (parquet count-star is
+    metadata-only): 8 for toy inputs, every core past 200 k rows —
+    the state shuffle is the parallelism ceiling for the whole
+    streaming aggregation."""
     source_path = _as_stream_dir(source_path)
+    n_rows = spark.read.schema(schema).parquet(source_path).count()
     stream = (
         spark.readStream.schema(schema).format("parquet").load(source_path)
     )
     out = transform(stream)
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, _sized_state_partitions(spark, n_rows)):
         q = (
             out.writeStream.format("memory")
             .queryName(query_name)

@@ -127,9 +127,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # family whose members are NOT already in this window —
 # triangle_count_copurchase, kcore_copurchase, jaccard_link_prediction,
 # item_item_cosine_topk, market_basket_rules, next_order_transitions,
-# bfs_hops_copurchase (memoized basket/edge/transition builds).  Each
-# is re-verified per test run by tests/test_oracle_parity.py and by
-# the per-round sf1 sweep.
+# bfs_hops_copurchase (memoized basket/edge/transition builds); and
+# the round-9 performance rewrites: the streaming family
+# (streaming_first_seen_stateful, streaming_user_totals_stateful,
+# streaming_foreachbatch_upsert, streaming_ohlc_bars,
+# streaming_session_window, streaming_cdc_compaction,
+# streaming_static_enrich, streaming_daily_counts — staged 2-file
+# source, projected staging columns, input-sized state partitions),
+# grouped_pandas_rank (hash-bucketed grouped map),
+# bucketed_join_colocated (32 buckets + covering projection),
+# spearman_rank_corr (broadcast bounded rank tables), and
+# multimodal_features (header-only decode).  Each is re-verified per
+# test run by tests/test_oracle_parity.py and by the per-round sf1
+# sweep.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -613,25 +613,18 @@ def _hits_edges_sql() -> str:
     "hits_hub_authority",
     f"""
     WITH {_hits_edges_sql()},
-    nodes AS MATERIALIZED (
-      SELECT src AS node FROM edges
-      UNION SELECT dst FROM edges),
-    a0 AS (SELECT node, 1.0 AS a FROM nodes),
-    h1r AS (SELECT e.src AS node, SUM(a0.a) AS h
-            FROM edges e JOIN a0 ON a0.node = e.dst GROUP BY e.src),
-    h1 AS MATERIALIZED (
-      SELECT node, h / (SELECT SUM(h) FROM h1r) AS h FROM h1r),
-    a1r AS (SELECT e.dst AS node, SUM(h1.h) AS a
-            FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
-    a1 AS MATERIALIZED (
-      SELECT node, a / (SELECT SUM(a) FROM a1r) AS a FROM a1r),
-    h2r AS (SELECT e.src AS node, SUM(a1.a) AS h
-            FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
-    h2 AS MATERIALIZED (
-      SELECT node, h / (SELECT SUM(h) FROM h2r) AS h FROM h2r),
-    a2r AS (SELECT e.dst AS node, SUM(h2.h) AS a
-            FROM edges e JOIN h2 ON h2.node = e.src GROUP BY e.dst),
-    a2 AS (SELECT node, a / (SELECT SUM(a) FROM a2r) AS a FROM a2r)
+    h1r AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS h
+            FROM edges GROUP BY src),
+    a1r AS (SELECT e.dst AS node, SUM(h1r.h) AS a
+            FROM edges e JOIN h1r ON h1r.node = e.src GROUP BY e.dst),
+    h2r AS MATERIALIZED (
+      SELECT e.src AS node, SUM(a1r.a) AS h
+      FROM edges e JOIN a1r ON a1r.node = e.dst GROUP BY e.src),
+    a2r AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(h2r.h) AS a
+      FROM edges e JOIN h2r ON h2r.node = e.src GROUP BY e.dst),
+    a2 AS (SELECT node, a / (SELECT SUM(a) FROM a2r) AS a FROM a2r),
+    h2 AS (SELECT node, h / (SELECT SUM(h) FROM h2r) AS h FROM h2r)
     SELECT CAST(a2.node AS BIGINT) AS part,
            ROUND(a2.a * 1e6, 0) / 1e6 AS authority_r6,
            ROUND(COALESCE(h2.h, 0) * 1e6, 0) / 1e6 AS hub_r6
@@ -639,10 +632,15 @@ def _hits_edges_sql() -> str:
     ORDER BY ROUND(a2.a * 1e6, 0) / 1e6 DESC, a2.node LIMIT {HITS_TOP}
     """,
     "HITS hub/authority scores on the DIRECTED next-order transition"
-    f" graph ({HITS_ITERS} synchronous mutual-reinforcement rounds,"
-    " L1-normalised): parts that good 'gateway' items lead TO rank"
-    " as authorities — the directional complement of PageRank's"
-    f" undirected prestige; top-{HITS_TOP} by authority",
+    f" graph ({HITS_ITERS} synchronous mutual-reinforcement rounds):"
+    " RAW linear iterates with ONE final L1 normalisation per score"
+    " (the per-round normaliser is a scalar multiple that commutes"
+    " through the linear map and cancels in the quotient — both"
+    " engines state the identical raw chain, and the uniform-init"
+    " first hub iterate is just out-degree); parts that good"
+    " 'gateway' items lead TO rank as authorities — the directional"
+    f" complement of PageRank's undirected prestige; top-{HITS_TOP}"
+    " by authority",
     tags=("graph", "mining"),
 )
 def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,14 +648,14 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     HITS separates GATEWAY items (hubs: their buyers go on to buy
     authorities) from DESTINATION items on the directed consecutive-
     order transition graph. Bounded {HITS_ITERS}-round Pregel shape:
-    each half-step is one keyed join + one combinable groupBy, the
-    L1 normaliser is a 1-row broadcast scalar; both half-steps of a
-    round batch into ONE lineage-cut job (intermediate hubs have a
-    single consumer and stay lazy — only the final hub, consumed by
-    both the last auth step and the output join, gets its own cut).
-    The oracle unrolls identical MATERIALIZED rounds (the k-core
-    reinlining lesson). Rounding at 1e-6 after normalisation closes
-    the double fold-order gap as in PageRank."""
+    each half-step is one keyed join + one combinable groupBy over
+    RAW (unnormalised) iterates — normalisation commutes through the
+    linear map, so the two L1 quotients apply once at the end and the
+    whole chain fuses into two lineage-cut jobs regardless of round
+    count. The oracle states the identical raw chain with
+    MATERIALIZED multi-consumer frames (the k-core reinlining
+    lesson). Rounding at 1e-6 after normalisation closes the double
+    fold-order gap as in PageRank."""
     from aws_etl_global_footprint_network_spark.functions.baskets import (
         transition_pair_counts,
     )
@@ -671,47 +669,55 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = transition_pair_counts(spark, sf_dir, HITS_MIN_COUNT).select(
         "src", "dst"
     )
-    auth = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .select("node", F.lit(1.0).alias("a"))
+    # RAW iterates, normalised ONCE per score at the end: each
+    # per-round L1 normaliser is a scalar multiple that commutes
+    # through the linear half-step and cancels in the final quotient,
+    # so dropping it removes every intermediate scalar agg + broadcast
+    # and lets the whole iterate chain fuse — each half-step
+    # references its predecessor exactly once, so the plan grows
+    # LINEARLY in rounds and only the two multi-consumer frames (the
+    # final hub, feeding the last auth step + the output join + its
+    # normaliser; the final auth, feeding the output + its normaliser)
+    # are lineage-cut. The uniform-init first hub iterate is plain
+    # out-degree — no join.
+    hub = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("double").alias("h"))
     )
-    hub = None
+    auth = None
     for it in range(HITS_ITERS):
-        hr = (
-            edges.join(
-                auth.select(F.col("node").alias("dst"), "a"), "dst"
+        if it > 0:
+            hub = (
+                edges.join(
+                    auth.select(F.col("node").alias("dst"), "a"), "dst"
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("a").alias("h"))
             )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").alias("h"))
-        )
-        hs = hr.agg(F.sum("h").alias("s"))
-        hub = hr.crossJoin(F.broadcast(hs)).select(
-            "node", (F.col("h") / F.col("s")).alias("h")
-        )
-        if it == HITS_ITERS - 1:
-            # the final hub feeds both the last auth half-step and
-            # the output join — cut so it computes once; earlier
-            # hubs have a single consumer and stay lazy, batching
-            # both half-steps of a round into the auth cut's job
-            # (round-8 verdict item 7: fewer jobs per round)
-            hub = cut_lineage(hub)
-        ar = (
+            if it == HITS_ITERS - 1:
+                hub = cut_lineage(hub)
+        auth = (
             edges.join(
                 hub.select(F.col("node").alias("src"), "h"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("a"))
         )
-        asum = ar.agg(F.sum("a").alias("s"))
-        auth = cut_lineage(
-            ar.crossJoin(F.broadcast(asum)).select(
-                "node", (F.col("a") / F.col("s")).alias("a")
-            )
-        )
-    return (
+    auth = cut_lineage(auth)
+    hs = hub.agg(F.sum("h").alias("hsum"))
+    asum = auth.agg(F.sum("a").alias("asum"))
+    norm = (
         auth.join(hub, "node", "left")
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(asum))
+        .select(
+            "node",
+            (F.col("a") / F.col("asum")).alias("a"),
+            (F.col("h") / F.col("hsum")).alias("h"),
+        )
+    )
+    return (
+        norm
         .select(
             F.col("node").cast("bigint").alias("part"),
             round_compat(F.col("a"), 6).alias("authority_r6"),

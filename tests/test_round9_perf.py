@@ -1,0 +1,79 @@
+"""Round-9 performance-rewrite invariants: the rewrites changed HOW
+plans execute (bucketed grouped-map, broadcast bounded rank tables,
+input-sized streaming state partitions, header-only multimodal
+decode) — these tests pin the dispatch logic and output contracts so
+a future edit cannot silently fall back to the slow shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_global_footprint_network_spark.registry import load_all
+from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
+
+SPECS = load_all()
+
+
+def test_grouped_pandas_rank_matches_window(spark, sf_dir):
+    """The hash-bucketed grouped map must equal the plain window
+    row_number per user — bucketing is a physical regrouping only."""
+    out = SPECS["grouped_pandas_rank"].builder(spark, sf_dir)
+    assert "bucket" not in out.columns  # physical key never leaks
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("visit_rank")
+    )
+    got = {(r.user_id, r.event_id): r.visit_rank for r in out.collect()}
+    for r in exp.collect():
+        assert got[(r.user_id, r.event_id)] == r.visit_rank
+
+
+def test_spearman_rank_tables_broadcast_under_cap(spark, sf_dir):
+    """Both value tables are domain-bounded at test scale, so the plan
+    must broadcast them: no shuffle of the row-scale relation. The
+    above-cap path (shuffle joins) is covered by the dispatch test in
+    test_round8e_ops / functions.ranking."""
+    df = SPECS["spearman_rank_corr"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the fact scan feeds the join directly - no SortMergeJoin of the
+    # row-scale side on the rank keys
+    assert "SortMergeJoin" not in plan
+
+
+def test_sized_state_partitions_dispatch(spark):
+    from aws_etl_global_footprint_network_spark.streaming.jobs import (
+        STREAM_STATE_PARTITIONS,
+        _sized_state_partitions,
+    )
+
+    assert _sized_state_partitions(spark, 10_000) == STREAM_STATE_PARTITIONS
+    big = _sized_state_partitions(spark, 1_000_000)
+    assert big == spark.sparkContext.defaultParallelism
+    assert big >= STREAM_STATE_PARTITIONS
+
+
+def test_extract_headers_matches_features_header_fields(spark, sf_dir):
+    """Header-only decode must agree with the full featurizer on every
+    shared column (it IS the same parse, minus the feature vector)."""
+    from aws_etl_global_footprint_network_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        extract_headers,
+        synthesize_image_payloads,
+    )
+
+    d = read_testdata(spark, sf_dir, "documents").limit(40)
+    media = synthesize_image_payloads(attach_binary_payload(d))
+    cols = ["doc_id", "n_bytes", "format", "width", "height"]
+    full = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in extract_features(media).select(*cols).collect()
+    }
+    lean = extract_headers(media).select(*cols)
+    assert "features" not in lean.columns
+    for r in lean.collect():
+        assert full[r["doc_id"]] == tuple(r[c] for c in cols)

@@ -118,6 +118,37 @@ def distributed_ntile(
     return ranged.withColumn(out_col, bucket.cast("int")).drop(_PID)
 
 
+def adaptive_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_buckets: int,
+    out_col: str,
+    scope: CacheScope,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """NTILE with cardinality-adaptive dispatch — the adaptive_cumsum
+    recipe applied to total-order bucketing. Under
+    ``ADAPTIVE_WINDOW_CAP`` measured rows, a plain global NTILE window
+    is exact and its worst case (one task sorting the whole frame) is
+    bounded by the cap itself — and CONSECUTIVE adaptive_ntile calls
+    over the same frame fuse into one job (three quartile columns =
+    one sort-per-ordering in a single stage, vs 3x the
+    range-partition recipe's job chain). Past the cap the
+    distributed recipe takes over: an unbounded per-entity table
+    (customers grow with the corpus) must never single-task.
+    ``n_rows``: pass a known count to skip the measuring action;
+    callers persist+count once and reuse it for several columns."""
+    if n_rows is None:
+        df = scope.persist(df)
+        n_rows = df.count()
+    if n_rows <= ADAPTIVE_WINDOW_CAP:
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
+            out_col, F.ntile(n_buckets).over(w).cast("int")
+        )
+    return distributed_ntile(df, order_cols, n_buckets, out_col, scope)
+
+
 # Dispatch/guard knobs (round-8 verdict items 3 + 4). Module-level so
 # tests can monkeypatch them to force either path on toy data.
 ADAPTIVE_WINDOW_CAP = 1_000_000  # value-table rows under which a

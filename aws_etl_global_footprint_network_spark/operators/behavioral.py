@@ -200,18 +200,21 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One groupBy on custkey, then three exact quartile assignments
-    via :func:`distributed_ntile` — range-repartition + per-partition
-    rank + broadcast offsets — instead of ``ntile() OVER (ORDER BY
-    ...)`` global windows, which funnel the whole per-customer table
-    through one task (the round-2 scale-killer finding). Every
-    ordering carries the key as tie-break — without it, equal values
-    straddling a quartile boundary would bucket nondeterministically
-    and break the hash gate. The corpus max date enters as a broadcast
-    1-row aggregate."""
+    via :func:`adaptive_ntile` (round-9): the per-customer table is
+    persisted and counted once; under the 1M-row dispatch cap all
+    three quartile windows fuse into ONE job (each bounded by the cap,
+    never by the raw relation), and past it each routes through
+    ``distributed_ntile`` — range-repartition + per-partition rank +
+    broadcast offsets — because the per-customer table grows with the
+    corpus and must never single-task (the round-2 scale-killer
+    finding). Every ordering carries the key as tie-break — without
+    it, equal values straddling a quartile boundary would bucket
+    nondeterministically and break the hash gate. The corpus max date
+    enters as a broadcast 1-row aggregate."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.compat import round_compat
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_ntile,
+        adaptive_ntile,
     )
 
     o = read_testdata(spark, sf_dir, "orders")
@@ -232,17 +235,19 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scope = CacheScope("customer_rfm")
-    out = distributed_ntile(
+    base = scope.persist(base)
+    n_rows = base.count()
+    out = adaptive_ntile(
         base, [F.col("recency_days").asc(), F.col("c_custkey").asc()],
-        4, "r_quartile", scope,
+        4, "r_quartile", scope, n_rows=n_rows,
     )
-    out = distributed_ntile(
+    out = adaptive_ntile(
         out, [F.col("frequency").desc(), F.col("c_custkey").asc()],
-        4, "f_quartile", scope,
+        4, "f_quartile", scope, n_rows=n_rows,
     )
-    out = distributed_ntile(
+    out = adaptive_ntile(
         out, [F.col("monetary").desc(), F.col("c_custkey").asc()],
-        4, "m_quartile", scope,
+        4, "m_quartile", scope, n_rows=n_rows,
     )
     return out.select(
         "c_custkey",

@@ -294,6 +294,13 @@ GLOBAL_WINDOW_WHITELIST = {
     # distributed-rank recipe and no global window exists.
     "auc_roc_score",
     "kruskal_wallis_h",
+    # round-9: adaptive_ntile — the three quartile windows fire ONLY
+    # when the measured per-customer table is <= ADAPTIVE_WINDOW_CAP
+    # (1M) rows, a bounded single task by construction; past the cap
+    # the plan flips to distributed_ntile and no global window exists
+    # (the dispatch itself is pinned by
+    # test_round9_perf.test_adaptive_ntile_dispatch)
+    "customer_rfm",
 }
 
 
@@ -301,7 +308,8 @@ def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
     """Repo-wide scale gate: a Window with no PARTITION BY funnels the
     whole relation through one task. Only calendar-bounded aggregates
     may do it (whitelist above). customer_rfm's quartiles went through
-    here in round 2 — now distributed via functions.ranking."""
+    here in round 2 — now cardinality-adaptive via functions.ranking:
+    windowed only under the measured 1M-row cap, distributed past it."""
     from aws_etl_global_footprint_network_spark.plans.explain import (
         unpartitioned_windows,
     )

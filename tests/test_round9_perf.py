@@ -56,6 +56,31 @@ def test_sized_state_partitions_dispatch(spark):
     assert big >= STREAM_STATE_PARTITIONS
 
 
+def test_adaptive_ntile_dispatch(spark, sf_dir, monkeypatch):
+    """Both adaptive_ntile branches produce identical buckets: force
+    the distributed path by dropping the cap to 0 and compare against
+    the windowed path on the same frame."""
+    from aws_etl_global_footprint_network_spark.functions import ranking
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    base = (
+        read_testdata(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    order = [F.col("v").desc(), F.col("k").asc()]
+    windowed = ranking.adaptive_ntile(
+        base, order, 4, "q", CacheScope("ntile_t1"), n_rows=base.count()
+    )
+    monkeypatch.setattr(ranking, "ADAPTIVE_WINDOW_CAP", 0)
+    dist = ranking.adaptive_ntile(
+        base, order, 4, "q", CacheScope("ntile_t2"), n_rows=10**9
+    )
+    got_w = {r.k: r.q for r in windowed.collect()}
+    got_d = {r.k: r.q for r in dist.collect()}
+    assert got_w == got_d
+
+
 def test_extract_headers_matches_features_header_fields(spark, sf_dir):
     """Header-only decode must agree with the full featurizer on every
     shared column (it IS the same parse, minus the feature vector)."""

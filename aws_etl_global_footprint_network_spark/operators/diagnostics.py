@@ -1170,7 +1170,9 @@ PSI_BINS = 10
 def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The model-monitoring drift readout: bin edges come from the
     BASELINE population's exact deciles (computed with
-    :func:`distributed_ntile` — the oracle keeps the textbook NTILE
+    :func:`adaptive_ntile` — windowed under the measured 1M-row
+    cap, the distributed-rank recipe past it; the oracle keeps the
+    textbook NTILE
     — then per-decile MAX), and every row of BOTH populations lands
     in a bin via the closed form 1 + sum(score > edge) over the
     9-row edge table — a bounded broadcast expansion, never a
@@ -1182,7 +1184,7 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree on."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_ntile,
+        adaptive_ntile,
     )
 
     c = read_testdata(spark, sf_dir, "customer").select(
@@ -1192,7 +1194,7 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scope = CacheScope("psi_score_drift")
     c = scope.persist(c)
-    base = distributed_ntile(
+    base = adaptive_ntile(
         c.filter(F.col("half") == 0),
         [F.col("score").asc(), F.col("c_custkey").asc()],
         PSI_BINS,

@@ -671,7 +671,8 @@ CURRICULUM_PHASES = 4
     tags=("mlprep", "ranking"),
 )
 def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phases come from :func:`distributed_ntile` (range repartition +
+    """Phases come from :func:`adaptive_ntile` (windowed under the measured 1M cap;
+    past it range repartition +
     per-partition rank + broadcast offsets), NOT an unpartitioned
     NTILE window. Intra-phase order is delivered as a md5 shuffle KEY
     rather than a materialised position: consumers sort by (phase,
@@ -680,7 +681,7 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tie-breaks the quartile boundary exactly as in the oracle."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_ntile,
+        adaptive_ntile,
     )
 
     d = read_testdata(spark, sf_dir, "documents")
@@ -692,7 +693,7 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.size(tokens("text")) > 0)
     scope = CacheScope("curriculum_schedule")
-    bucketed = distributed_ntile(
+    bucketed = adaptive_ntile(
         scored,
         [F.col("difficulty"), F.col("doc_id")],
         CURRICULUM_PHASES,
@@ -760,7 +761,8 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~86% base rate on this corpus with real per-decile variation —
     'any order at all' saturates to 100% here). Scale path: decile
     assignment uses
-    :func:`distributed_ntile` (range repartition + per-partition rank
+    :func:`adaptive_ntile` (windowed under the measured 1M cap;
+    past it range repartition + per-partition rank
     + broadcast offsets) — never ``NTILE() OVER (ORDER BY ...)``'s
     single-task global window (the oracle keeps the textbook NTILE,
     hash-identical); the responder flag is one left join against the
@@ -773,7 +775,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded 1e-6."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_ntile,
+        adaptive_ntile,
     )
 
     c = read_testdata(spark, sf_dir, "customer").select(
@@ -794,7 +796,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("responder"),
     )
     scope = CacheScope("decile_lift_table")
-    d = distributed_ntile(
+    d = adaptive_ntile(
         resp,
         [F.col("score").desc(), F.col("c_custkey").asc()],
         LIFT_BUCKETS,

@@ -445,18 +445,20 @@ EQUI_DEPTH_BINS = 10
     tags=("agg", "stats", "ranking"),
 )
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact NTILE via the distributed ranking recipe (range
-    repartition + per-partition rank + broadcast offsets) — an
-    unpartitioned NTILE window would single-task the table. One
-    range shuffle + one tiny aggregate."""
+    """Exact NTILE via :func:`adaptive_ntile`: a plain window when
+    the measured input is under the 1M-row dispatch cap (bounded
+    single task by construction), the distributed ranking recipe
+    (range repartition + per-partition rank + broadcast offsets)
+    past it — an UNBOUNDED unpartitioned NTILE window would
+    single-task the table."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_ntile,
+        adaptive_ntile,
     )
 
     p = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     scope = CacheScope("equi_depth_histogram")
-    b = distributed_ntile(
+    b = adaptive_ntile(
         p,
         [F.col("p_retailprice"), F.col("p_partkey")],
         EQUI_DEPTH_BINS,

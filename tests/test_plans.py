@@ -294,13 +294,17 @@ GLOBAL_WINDOW_WHITELIST = {
     # distributed-rank recipe and no global window exists.
     "auc_roc_score",
     "kruskal_wallis_h",
-    # round-9: adaptive_ntile — the three quartile windows fire ONLY
-    # when the measured per-customer table is <= ADAPTIVE_WINDOW_CAP
-    # (1M) rows, a bounded single task by construction; past the cap
-    # the plan flips to distributed_ntile and no global window exists
-    # (the dispatch itself is pinned by
+    # round-9: adaptive_ntile — these global NTILE windows fire ONLY
+    # when the measured input table is <= ADAPTIVE_WINDOW_CAP (1M)
+    # rows, a bounded single task by construction; past the cap the
+    # plan flips to distributed_ntile and no global window exists
+    # (the dispatch equivalence is pinned by
     # test_round9_perf.test_adaptive_ntile_dispatch)
     "customer_rfm",
+    "curriculum_schedule",
+    "psi_score_drift",
+    "equi_depth_histogram",
+    "training_corpus_pipeline",  # composes curriculum's phase ntile
 }
 
 

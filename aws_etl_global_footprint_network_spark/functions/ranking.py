@@ -118,6 +118,30 @@ def distributed_ntile(
     return ranged.withColumn(out_col, bucket.cast("int")).drop(_PID)
 
 
+def adaptive_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str,
+    scope: CacheScope,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Global ROW_NUMBER with cardinality-adaptive dispatch (see
+    :func:`adaptive_ntile`): a plain unpartitioned window when the
+    measured input is under ``ADAPTIVE_WINDOW_CAP`` rows (the single
+    sort task is bounded by the cap, and the window fuses into the
+    caller's job instead of the range-repartition recipe's job
+    chain); :func:`distributed_row_number` past it."""
+    if n_rows is None:
+        df = scope.persist(df)
+        n_rows = df.count()
+    if n_rows <= ADAPTIVE_WINDOW_CAP:
+        return df.withColumn(
+            out_col,
+            F.row_number().over(Window.orderBy(*order_cols)).cast("long"),
+        )
+    return distributed_row_number(df, order_cols, out_col, scope)
+
+
 def adaptive_ntile(
     df: DataFrame,
     order_cols: list[Column],

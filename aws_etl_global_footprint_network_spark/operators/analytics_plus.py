@@ -848,7 +848,7 @@ def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-input op, rounded on the shared grain."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_row_number,
+        adaptive_row_number,
     )
 
     scope = CacheScope("percent_rank_normalize")
@@ -856,7 +856,7 @@ def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
     )
-    rn = distributed_row_number(
+    rn = adaptive_row_number(
         c, [F.col("bal_cents"), F.col("c_custkey")], "rn", scope
     )
     # relation size enters as an in-plan 1-row broadcast aggregate

@@ -1019,7 +1019,9 @@ def auc_roc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Zipf's-law exponent of the corpus token distribution: log-log"
     " OLS of frequency vs rank over the full vocabulary (ranks from"
-    " the distributed-rank recipe, never a global window) — the"
+    " the cardinality-adaptive rank: a cap-bounded window for"
+    " measured vocabularies under 1M, the distributed recipe past) —"
+    " the"
     " corpus-health diagnostic (natural text ~ -1; spam/boilerplate"
     " bends the tail)",
     tags=("text", "stats", "corpus"),
@@ -1038,7 +1040,7 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent)."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_row_number,
+        adaptive_row_number,
     )
     from aws_etl_global_footprint_network_spark.functions.text import tokens
 
@@ -1048,7 +1050,7 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    ranked = distributed_row_number(
+    ranked = adaptive_row_number(
         tf,
         [F.col("freq").desc(), F.col("token").asc()],
         "rnk",

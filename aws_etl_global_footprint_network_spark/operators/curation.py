@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.functions.ranking import (
-    distributed_row_number,
+    adaptive_row_number,
 )
 from aws_etl_global_footprint_network_spark.functions.text import (
     tokens,
@@ -858,7 +858,7 @@ def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(read_testdata(spark, sf_dir, "documents"))
     sized = d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
     scope = CacheScope("shard_assignment_balanced")
-    ranked = distributed_row_number(
+    ranked = adaptive_row_number(
         sized,
         [F.col("n_tokens").desc(), F.col("doc_id")],
         "rn",

@@ -287,7 +287,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single float op, identical fold order in both engines."""
     scope = CacheScope("gini_revenue_concentration")
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_row_number,
+        adaptive_row_number,
     )
 
     rev = (
@@ -305,7 +305,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
         "seg", "x", F.col("c_custkey").alias("k")
     )
-    rn = distributed_row_number(
+    rn = adaptive_row_number(
         j, [F.col("seg"), F.col("x"), F.col("k")], "rn", scope
     )
     mn = rn.groupBy(F.col("seg").alias("mseg")).agg(F.min("rn").alias("mn"))
@@ -916,7 +916,9 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform that forces every group onto a common distribution):
     rank within group, average across groups at each rank, map back.
     At bucket grain the map stays bounded (groups x buckets rows).
-    The per-group NTILE never runs as a per-group single-task window:
+    The per-group NTILE never runs as a per-group single-task window
+    on an UNBOUNDED relation (adaptive_row_number windows only under
+    the measured 1M-row cap):
     ONE global distributed row_number over (type, cents, id) gives
     per-group ranks after a min-rank-per-group join (the
     ``gini_revenue_concentration`` recipe), and the bucket index is
@@ -926,7 +928,7 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global case). All sums are integer cents; the single rounded
     division happens on the pooled reference mean."""
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        distributed_row_number,
+        adaptive_row_number,
     )
 
     scope = CacheScope("quantile_normalize_events")
@@ -939,7 +941,7 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
     )
-    rn = distributed_row_number(
+    rn = adaptive_row_number(
         e, [F.col("event_type"), F.col("cents"), F.col("event_id")], "grn", scope
     )
     grp = rn.groupBy(F.col("event_type").alias("gt")).agg(

@@ -305,6 +305,12 @@ GLOBAL_WINDOW_WHITELIST = {
     "psi_score_drift",
     "equi_depth_histogram",
     "training_corpus_pipeline",  # composes curriculum's phase ntile
+    # round-9: adaptive_row_number, same dispatch contract
+    "percent_rank_normalize",
+    "gini_revenue_concentration",
+    "quantile_normalize_events",
+    "shard_assignment_balanced",
+    "zipf_slope_tokens",
 }
 
 

@@ -127,14 +127,14 @@ def adaptive_row_number(
 ) -> DataFrame:
     """Global ROW_NUMBER with cardinality-adaptive dispatch (see
     :func:`adaptive_ntile`): a plain unpartitioned window when the
-    measured input is under ``ADAPTIVE_WINDOW_CAP`` rows (the single
+    measured input is under ``ROWSCALE_WINDOW_CAP`` rows (the single
     sort task is bounded by the cap, and the window fuses into the
     caller's job instead of the range-repartition recipe's job
     chain); :func:`distributed_row_number` past it."""
     if n_rows is None:
         df = scope.persist(df)
         n_rows = df.count()
-    if n_rows <= ADAPTIVE_WINDOW_CAP:
+    if n_rows <= ROWSCALE_WINDOW_CAP:
         return df.withColumn(
             out_col,
             F.row_number().over(Window.orderBy(*order_cols)).cast("long"),
@@ -152,7 +152,7 @@ def adaptive_ntile(
 ) -> DataFrame:
     """NTILE with cardinality-adaptive dispatch — the adaptive_cumsum
     recipe applied to total-order bucketing. Under
-    ``ADAPTIVE_WINDOW_CAP`` measured rows, a plain global NTILE window
+    ``ROWSCALE_WINDOW_CAP`` measured rows, a plain global NTILE window
     is exact and its worst case (one task sorting the whole frame) is
     bounded by the cap itself — and CONSECUTIVE adaptive_ntile calls
     over the same frame fuse into one job (three quartile columns =
@@ -165,7 +165,7 @@ def adaptive_ntile(
     if n_rows is None:
         df = scope.persist(df)
         n_rows = df.count()
-    if n_rows <= ADAPTIVE_WINDOW_CAP:
+    if n_rows <= ROWSCALE_WINDOW_CAP:
         w = Window.orderBy(*order_cols)
         return df.withColumn(
             out_col, F.ntile(n_buckets).over(w).cast("int")
@@ -179,6 +179,13 @@ ADAPTIVE_WINDOW_CAP = 1_000_000  # value-table rows under which a
 # per-group window over the AGGREGATED table is both exact and cheap
 # (worst case: one window task holding every value row — bounded by
 # this cap, not by the raw relation)
+ROWSCALE_WINDOW_CAP = 200_000  # row-scale (per-entity / per-event)
+# frames are wider and costlier to single-task-sort than the narrow
+# integer value tables adaptive_cumsum windows, so the adaptive
+# row_number/ntile dispatch flips to the distributed recipe 5x
+# earlier (measured: a 1M-row single-task sort cost 8.8 s at sf1 —
+# worse than the recipe's 3.8 s — while 150-200k-row frames window in
+# well under a second)
 PARTIALS_COLLECT_CAP = 100_000  # per-(partition, group) partial rows
 # above which the literal-map offsets would OOM the driver; past it
 # the offsets stay distributed (window over the partials + join back)

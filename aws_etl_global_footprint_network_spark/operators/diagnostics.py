@@ -1170,7 +1170,7 @@ PSI_BINS = 10
 def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The model-monitoring drift readout: bin edges come from the
     BASELINE population's exact deciles (computed with
-    :func:`adaptive_ntile` — windowed under the measured 1M-row
+    :func:`adaptive_ntile` — windowed under the measured 200k-row
     cap, the distributed-rank recipe past it; the oracle keeps the
     textbook NTILE
     — then per-decile MAX), and every row of BOTH populations lands

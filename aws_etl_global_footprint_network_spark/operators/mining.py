@@ -918,7 +918,7 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     At bucket grain the map stays bounded (groups x buckets rows).
     The per-group NTILE never runs as a per-group single-task window
     on an UNBOUNDED relation (adaptive_row_number windows only under
-    the measured 1M-row cap):
+    the measured 200k-row cap):
     ONE global distributed row_number over (type, cents, id) gives
     per-group ranks after a min-rank-per-group join (the
     ``gini_revenue_concentration`` recipe), and the bucket index is

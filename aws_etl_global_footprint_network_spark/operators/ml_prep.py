@@ -671,7 +671,7 @@ CURRICULUM_PHASES = 4
     tags=("mlprep", "ranking"),
 )
 def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phases come from :func:`adaptive_ntile` (windowed under the measured 1M cap;
+    """Phases come from :func:`adaptive_ntile` (windowed under the measured 200k-row cap;
     past it range repartition +
     per-partition rank + broadcast offsets), NOT an unpartitioned
     NTILE window. Intra-phase order is delivered as a md5 shuffle KEY
@@ -761,7 +761,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~86% base rate on this corpus with real per-decile variation —
     'any order at all' saturates to 100% here). Scale path: decile
     assignment uses
-    :func:`adaptive_ntile` (windowed under the measured 1M cap;
+    :func:`adaptive_ntile` (windowed under the measured 200k-row cap;
     past it range repartition + per-partition rank
     + broadcast offsets) — never ``NTILE() OVER (ORDER BY ...)``'s
     single-task global window (the oracle keeps the textbook NTILE,

@@ -295,7 +295,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "auc_roc_score",
     "kruskal_wallis_h",
     # round-9: adaptive_ntile — these global NTILE windows fire ONLY
-    # when the measured input table is <= ADAPTIVE_WINDOW_CAP (1M)
+    # when the measured input table is <= ROWSCALE_WINDOW_CAP (200k)
     # rows, a bounded single task by construction; past the cap the
     # plan flips to distributed_ntile and no global window exists
     # (the dispatch equivalence is pinned by
@@ -319,7 +319,7 @@ def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
     whole relation through one task. Only calendar-bounded aggregates
     may do it (whitelist above). customer_rfm's quartiles went through
     here in round 2 — now cardinality-adaptive via functions.ranking:
-    windowed only under the measured 1M-row cap, distributed past it."""
+    windowed only under the measured 200k-row cap, distributed past it."""
     from aws_etl_global_footprint_network_spark.plans.explain import (
         unpartitioned_windows,
     )

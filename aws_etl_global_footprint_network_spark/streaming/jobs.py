@@ -613,6 +613,10 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_s"),
     )
+    # deliberately NOT input-sized: an 8-vs-32 A/B at sf1 measured
+    # 3.5 s vs 8.8 s — JVM-side join state pays per-partition store
+    # overhead and gains nothing (the sizing lever only pays where
+    # per-key PYTHON emits parallelise, i.e. applyInPandasWithState)
     with _stream_partitions(spark):
         q = (
             out.writeStream.format("memory")
@@ -665,6 +669,9 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_compat("value", 2).alias("value"),
         )
     )
+    # deliberately NOT input-sized (see streaming_stream_stream_join:
+    # JVM-side state prefers the small fixed partition count; 8-vs-32
+    # A/B at sf1 measured 3.6 s vs 5.0 s here)
     with _stream_partitions(spark):
         q = (
             out.writeStream.format("memory")

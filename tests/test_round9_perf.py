@@ -81,6 +81,65 @@ def test_adaptive_ntile_dispatch(spark, sf_dir, monkeypatch):
     assert got_w == got_d
 
 
+def test_hits_matches_textbook_iteration(spark, sf_dir):
+    """Independent third derivation (the round-8 triple-verification
+    lesson): the round-9 HITS rewrite runs RAW iterates normalised
+    once at the end, on the claim that per-round L1 normalisation
+    commutes through the linear map. This test runs the TEXTBOOK form
+    — per-round normalisation, pure pandas/numpy, no Spark, no DuckDB
+    — over the same transition edges and must land on the same top-25
+    authorities and scores. Hash parity cannot catch an algebra error
+    shared by the plan and its oracle; this can."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_global_footprint_network_spark.operators.analytics_r8d import (
+        HITS_ITERS,
+        HITS_MIN_COUNT,
+        HITS_TOP,
+    )
+
+    o = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))[
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ].sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    o["next_ok"] = o.groupby("o_custkey")["o_orderkey"].shift(-1)
+    o = o.dropna(subset=["next_ok"]).astype({"next_ok": "int64"})
+    bask = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    e = (
+        o.merge(bask, left_on="o_orderkey", right_on="l_orderkey")
+        .rename(columns={"l_partkey": "src"})[["next_ok", "src"]]
+        .merge(bask, left_on="next_ok", right_on="l_orderkey")
+        .rename(columns={"l_partkey": "dst"})[["src", "dst"]]
+        .groupby(["src", "dst"])
+        .size()
+        .reset_index(name="n")
+    )
+    e = e[e["n"] >= HITS_MIN_COUNT][["src", "dst"]]
+    assert len(e) > 0
+    # textbook HITS: a0 = 1 on every node, h and a L1-normalised
+    # EVERY half-step
+    a = {n: 1.0 for n in pd.concat([e["src"], e["dst"]]).unique()}
+    h = None
+    for _ in range(HITS_ITERS):
+        hs = e.assign(v=e["dst"].map(a)).groupby("src")["v"].sum()
+        h = (hs / hs.sum()).to_dict()
+        as_ = e.assign(v=e["src"].map(h)).groupby("dst")["v"].sum()
+        a = (as_ / as_.sum()).to_dict()
+    exp = sorted(
+        ((round(v, 6), k) for k, v in a.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:HITS_TOP]
+    got = SPECS["hits_hub_authority"].builder(spark, sf_dir).collect()
+    assert [r["part"] for r in got] == [k for _, k in exp]
+    for r in got:
+        assert abs(r["authority_r6"] - a[r["part"]]) < 2e-6, r
+        assert abs(r["hub_r6"] - h.get(r["part"], 0.0)) < 2e-6, r
+
+
 def test_extract_headers_matches_features_header_fields(spark, sf_dir):
     """Header-only decode must agree with the full featurizer on every
     shared column (it IS the same parse, minus the feature vector)."""

@@ -81,6 +81,75 @@ def test_adaptive_ntile_dispatch(spark, sf_dir, monkeypatch):
     assert got_w == got_d
 
 
+def test_staged_stream_forces_cross_batch_state(spark, sf_dir):
+    """The stateful-streaming tests prove final totals equal the batch
+    aggregate — which would ALSO hold with a single micro-batch (no
+    state carry-over exercised at all). This pins the staging
+    contract: _staged_stream feeds one file per trigger, so an
+    update-mode stateful query emits a key ONCE PER BATCH it appears
+    in — the sink must hold MORE rows than distinct keys, proving at
+    least one key's state crossed a batch boundary."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from aws_etl_global_footprint_network_spark.sources.readers import (
+        read_testdata_raw,
+    )
+    from aws_etl_global_footprint_network_spark.streaming.jobs import (
+        _staged_stream,
+        _stream_partitions,
+    )
+
+    raw = read_testdata_raw(spark, sf_dir, "events")
+    n_keys = raw.select("user_id").distinct().count()
+
+    def update(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    out = (
+        _staged_stream(spark, raw, cols=("user_id", "event_id"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"staged_probe_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sink_rows = spark.table(name).count()
+    assert sink_rows > n_keys, (sink_rows, n_keys)
+    # and the accumulated final state is still the exact batch total
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    exp = {r.user_id: r.cnt for r in raw.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for r in final.collect():
+        assert exp[r.user_id] == r.n
+
+
 def test_hits_matches_textbook_iteration(spark, sf_dir):
     """Independent third derivation (the round-8 triple-verification
     lesson): the round-9 HITS rewrite runs RAW iterates normalised

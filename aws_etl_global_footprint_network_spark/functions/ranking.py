@@ -249,6 +249,7 @@ def distributed_cumsum(
     sums: dict[str, str],
     scope: CacheScope,
     inclusive: bool = False,
+    partials_collect_cap: int | None = None,
 ) -> DataFrame:
     """Append exact per-group running sums over a total order without
     a single-task window (round-7 verdict item 3).
@@ -294,7 +295,16 @@ def distributed_cumsum(
             *[F.sum(c).alias(o) for o, c in sums.items()]
         )
     )
-    if partials_df.count() > PARTIALS_COLLECT_CAP:
+    # ``partials_collect_cap`` overrides the module cap so a caller
+    # can PIN the joined-offsets branch (the forced_distributed_*
+    # queries run it at driver scale for external hash evidence);
+    # None keeps the measured default.
+    cap = (
+        PARTIALS_COLLECT_CAP
+        if partials_collect_cap is None
+        else partials_collect_cap
+    )
+    if partials_df.count() > cap:
         return _cumsum_joined_offsets(
             ranged, partials_df, group_col, order_cols, sums, inclusive
         )

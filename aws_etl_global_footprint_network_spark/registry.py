@@ -49,73 +49,90 @@ def register(
 
 # External correctness harnesses sample the FIRST 50 registry entries in
 # iteration order, so ordering is part of the contract.  DRIVER_WINDOW pins
-# those 50 slots explicitly.  Round-9 composition, per the round-8
-# verdict's item 1: the 55 round-8 registrations had never been inside
-# the driver's 50-slot window; take the 50 oldest-registered
-# (nelson_aalen_hazard .. hhi_concentration, registration order) and
-# hold the last five (feature_scaling_suite .. degree_distribution_log_bins)
-# for round 10 together with any query whose executed plan changes this
-# round.  Four of this window's members ARE plan-changed this round
-# (recursive_cte_order_depth -> pointer jumping, hits_hub_authority /
-# label_propagation_communities -> shared edge build, winnowing ->
-# position clamp), so their first external sample verifies the NEW
-# plan.  The stats trio (spearman/mann-whitney/ks) gains
-# cardinality-adaptive dispatch this round; they carry ext-r8 evidence
-# of the distributed path and join the round-10 rotation to sample the
-# dispatcher.  Everything outside the window keeps local coverage via
+# those 50 slots explicitly.  Round-10 composition, per the round-9
+# verdict's items 1 and 6:
+#   * the 5 queries never externally sampled in r1-r9
+#     (feature_scaling_suite .. degree_distribution_log_bins);
+#   * every round-9 plan-changed query whose NEW plan lacked an
+#     external sample: the adaptive-dispatch stats trio
+#     (spearman/mann-whitney/ks), customer_rfm, kcore_copurchase,
+#     bucketed_join_colocated, grouped_pandas_rank,
+#     multimodal_features, and the rank-recipe family minus
+#     zipf_slope_tokens (already sampled ext-r9 on the new plan);
+#   * the two forced-dispatch queries registered THIS round
+#     (operators/scale_forced.py) — over-cap recipes pinned in the
+#     spec so sf0.01 sampling certifies the distributed branch;
+#   * every query whose plan changes THIS round
+#     (quantile_normalize_events is re-planned onto the value-table
+#     recipe; merge_rowlevel_cow / bpe_apply_segmentation /
+#     weekly_vs_window_equivalence / streaming_first_seen_stateful
+#     are the round-9 item-4/7 perf targets);
+#   * the remainder filled with the LONGEST-unsampled queries (last
+#     external sample r4) in registration order; the 12 r4 queries
+#     that didn't fit (streaming_dedup_watermark,
+#     streaming_session_window .. zorder_layout) head the round-11
+#     rotation.
+# Everything outside the window keeps local coverage via
 # tests/test_oracle_parity.py (all queries, every test run) and the
 # per-round sf1 sweep (scripts/parity_sweep.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    "nelson_aalen_hazard",
-    "anova_f_oneway",
-    "cohens_kappa_labels",
-    "mutual_information_cats",
-    "threshold_pr_curve",
-    "seasonal_decompose_daily",
-    "theil_sen_trend",
-    "tvf_suite",
-    "auc_roc_score",
-    "zipf_slope_tokens",
-    "brown_forsythe_test",
-    "position_based_attribution",
-    "knn_label_accuracy",
-    "ndcg_label_relevance",
-    "conditional_entropy_markov",
-    "rolling_regression_beta",
-    "cramers_v_priority_status",
-    "mcnemar_rater_shift",
-    "frequent_itemset_triples",
-    "kruskal_wallis_h",
-    "fleiss_kappa_raters",
-    "calibration_reliability_bins",
-    "ccf_views_purchases",
-    "customer_orders_distribution",
-    "small_quantity_revenue",
-    "stump_split_gain",
-    "cuped_adjusted_ab",
-    "diff_in_diff_spend",
-    "stratified_ate_bins",
-    "seasonal_naive_backtest",
-    "good_turing_counts",
-    "winnowing_neardup_pairs",
-    "label_propagation_communities",
-    "cochran_q_raters",
-    "kendall_tau_priority_price",
-    "tukey_fences_outliers",
-    "page_hinkley_drift",
-    "event_type_trigrams",
-    "friedman_event_types",
-    "hits_hub_authority",
-    "recursive_cte_order_depth",
-    "lateral_top2_per_nation",
-    "udtf_sentence_split",
-    "bitmap_distinct_users",
-    "hll_union_region_distinct",
-    "mode_brand_size",
-    "t_closeness_audit",
-    "seasonal_anomaly_days",
-    "dirichlet_ql_retrieval",
-    "hhi_concentration",
+    # never externally sampled before this round
+    "feature_scaling_suite",
+    "entity_resolution_clusters",
+    "qini_uplift_by_bin",
+    "gdpr_delete_impact",
+    "degree_distribution_log_bins",
+    # round-9 plan-changed: adaptive-dispatch stats trio
+    "spearman_rank_corr",
+    "mann_whitney_u",
+    "ks_two_sample",
+    # round-9 plan-changed: individual queries
+    "customer_rfm",
+    "kcore_copurchase",
+    "bucketed_join_colocated",
+    "grouped_pandas_rank",
+    "multimodal_features",
+    # round-9 plan-changed: rank-recipe family (zipf sampled ext-r9)
+    "quantile_normalize_events",
+    "gini_revenue_concentration",
+    "percent_rank_normalize",
+    "shard_assignment_balanced",
+    "curriculum_schedule",
+    "psi_score_drift",
+    "equi_depth_histogram",
+    "decile_lift_table",
+    # round-10 forced over-cap dispatch (verdict item 6)
+    "forced_distributed_rank_suite",
+    "forced_distributed_cumsum",
+    # round-10 perf-target plans (verdict items 4 + 7)
+    "merge_rowlevel_cow",
+    "bpe_apply_segmentation",
+    "weekly_vs_window_equivalence",
+    "streaming_first_seen_stateful",
+    # longest-unsampled (ext-r4), registration order
+    "acctbal_case_buckets",
+    "asof_last_purchase",
+    "chunk_sliding_windows",
+    "domain_mix_sampling",
+    "dsir_importance_weight",
+    "dup_ngram_spans",
+    "events_daily_agg",
+    "events_json_extract",
+    "events_topk_per_day",
+    "events_year_week",
+    "global_shuffle_shards",
+    "incremental_upsert_partition",
+    "ivfadc_rerank_topk",
+    "median_order_value",
+    "nation_check_avg",
+    "orders_monthly_growth",
+    "part_string_funcs",
+    "pq_codes",
+    "pq_train_codebooks",
+    "price_quantity_correlation",
+    "repetition_filters",
+    "split_contamination_check",
+    "stratified_sample_exact",
 )
 
 # Never-externally-sampled after this window (round-10 rotation class
@@ -174,6 +191,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         retrieval,
+        scale_forced,
         similarity,
         similarity_pq,
         similarity_vectorized,

@@ -502,3 +502,21 @@ def test_dedup_verify_result_join_strategy_independent(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     assert got == want and len(want) > 0
+
+
+def test_forced_dispatch_queries_pin_overcap_branches(spark, sf_dir):
+    """Round-9 verdict item 6: the forced_distributed_* specs must
+    execute the OVER-cap recipes regardless of input size — that is
+    their whole point (external hash evidence for the distributed
+    branch).  forced_distributed_cumsum must resolve offsets via the
+    joined-offsets fallback (a join on __off_pid, never a driver
+    collect into a literal map); forced_distributed_rank_suite must
+    carry the range-repartition recipe's partition-id column, never
+    an unpartitioned global window."""
+    plan = executed_plan(SPECS["forced_distributed_cumsum"].builder(spark, sf_dir))
+    assert "__off_pid" in plan, "joined-offsets branch not taken"
+    assert "map(" not in plan, "literal-map offsets leaked into the plan"
+    plan2 = executed_plan(
+        SPECS["forced_distributed_rank_suite"].builder(spark, sf_dir)
+    )
+    assert "__ntile_pid" in plan2, "distributed-rank recipe not taken"

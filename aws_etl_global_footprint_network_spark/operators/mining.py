@@ -945,75 +945,109 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform that forces every group onto a common distribution):
     rank within group, average across groups at each rank, map back.
     At bucket grain the map stays bounded (groups x buckets rows).
-    The per-group NTILE never runs as a per-group single-task window
-    on an UNBOUNDED relation (adaptive_row_number windows only under
-    the measured 200k-row cap):
-    ONE global distributed row_number over (type, cents, id) gives
-    per-group ranks after a min-rank-per-group join (the
-    ``gini_revenue_concentration`` recipe), and the bucket index is
-    the SQL-standard NTILE split computed columnally from (rank, n) —
-    first n%B buckets take n//B+1 rows — bit-identical to both
-    engines' NTILE (same arithmetic ``functions/ranking`` pins for
-    the global case). All sums are integer cents; the single rounded
-    division happens on the pooled reference mean."""
+
+    Value-table recipe (round-9 verdict item 5 — the previous plan
+    paid a full distributed row_number chain over the raw relation):
+    bucket-grain COUNT/SUM are invariant to how NTILE assigns rows
+    WITHIN a tie run (rows tied on cents are interchangeable — any
+    split of a run across a bucket boundary moves identical values),
+    so the raw-relation rank never needs to exist.  Aggregate once to
+    the (type, cents) value table, take the per-run rank interval
+    [excl+1, excl+cnt] from an exclusive running count
+    (``adaptive_cumsum`` — plain per-type window under the measured
+    1M cap, the distributed recipe past it for genuinely continuous
+    values), and intersect each run with the SQL-standard NTILE
+    bucket layout arithmetically (first n%B buckets hold n//B+1
+    ranks): a run spans at most the buckets its interval touches, so
+    the explode is bounded by B per run.  One shuffle over the raw
+    relation (the value-table aggregate), everything after is
+    value-cardinality-sized.  All sums are integer cents (exact,
+    order-independent); the single rounded division happens on the
+    pooled reference mean.  sf1 A/B, one warm session, two rounds
+    each: old distributed-row_number plan 8.33 / 6.75 s vs this plan
+    2.37 / 2.25 s, result rows identical (the r9 suite recorded the
+    old plan at 4.40 s amortised against warmer neighbours)."""
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        adaptive_row_number,
+        adaptive_cumsum,
     )
 
     scope = CacheScope("quantile_normalize_events")
-    e = (
+    v = (
         read_testdata(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .select(
-            "event_id",
+        .groupBy(
             "event_type",
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    rn = adaptive_row_number(
-        e, [F.col("event_type"), F.col("cents"), F.col("event_id")], "grn", scope
-    )
-    grp = rn.groupBy(F.col("event_type").alias("gt")).agg(
-        F.min("grn").alias("mn"), F.count(F.lit(1)).alias("n_g")
+    c = adaptive_cumsum(v, "event_type", [F.col("cents")], {"excl": "cnt"}, scope)
+    grp = c.groupBy(F.col("event_type").alias("gt")).agg(
+        F.sum("cnt").alias("n_g")
     )
     B = F.lit(QN_BUCKETS)
-    r = rn.join(grp, rn.event_type == grp.gt).select(
+    runs = c.join(F.broadcast(grp), c.event_type == grp.gt).select(
         "event_type",
         "cents",
-        (F.col("grn") - F.col("mn") + 1).alias("r"),
+        (F.col("excl") + 1).alias("s"),
+        (F.col("excl") + F.col("cnt")).alias("e"),
         "n_g",
     )
-    base = (F.col("n_g") / B).cast("long")
+    base = F.expr(f"n_g DIV {QN_BUCKETS}")
     rem = F.col("n_g") % B
     boundary = rem * (base + 1)
-    bucket = F.when(
-        F.col("r") <= boundary, ((F.col("r") - 1) / (base + 1)).cast("long") + 1
-    ).otherwise(
-        rem
-        + ((F.col("r") - boundary - 1) / F.greatest(base, F.lit(1))).cast("long")
-        + 1
-    )
-    rb = scope.persist(r.withColumn("bucket", bucket.cast("int")))
-    ref = rb.groupBy(F.col("bucket").alias("rbucket")).agg(
-        F.sum("cents").cast("bigint").alias("ref_sum"),
-        F.count(F.lit(1)).cast("bigint").alias("ref_n"),
-    )
-    return (
-        rb.groupBy("event_type", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum("cents").cast("bigint").alias("group_cents"),
+
+    # SQL-standard NTILE index of rank r, and the rank interval of
+    # bucket b — both pure arithmetic on (n_g, B), bit-identical to
+    # the engines' NTILE (functions/ranking pins the same split).
+    def bucket_of(r):
+        return F.when(
+            r <= boundary, F.floor((r - 1) / (base + 1)) + 1
+        ).otherwise(
+            rem + F.floor((r - boundary - 1) / F.greatest(base, F.lit(1))) + 1
         )
-        .join(ref, F.col("rbucket") == F.col("bucket"))
-        .select(
-            "event_type",
-            "bucket",
-            "n_rows",
-            "group_cents",
-            round_compat(
-                F.col("ref_sum") / (F.lit(100.0) * F.col("ref_n")), 6
-            ).alias("normalized_value"),
+
+    spanned = runs.select(
+        "event_type",
+        "cents",
+        "s",
+        "e",
+        "n_g",
+        F.explode(
+            F.sequence(
+                bucket_of(F.col("s")).cast("int"),
+                bucket_of(F.col("e")).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    b = F.col("bucket").cast("long")
+    b_start = F.when(b <= rem, (b - 1) * (base + 1) + 1).otherwise(
+        boundary + (b - rem - 1) * base + 1
+    )
+    b_end = F.when(b <= rem, b * (base + 1)).otherwise(
+        boundary + (b - rem) * base
+    )
+    overlap = (
+        F.least(F.col("e"), b_end) - F.greatest(F.col("s"), b_start) + 1
+    )
+    gb = scope.persist(
+        spanned.groupBy("event_type", "bucket").agg(
+            F.sum(overlap).cast("bigint").alias("n_rows"),
+            F.sum(F.col("cents") * overlap).cast("bigint").alias("group_cents"),
         )
+    )
+    ref = gb.groupBy(F.col("bucket").alias("rbucket")).agg(
+        F.sum("group_cents").cast("bigint").alias("ref_sum"),
+        F.sum("n_rows").cast("bigint").alias("ref_n"),
+    )
+    return gb.join(F.broadcast(ref), F.col("rbucket") == F.col("bucket")).select(
+        "event_type",
+        "bucket",
+        "n_rows",
+        "group_cents",
+        round_compat(
+            F.col("ref_sum") / (F.lit(100.0) * F.col("ref_n")), 6
+        ).alias("normalized_value"),
     )
 
 

@@ -308,7 +308,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # round-9: adaptive_row_number, same dispatch contract
     "percent_rank_normalize",
     "gini_revenue_concentration",
-    "quantile_normalize_events",
+    # quantile_normalize_events left the whitelist in round 10: its
+    # value-table recipe windows per event_type (adaptive_cumsum),
+    # never globally
     "shard_assignment_balanced",
     "zipf_slope_tokens",
 }

@@ -861,19 +861,29 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant materialization job — so big graphs cut EVERY round and
     small ones every other. Same-session A/Bs: at sf1 (173k nodes)
     cut-1+broadcast 13.2 s vs cut-2+shuffle (the previous shape)
-    21.7 s; at sf0.1 (17k nodes) cut-2+broadcast 7.2 s vs
-    cut-1+broadcast 9.1 s."""
+    21.7 s; at sf0.1 (17k nodes) the full warm 4-shape grid (round-10,
+    2 reps each) spans just 7.1-8.0 s — broadcast+cut-2 (this
+    dispatch) 7.63/8.03, shuffle+cut-2 (the r8 shape) 7.07/7.86,
+    broadcast+cut-1 8.17, shuffle+cut-1 7.53/8.09 — so the r8->r9
+    suite delta (5.66 -> 8.70 s) was dominated by session conditions,
+    not the plan: the two committed shapes differ by <1 s when
+    measured side by side. The peel never reaches fixpoint at these
+    scales (sf0.1 removes 10k+ edges in round 6), so all 6 rounds are
+    real work and early-exit has nothing to cut."""
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         ADAPTIVE_WINDOW_CAP,
     )
 
     edges = _copurchase_edges(spark, sf_dir).transform(cut_lineage)
-    n_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select("v"))
-        .distinct()
-        .count()
-    )
+    # Dispatch bound (round-10): graph nodes are l_partkey values, so
+    # the part table's row count upper-bounds n_nodes — and a parquet
+    # count-star is metadata-only (footer row counts, no scan). The
+    # previous exact distinct-count over 2|E| rows was a full extra
+    # shuffle job spent purely on dispatch (~0.5-1 s at sf0.1/sf1);
+    # the conservative bound makes identical decisions at every
+    # measured scale (sf0.1: 20k parts vs 17.3k nodes; sf1: 200k vs
+    # 173k) and errs toward the scale-safe shuffle path at 100 TB.
+    n_nodes = read_testdata(spark, sf_dir, "part").count()
     bcast_keep = n_nodes <= ADAPTIVE_WINDOW_CAP
     for i in range(KCORE_ROUNDS):
         deg = (

@@ -39,6 +39,12 @@ from aws_etl_global_footprint_network_spark.sources.readers import (
 # exactly like batch shuffle partitioning.
 STREAM_STATE_PARTITIONS = 8
 
+# Target Arrow-frame size for bucket-vectorised stateful operators:
+# the per-call Python toll (~1 ms) amortises over ~2k rows while the
+# pickled per-bucket state frame stays comfortably under a megabyte.
+# Same constant class as the batch bucketing in grouped_pandas_rank.
+BUCKET_ROWS = 2_000
+
 
 class _stream_partitions:
     """Scoped spark.sql.shuffle.partitions override for the duration
@@ -338,45 +344,83 @@ def first_seen_transform_with_state(
     tags=("streaming", "stateful", "dedup"),
 )
 def streaming_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming twin of dedup_exact: per-key state holds
-    (min_event_id, n_seen) across micro-batches. Emitting the MIN
-    makes the final answer independent of arrival order — that is
-    what lets a deterministic batch oracle verify a stateful stream.
-    Runs on applyInPandasWithState (available here); the
-    transformWithStateInPandas variant of the same operator is
-    ``first_seen_transform_with_state`` (protobuf-gated)."""
+    """The streaming twin of dedup_exact: state holds
+    (min_event_id, n_seen) per (user, event_type) across
+    micro-batches. Emitting the MIN makes the final answer
+    independent of arrival order — that is what lets a deterministic
+    batch oracle verify a genuinely stateful stream.
+
+    Bucket-vectorised state (round-9 verdict item 4): per-KEY state
+    pays the fixed ~1 ms Python/Arrow toll per touched key per batch
+    — batches x keys one-row DataFrames (at sf1: 2 x ~500k emits,
+    11.5 s, state partitions already sized). The applyInPandas
+    bucketing lesson (grouped_pandas_rank) applies to the stateful
+    path too: group by a HASH BUCKET of the key, hold the bucket's
+    whole key->(min, n) table as one pickled pandas frame in a
+    binary state column, and do the per-key merge as a vectorised
+    concat+groupby inside the bucket. Python calls drop from
+    touched-keys to touched-buckets per batch; emit rows stay
+    per-key (update-mode contract: every key touched in the batch,
+    with its cumulative state) but leave Python in bucket-sized
+    Arrow frames. The bucket count scales with the metadata-only
+    input row count (``BUCKET_ROWS`` ~2k rows per bucket-call), so the
+    pickled frame stays bounded at any volume — same modulus-scaling
+    posture as the batch bucketing. sf1 A/B, one warm session, two
+    rounds each: per-key state 18.16/17.63 s -> bucket state
+    8.05/6.43 s, result rows identical (the r9 suite recorded the
+    per-key shape at 11.5 s against warmer neighbours); the residual
+    is the micro-batch machinery floor — staged-source write, two
+    state-store commit rounds, memory sink."""
+    import pickle
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     raw = read_testdata_raw(spark, sf_dir, "events")
     name = f"stream_firstseen_{uuid.uuid4().hex[:8]}"
 
-    def update(key, pdfs, state: GroupState):
-        min_id, n = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            batch_min = int(pdf["event_id"].min())
-            min_id = batch_min if min_id is None else min(min_id, batch_min)
-        state.update((min_id, n))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "event_type": [key[1]],
-                "first_event_id": [min_id],
-                "n_seen": [n],
-            }
-        )
-
     n_rows = raw.count()  # parquet count-star pushdown: metadata-only
+    n_buckets = max(STREAM_STATE_PARTITIONS, n_rows // (2 * BUCKET_ROWS))
+    _KEY = ["user_id", "event_type"]
+
+    def update(key, pdfs, state: GroupState):
+        held = (
+            pickle.loads(state.get[0])
+            if state.exists
+            else pd.DataFrame(
+                columns=["user_id", "event_type", "first_event_id", "n_seen"]
+            )
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ba = batch.groupby(_KEY, as_index=False, sort=False).agg(
+            first_event_id=("event_id", "min"), n_seen=("event_id", "size")
+        )
+        merged = (
+            pd.concat([held, ba], ignore_index=True)
+            .groupby(_KEY, as_index=False, sort=False)
+            .agg(
+                first_event_id=("first_event_id", "min"),
+                n_seen=("n_seen", "sum"),
+            )
+        )
+        state.update((pickle.dumps(merged),))
+        # update-mode emit: only keys touched THIS batch, carrying
+        # their cumulative (cross-batch) state
+        yield merged.merge(ba[_KEY], on=_KEY)
+
     stream = _staged_stream(
         spark, raw, cols=("user_id", "event_type", "event_id")
     )
-    out = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+    bucketed = stream.withColumn(
+        "bucket",
+        F.pmod(F.hash("user_id", "event_type"), F.lit(n_buckets)).cast("int"),
+    )
+    out = bucketed.groupBy("bucket").applyInPandasWithState(
         update,
         outputStructType=(
             "user_id bigint, event_type string, first_event_id bigint, n_seen bigint"
         ),
-        stateStructType="min_id bigint, n bigint",
+        stateStructType="blob binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1293,7 +1293,20 @@ def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply time (the segmentation is a vocabulary-sized map, the
     standard trick in production BPE application pipelines); the only
     float is the final tokens-per-char division, rounded on the
-    shared grain."""
+    shared grain.
+
+    Job shape (round-9 verdict item 7): each round's broadcast argmax
+    materialisation used to RE-EXECUTE the whole prior chain (a lazy
+    broadcast segment has no shuffle files to reuse — the kcore
+    lesson), compounding per round; the vocabulary frame is now
+    lineage-CUT after every merge so each argmax job reads one
+    materialised vocab-sized input. The frame is also coalesced to
+    ``ceil(rows / 100k)`` partitions first (measured from the
+    persisted per-source table, one cached-input job): a 31-word toy
+    vocab stops paying 32-task scheduling per tiny stage, while a
+    100 TB corpus's multi-million-word vocabulary still spreads.
+    sf1 A/B, one warm session, two rounds each: 4.26/3.44 s ->
+    1.66/2.20 s, rows identical."""
     scope = CacheScope("bpe_apply_segmentation")
     d = spread(read_testdata(spark, sf_dir, "documents"))
     vs = scope.persist(
@@ -1301,6 +1314,7 @@ def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("cnt_s"))
     )
+    n_vs = vs.count()  # materializes the persist; vocab <= this
     vocab = vs.groupBy("word").agg(F.sum("cnt_s").alias("cnt"))
     s = vocab.select(
         "word",
@@ -1309,6 +1323,7 @@ def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cnt",
     )
+    s = s.coalesce(max(1, n_vs // 100_000)).transform(cut_lineage)
     for _ in range(BPE_MERGES):
         sl = F.split(F.col("seq"), " ")
         pairs = s.select(
@@ -1356,12 +1371,16 @@ def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
             "cnt",
         )
+        s = s.transform(cut_lineage)
     fin = s.select(
         "word",
         F.size(F.split(F.col("seq"), " ")).alias("n_sym"),
         F.length("word").alias("n_chars"),
     )
     return (
+        # hint-free: neither side is provably small at corpus scale
+        # (both are vocabulary-sized) — AQE sees the materialised
+        # sizes and picks broadcast exactly when fin fits
         vs.join(fin, "word")
         .groupBy("source")
         .agg(

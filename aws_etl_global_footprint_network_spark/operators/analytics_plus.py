@@ -590,7 +590,7 @@ BASKET_TOP = 25
     " confidence(a->b) and lift from integer counts; pair generation"
     " is the per-basket self-join (bounded by items-per-order, never"
     " all-parts-squared), ties broken by part ids",
-    tags=("analytics", "behavioral"),
+    tags=("analytics", "behavioral", "shared-build"),
 )
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining, the Apriori candidate-pair step: each

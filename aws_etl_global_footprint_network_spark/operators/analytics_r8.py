@@ -1910,7 +1910,7 @@ FIT_TOP = 25
     " step (market_basket_rules mines pairs) — per-order ordered"
     " triple fanout bounded by basket size choose 3, one combinable"
     f" groupBy, top-{FIT_TOP} by (support, keys)",
-    tags=("mining", "agg"),
+    tags=("mining", "agg", "shared-build"),
 )
 def frequent_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extends the pair-mining operator one lattice level up: each

@@ -785,7 +785,7 @@ def _lpa_round_sql(prev: str, out: str) -> str:
     f" fully deterministic), community sizes top-{LPA_TOP} — the"
     " cheap-and-cheerful communities baseline next to"
     " connected-components and PageRank",
-    tags=("graph", "mining"),
+    tags=("graph", "mining", "shared-build"),
 )
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous LPA is a bounded-round Pregel pattern like the

@@ -641,7 +641,7 @@ def _hits_edges_sql() -> str:
     " 'gateway' items lead TO rank as authorities — the directional"
     f" complement of PageRank's undirected prestige; top-{HITS_TOP}"
     " by authority",
-    tags=("graph", "mining"),
+    tags=("graph", "mining", "shared-build"),
 )
 def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (pagerank_neardup_graph) scores undirected prestige;

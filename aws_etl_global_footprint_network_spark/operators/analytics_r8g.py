@@ -379,7 +379,7 @@ def _dd_edges_sql() -> str:
     " parameters (the k-core threshold, the triangle support floor,"
     " skew salting) — node degrees from one pair-grain groupBy,"
     " bounded log-bin histogram close",
-    tags=("graph", "diagnostics", "agg"),
+    tags=("graph", "diagnostics", "agg", "shared-build"),
 )
 def degree_distribution_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every graph-operator parameter in this repo (KCORE_K, the

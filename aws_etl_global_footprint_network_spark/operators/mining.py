@@ -164,7 +164,7 @@ def _copurchase_edges(
     f" sharing >= {TRI_MIN_SUPPORT} orders are adjacent):"
     " degree-oriented wedge join + closing-edge join, per-node"
     f" triangle counts, top-{TRI_TOP}",
-    tags=("graph", "analytics"),
+    tags=("graph", "analytics", "shared-build"),
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard distributed triangle kernel: orient every edge
@@ -829,7 +829,7 @@ def _kcore_oracle() -> str:
     " of the part co-purchase graph: iteratively drop nodes below"
     " degree k, report the surviving subgraph's nodes and in-core"
     " degrees",
-    tags=("graph", "iterative"),
+    tags=("graph", "iterative", "shared-build"),
 )
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The density-filter companion to connected components and
@@ -1555,7 +1555,7 @@ LINK_TOP = 30
     "link prediction on the co-purchase affinity graph: Jaccard"
     " neighbor-set similarity of NON-adjacent part pairs sharing a"
     f" common neighbor, top-{LINK_TOP} predicted edges",
-    tags=("graph", "analytics"),
+    tags=("graph", "analytics", "shared-build"),
 )
 def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic common-neighbors link predictor (Liben-Nowell &
@@ -1670,7 +1670,7 @@ II_MIN_CO = 2
     f" co/sqrt(f_a*f_b) over distinct co-purchase counts (>= "
     f"{II_MIN_CO} shared orders), top-{II_TOP_PER_ITEM} neighbors"
     " per item — the 'customers also bought' scoring kernel",
-    tags=("graph", "mlprep", "analytics"),
+    tags=("graph", "mlprep", "analytics", "shared-build"),
 )
 def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic neighborhood recommender (Sarwar et al., item-based
@@ -1793,7 +1793,7 @@ SEQ_MIN_COUNT = 2
     " between each customer's CONSECUTIVE orders (part in order k ->"
     f" part in order k+1), count floor {SEQ_MIN_COUNT},"
     f" top-{SEQ_TOP_PER_ITEM} next items per antecedent",
-    tags=("graph", "mlprep", "behavioral"),
+    tags=("graph", "mlprep", "behavioral", "shared-build"),
 )
 def next_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What do customers buy NEXT? Unlike ``item_item_cosine_topk``
@@ -1897,7 +1897,7 @@ def _bfs_oracle() -> str:
     f"{TRI_MIN_SUPPORT} part co-purchase graph from the minimum-key"
     " node: per-node shortest hop distance — the reachability/radius"
     " primitive of the graph family",
-    tags=("graph", "iterative"),
+    tags=("graph", "iterative", "shared-build"),
 )
 def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier-expansion BFS, the fourth member of the bounded-round

@@ -530,6 +530,63 @@ def duck_mode(specs, names) -> None:
     )
 
 
+def prime_shared_builds(spark, sf_dir) -> dict[str, float]:
+    """Materialize the cross-query memoized builds (basket arrays,
+    co-purchase edge variants, transition pairs) ONCE before the
+    timed pass, each timed separately (round-9 verdict item 3 /
+    advisor): in a warm suite the shared build otherwise lands on
+    whichever family member runs first, making per-query numbers
+    iteration-order-dependent and not reproducible standalone. With
+    the builds primed, every `shared-build`-tagged query's number is
+    its own warm cost, and the build prices are reported explicitly
+    in the sidecar instead of silently folded into one victim."""
+    from aws_etl_global_footprint_network_spark.functions import baskets
+    from aws_etl_global_footprint_network_spark.operators import (
+        analytics_r8c,
+        analytics_r8d,
+        mining,
+    )
+
+    supports = sorted(
+        {1, mining.TRI_MIN_SUPPORT, analytics_r8c.LPA_MIN_SUPPORT}
+    )
+    mins = sorted({analytics_r8d.HITS_MIN_COUNT, mining.SEQ_MIN_COUNT})
+    builds = {"basket_arrays": lambda: baskets.basket_arrays(spark, sf_dir)}
+    for ms in supports:
+        builds[f"copurchase_edges_ms{ms}"] = (
+            lambda ms=ms: mining._copurchase_edges(spark, sf_dir, min_support=ms)
+        )
+    for mc in mins:
+        builds[f"transition_pairs_min{mc}"] = (
+            lambda mc=mc: baskets.transition_pair_counts(spark, sf_dir, mc)
+        )
+    timing: dict[str, float] = {}
+    for bname, fn in builds.items():
+        t0 = time.perf_counter()
+        fn().count()
+        timing[bname] = round(time.perf_counter() - t0, 3)
+        print(f"# prime {bname}: {timing[bname]:.3f}s", file=sys.stderr)
+    return timing
+
+
+def query_flags(specs, names) -> dict[str, dict]:
+    """Per-query sidecar annotations derived from registry tags, so
+    the ratio column cannot be misread (round-9 verdict items 3+4):
+    streaming rows measure Structured Streaming micro-batch machinery
+    against a batch DuckDB scan; shared-build rows assume the primed
+    memoized builds (their cold cost is in shared_build_prime_sec)."""
+    flags: dict[str, dict] = {}
+    for name in names:
+        f = {}
+        if "streaming" in specs[name].tags:
+            f["machinery"] = "micro-batch vs batch oracle"
+        if "shared-build" in specs[name].tags:
+            f["shared_build"] = True
+        if f:
+            flags[name] = f
+    return flags
+
+
 def cold_pass(specs, names, sf_dir) -> dict[str, float]:
     """One FRESH SparkSession per query at ``sf_dir``.
 
@@ -630,6 +687,11 @@ def main() -> None:
             except Exception as exc:  # pragma: no cover - warmup is best-effort
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # Prime the cross-query memoized builds at the measured SF so
+    # per-query warm numbers are reproducible standalone (their cold
+    # cost is reported separately in the sidecar).
+    prime_sec = prime_shared_builds(spark, SF_DIR)
+
     # One failing query must not void the whole bench (a schema drift
     # in regenerated test data once cost an entire round's numbers):
     # record the error per query and keep timing the rest.
@@ -703,7 +765,13 @@ def main() -> None:
         "median_query": _median(list(timings.values())),
         "sf": _sf_from_dir(SF_DIR),
     }
-    details = {"queries": timings}
+    details = {
+        "queries": timings,
+        "shared_build_prime_sec": prime_sec,
+        "query_flags": query_flags(
+            specs, [*timings, *rotation] if rotation else list(timings)
+        ),
+    }
     if rotation or rot_label:
         line["rot_n"] = len(rotation)
         line["rot_total"] = round(sum(rotation.values()), 3)

@@ -26,7 +26,8 @@ import sys
 def main() -> None:
     spark_path, duck_path = sys.argv[1], sys.argv[2]
     with open(spark_path) as fh:
-        spark_q = json.load(fh)["queries"]
+        spark_details = json.load(fh)
+    spark_q = spark_details["queries"]
     with open(duck_path) as fh:
         duck_q = json.load(fh)["queries"]
     common = sorted(set(spark_q) & set(duck_q))
@@ -41,6 +42,13 @@ def main() -> None:
         "n_common": len(common),
         "sf": 1,
     }
+    # Carry the per-query annotations through so the pair file is
+    # self-describing: streaming rows measure micro-batch machinery
+    # against a batch oracle; shared-build rows assume the primed
+    # memoized builds, whose cold cost is priced separately.
+    for key in ("query_flags", "shared_build_prime_sec"):
+        if key in spark_details:
+            out[key] = spark_details[key]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dest = os.path.join(here, "bench_details_sf1.json")
     with open(dest, "w") as fh:

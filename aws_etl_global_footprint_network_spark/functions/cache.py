@@ -51,7 +51,9 @@ def release_all() -> None:
     everything persisted by the engine' entry point."""
     for name in list(_LIVE):
         _LIVE.pop(name).release()
-    # late import: baskets imports cache (cut_lineage), not vice versa
+    # late import: keeps this module import-light (baskets pulls in
+    # sources.readers and the operator constants); the call only
+    # happens at teardown, never on the hot path
     from aws_etl_global_footprint_network_spark.functions.baskets import (
         release_builds,
     )

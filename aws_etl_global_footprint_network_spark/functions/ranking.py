@@ -186,6 +186,23 @@ ROWSCALE_WINDOW_CAP = 200_000  # row-scale (per-entity / per-event)
 # earlier (measured: a 1M-row single-task sort cost 8.8 s at sf1 —
 # worse than the recipe's 3.8 s — while 150-200k-row frames window in
 # well under a second)
+HLL_DISPATCH_INFLATION = 1.10  # approx_count_distinct's default rsd
+# is 0.05, so an HLL estimate feeding a dispatch cap can UNDER-state
+# a value table sitting marginally above it and route it to the
+# bounded single-task branch (advisor, round 9: the cap was soft).
+# Inflating the estimate by two rsd before comparing makes the cap
+# effectively hard (P(true > cap | inflated est <= cap) is the >2
+# sigma tail) at the cost of dispatching to the distributed recipe
+# ~10% early — the safe direction at every scale.
+
+
+def hll_dispatch_estimate(est: int | None) -> int | None:
+    """Inflate an ``approx_count_distinct`` estimate before passing
+    it as a dispatch ``n_rows`` (see ``HLL_DISPATCH_INFLATION``).
+    Exact counts must NOT go through this — pass them directly."""
+    return None if est is None else int(est * HLL_DISPATCH_INFLATION)
+
+
 PARTIALS_COLLECT_CAP = 100_000  # per-(partition, group) partial rows
 # above which the literal-map offsets would OOM the driver; past it
 # the offsets stay distributed (window over the partials + join back)

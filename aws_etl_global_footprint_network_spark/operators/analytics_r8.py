@@ -949,13 +949,16 @@ def auc_roc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         adaptive_cumsum,
+        hll_dispatch_estimate,
     )
 
     scored = urgent_score_labels(spark, sf_dir)
     v = scored.groupBy("score").agg(
         F.sum("y").alias("n1v"), F.count(F.lit(1)).alias("t")
     ).withColumn("g", F.lit(1))
-    est = scored.agg(F.approx_count_distinct("score")).first()[0]
+    est = hll_dispatch_estimate(
+        scored.agg(F.approx_count_distinct("score")).first()[0]
+    )
     cum = adaptive_cumsum(
         v, "g", [F.col("score")], {"cb": "t"}, CacheScope("auc_roc_score"),
         n_rows=est,
@@ -1159,6 +1162,7 @@ def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         adaptive_cumsum,
+        hll_dispatch_estimate,
     )
 
     e = (
@@ -1172,9 +1176,11 @@ def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.groupBy("event_type", "cents").agg(
         F.count(F.lit(1)).cast("bigint").alias("t")
     )
-    est = e.agg(
-        F.approx_count_distinct(F.struct("event_type", "cents"))
-    ).first()[0]
+    est = hll_dispatch_estimate(
+        e.agg(
+            F.approx_count_distinct(F.struct("event_type", "cents"))
+        ).first()[0]
+    )
     c = adaptive_cumsum(
         v,
         "event_type",

@@ -90,6 +90,7 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         adaptive_cumsum,
+        hll_dispatch_estimate,
     )
 
     e = (
@@ -109,7 +110,7 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_gx").alias("t"))
         .withColumn("g", F.lit(1))
     )
-    est = e.agg(F.approx_count_distinct("x")).first()[0]
+    est = hll_dispatch_estimate(e.agg(F.approx_count_distinct("x")).first()[0])
     c = adaptive_cumsum(v, "g", [F.col("x")], {"cb": "t"}, scope, n_rows=est)
     rg = (
         ec.join(c.select("x", "t", "cb"), "x")

@@ -863,6 +863,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         adaptive_cumsum,
+        hll_dispatch_estimate,
     )
 
     e = (
@@ -878,7 +879,9 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n1v"),
         F.count(F.lit(1)).alias("t"),
     )
-    est = e.agg(F.approx_count_distinct(F.struct("event_type", "x"))).first()[0]
+    est = hll_dispatch_estimate(
+        e.agg(F.approx_count_distinct(F.struct("event_type", "x"))).first()[0]
+    )
     c = adaptive_cumsum(
         v, "event_type", [F.col("x")], {"cb": "t"},
         CacheScope("mann_whitney_u"), n_rows=est,
@@ -981,6 +984,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         adaptive_cumsum,
+        hll_dispatch_estimate,
     )
 
     e = (
@@ -996,7 +1000,9 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n1v"),
         F.sum(F.when(F.col("we"), 1).otherwise(0)).alias("n2v"),
     )
-    est = e.agg(F.approx_count_distinct(F.struct("event_type", "x"))).first()[0]
+    est = hll_dispatch_estimate(
+        e.agg(F.approx_count_distinct(F.struct("event_type", "x"))).first()[0]
+    )
     cum = adaptive_cumsum(
         v,
         "event_type",

@@ -446,8 +446,9 @@ EQUI_DEPTH_BINS = 10
 )
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact NTILE via :func:`adaptive_ntile`: a plain window when
-    the measured input is under the 1M-row dispatch cap (bounded
-    single task by construction), the distributed ranking recipe
+    the measured input is under the measured 200k-row
+    ``ROWSCALE_WINDOW_CAP`` (bounded single task by construction),
+    the distributed ranking recipe
     (range repartition + per-partition rank + broadcast offsets)
     past it — an UNBOUNDED unpartitioned NTILE window would
     single-task the table."""
@@ -1079,6 +1080,7 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         adaptive_cumsum,
+        hll_dispatch_estimate,
     )
 
     from aws_etl_global_footprint_network_spark.functions.ranking import (
@@ -1092,7 +1094,8 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("y"),
     )
     # both dispatch cardinalities in ONE shuffle-free scan (partial
-    # HLL merge); ±2% against an order-of-magnitude cap is plenty
+    # HLL merge); estimates are inflated by 2 rsd before the cap
+    # compare (hll_dispatch_estimate) so the cap stays hard
     est = li.agg(
         F.approx_count_distinct(F.struct("flag", "x")).alias("nx"),
         F.approx_count_distinct(F.struct("flag", "y")).alias("ny"),
@@ -1107,8 +1110,8 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag", col, (2 * F.col("cb") + F.col("t") + 1).alias(out)
         )
 
-    vx = rank_table("x", "r2x", est["nx"])
-    vy = rank_table("y", "r2y", est["ny"])
+    vx = rank_table("x", "r2x", hll_dispatch_estimate(est["nx"]))
+    vy = rank_table("y", "r2y", hll_dispatch_estimate(est["ny"]))
     # A value table that passed the adaptive-window dispatch
     # (cardinality <= cap) is PROVABLY bounded — the same
     # domain-boundedness argument that justified the window justifies

@@ -582,6 +582,11 @@ def query_flags(specs, names) -> dict[str, dict]:
             f["machinery"] = "micro-batch vs batch oracle"
         if "shared-build" in specs[name].tags:
             f["shared_build"] = True
+        if "forced-dispatch" in specs[name].tags:
+            # evidence queries: they PIN the over-cap distributed
+            # recipes at any input size, so their small-SF ratio vs a
+            # single-threaded DuckDB window is by construction
+            f["forced_dispatch"] = True
         if f:
             flags[name] = f
     return flags
@@ -763,6 +768,10 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "median_query": _median(list(timings.values())),
+        # shared memoized builds are primed before the timed pass and
+        # priced here, NOT inside any query's number (pre-r10 runs
+        # folded them into whichever family member ran first)
+        "prime_total": round(sum(prime_sec.values()), 3),
         "sf": _sf_from_dir(SF_DIR),
     }
     details = {

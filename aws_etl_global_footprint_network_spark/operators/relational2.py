@@ -829,7 +829,18 @@ def lone_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_r (this supplier's returned lines on this order) — distinct
     suppliers become a plain count(*) one level up, fault suppliers
     a count of n_r > 0, and the numwait rows are the persisted
-    grain table re-filtered (no second fact scan)."""
+    grain table re-filtered (no second fact scan).
+
+    One-exchange layout (round-10): the grain aggregate is fed by an
+    explicit repartition on l_orderkey ALONE — hashpartitioning(ok)
+    satisfies the (ok, sk) aggregate's clustering AND the per-order
+    rollup AND the semi join, so the whole chain after the single
+    fact shuffle is exchange-free (the natural groupBy(ok, sk)
+    partitioning satisfied none of the downstream ops and re-shuffled
+    the grain table twice). Map-side combine is sacrificed, but
+    (ok, sk) is nearly unique in lineitem so partial aggregation was
+    saving almost nothing. sf1 A/B, one warm session, two rounds:
+    5.05/3.26 s -> 3.45/1.58 s, rows identical."""
     from aws_etl_global_footprint_network_spark.functions.cache import (
         CacheScope,
     )
@@ -839,9 +850,9 @@ def lone_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scope = CacheScope("lone_fault_suppliers")
     per_os = scope.persist(
-        li.groupBy("l_orderkey", "l_suppkey").agg(
-            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_r")
-        )
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_r"))
     )
     per_order = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),

@@ -1180,9 +1180,15 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, the distributed-rank recipe past it; the oracle keeps the
     textbook NTILE
     — then per-decile MAX), and every row of BOTH populations lands
-    in a bin via the closed form 1 + sum(score > edge) over the
-    9-row edge table — a bounded broadcast expansion, never a
-    quantile recomputation per population. Counts are exact
+    in a bin via the closed form 1 + count(edges below score) over
+    the 9-edge SORTED ARRAY — one broadcast row, the bin computed
+    map-only (round-10: the previous crossJoin-9-rows + per-customer
+    groupBy re-shuffled a 9x-expanded relation just to sum
+    indicators; sf1 A/B 2.55/1.39 s -> 1.15/1.01 s, rows identical).
+    The 9-element HOF filter is fine here — the HOF-blocks-codegen
+    lesson bites on corpus-sized generators, not constant-width
+    arrays. Never a quantile recomputation per population; counts
+    are exact
     integers; the PSI contributions are emitted per BIN (one float
     depth each, the actionable detail — which score band moved), a
     degenerate empty cell pins NULL on both sides. Baseline =
@@ -1207,27 +1213,21 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         scope,
     )
-    edges = (
+    edges_arr = (
         base.filter(F.col("b") < PSI_BINS)
         .groupBy("b")
         .agg(F.max("score").alias("edge"))
-        .select("edge")
+        .agg(F.sort_array(F.collect_list("edge")).alias("earr"))
     )
-    binned = (
-        c.crossJoin(F.broadcast(edges))
-        .groupBy("c_custkey", "half", "score")
+    bin_expr = 1 + F.size(F.filter("earr", lambda e: F.col("score") > e))
+    counts = (
+        c.crossJoin(F.broadcast(edges_arr))
+        .select("half", bin_expr.alias("bin"))
+        .groupBy("bin")
         .agg(
-            (
-                1
-                + F.sum(
-                    F.when(F.col("score") > F.col("edge"), 1).otherwise(0)
-                )
-            ).alias("bin")
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
         )
-    )
-    counts = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_base"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
     )
     tot = counts.agg(
         F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")

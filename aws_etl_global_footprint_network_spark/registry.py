@@ -68,10 +68,10 @@ def register(
 #     weekly_vs_window_equivalence / streaming_first_seen_stateful
 #     are the round-9 item-4/7 perf targets);
 #   * the remainder filled with the LONGEST-unsampled queries (last
-#     external sample r4) in registration order; the 12 r4 queries
-#     that didn't fit (streaming_dedup_watermark,
-#     streaming_session_window .. zorder_layout) head the round-11
-#     rotation.
+#     external sample r4) in registration order; the 13 r4 queries
+#     that didn't fit (stratified_sample_exact,
+#     streaming_dedup_watermark, streaming_session_window ..
+#     zorder_layout) head the round-11 rotation.
 # Everything outside the window keeps local coverage via
 # tests/test_oracle_parity.py (all queries, every test run) and the
 # per-round sf1 sweep (scripts/parity_sweep.py).
@@ -104,11 +104,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-10 forced over-cap dispatch (verdict item 6)
     "forced_distributed_rank_suite",
     "forced_distributed_cumsum",
-    # round-10 perf-target plans (verdict items 4 + 7)
+    # round-10 perf-target plans (verdict items 4 + 7, plus two
+    # weak-screen reworks: lone_fault one-exchange layout; psi's
+    # map-only binning is covered by psi_score_drift above)
     "merge_rowlevel_cow",
     "bpe_apply_segmentation",
     "weekly_vs_window_equivalence",
     "streaming_first_seen_stateful",
+    "lone_fault_suppliers",
     # longest-unsampled (ext-r4), registration order
     "acctbal_case_buckets",
     "asof_last_purchase",
@@ -132,7 +135,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "price_quantity_correlation",
     "repetition_filters",
     "split_contamination_check",
-    "stratified_sample_exact",
 )
 
 # Never-externally-sampled after this window (round-10 rotation class

@@ -33,12 +33,21 @@ def main() -> None:
     common = sorted(set(spark_q) & set(duck_q))
     s_tot = round(sum(spark_q[k] for k in common), 3)
     d_tot = round(sum(duck_q[k] for k in common), 3)
+    # Engine-vs-engine fairness: Spark's memoized shared builds are
+    # primed outside the per-query timings (and priced in
+    # shared_build_prime_sec), while DuckDB recomputes those subplans
+    # inside each query — so the headline ratio must charge Spark the
+    # prime cost. spark_total stays the pure per-query sum.
+    prime = round(sum(spark_details.get("shared_build_prime_sec", {}).values()), 3)
+    s_with_prime = round(s_tot + prime, 3)
     out = {
         "spark_queries": spark_q,
         "duckdb_queries": duck_q,
         "spark_total": s_tot,
+        "spark_total_with_prime": s_with_prime,
         "duckdb_total": d_tot,
-        "ratio": round(s_tot / d_tot, 3) if d_tot else None,
+        "ratio": round(s_with_prime / d_tot, 3) if d_tot else None,
+        "ratio_excl_prime": round(s_tot / d_tot, 3) if d_tot else None,
         "n_common": len(common),
         "sf": 1,
     }
@@ -54,8 +63,9 @@ def main() -> None:
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(
-        f"{dest}: {len(common)} paired, spark {s_tot}s vs duck {d_tot}s"
-        f" = {out['ratio']}x"
+        f"{dest}: {len(common)} paired, spark {s_with_prime}s"
+        f" (incl {prime}s shared-build prime; {s_tot}s queries-only)"
+        f" vs duck {d_tot}s = {out['ratio']}x"
     )
 
 

@@ -153,19 +153,28 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gap_islands_order_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-month streaks per customer: distinct order months
     collapse to islands because month_idx minus its per-customer rank
-    is constant exactly while months are consecutive. One shuffle on
-    o_custkey (window + groupBy share the partitioning, Catalyst
-    reuses the exchange); per-group state is the customer's distinct
-    months — bounded."""
+    is constant exactly while months are consecutive. ONE shuffle on
+    o_custkey, genuinely (round-10): the distinct used to plan its
+    own (custkey, month) exchange and the window re-shuffled by
+    custkey after it; an explicit repartition on o_custkey alone
+    satisfies the distinct's clustering (subset rule), the window,
+    AND the island groupBy, so everything past the single exchange
+    is exchange-free — the lone_fault_suppliers layout. Map-side
+    combine for the distinct is lost, but orders-per-customer-month
+    is small so the pre-aggregation saved little. sf1 A/B, one warm
+    session, two rounds: 4.29/2.73 s -> 2.49/2.52 s, rows identical.
+    Per-group state is the customer's distinct months — bounded."""
     o = read_testdata(spark, sf_dir, "orders")
-    m = o.select(
-        "o_custkey",
-        (
-            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    m = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("month_idx"),
         )
-        .cast("bigint")
-        .alias("month_idx"),
-    ).distinct()
+        .repartition("o_custkey")
+        .distinct()
+    )
     w = Window.partitionBy("o_custkey").orderBy("month_idx")
     g = m.withColumn("grp", F.col("month_idx") - F.row_number().over(w))
     return (

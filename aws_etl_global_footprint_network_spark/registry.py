@@ -68,8 +68,8 @@ def register(
 #     weekly_vs_window_equivalence / streaming_first_seen_stateful
 #     are the round-9 item-4/7 perf targets);
 #   * the remainder filled with the LONGEST-unsampled queries (last
-#     external sample r4) in registration order; the 14 r4 queries
-#     that didn't fit (split_contamination_check,
+#     external sample r4) in registration order; the 15 r4 queries
+#     that didn't fit (repetition_filters, split_contamination_check,
 #     stratified_sample_exact, streaming_dedup_watermark,
 #     streaming_session_window .. zorder_layout) head the round-11
 #     rotation.
@@ -114,6 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_first_seen_stateful",
     "lone_fault_suppliers",
     "ngram_novelty_score",
+    "gap_islands_order_months",
     # longest-unsampled (ext-r4), registration order
     "acctbal_case_buckets",
     "asof_last_purchase",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pq_codes",
     "pq_train_codebooks",
     "price_quantity_correlation",
-    "repetition_filters",
 )
 
 # Never-externally-sampled after this window (round-10 rotation class

@@ -296,3 +296,21 @@ def test_memo_persisted_reuse_and_eviction(spark):
     assert not a.storageLevel.useMemory  # superseded generation dropped
     _BUILD_MEMO.pop("test_memo", None)
     c.unpersist()
+
+
+def test_hll_dispatch_estimate_inflates_conservatively():
+    """The HLL inflation must only ever push a borderline estimate
+    TOWARD the distributed branch (round-9 advisor: the caps were
+    soft against under-estimation), and must pass None through for
+    the measure-it-yourself path."""
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        HLL_DISPATCH_INFLATION,
+        hll_dispatch_estimate,
+    )
+
+    assert hll_dispatch_estimate(None) is None
+    assert hll_dispatch_estimate(0) == 0
+    for est in (1, 999, 200_000, 1_000_000):
+        got = hll_dispatch_estimate(est)
+        assert got >= est, "inflation may never shrink an estimate"
+        assert got == int(est * HLL_DISPATCH_INFLATION)

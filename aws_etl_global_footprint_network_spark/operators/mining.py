@@ -1323,7 +1323,7 @@ def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cnt",
     )
-    s = s.coalesce(max(1, n_vs // 100_000)).transform(cut_lineage)
+    s = s.coalesce(max(1, -(-n_vs // 100_000))).transform(cut_lineage)
     for _ in range(BPE_MERGES):
         sl = F.split(F.col("seq"), " ")
         pairs = s.select(

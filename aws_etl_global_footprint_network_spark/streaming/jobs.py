@@ -384,24 +384,29 @@ def streaming_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     _KEY = ["user_id", "event_type"]
 
     def update(key, pdfs, state: GroupState):
-        held = (
-            pickle.loads(state.get[0])
-            if state.exists
-            else pd.DataFrame(
-                columns=["user_id", "event_type", "first_event_id", "n_seen"]
-            )
-        )
+        held = pickle.loads(state.get[0]) if state.exists else None
         batch = pd.concat(list(pdfs), ignore_index=True)
-        ba = batch.groupby(_KEY, as_index=False, sort=False).agg(
+        # dropna=False: SQL GROUP BY keeps NULL groups, pandas drops
+        # them by default — a nullable user_id/event_type corpus would
+        # silently lose those keys (and coerce int64 -> float64).
+        # Nullable Int64 keeps integer semantics through NaN and
+        # round-trips cleanly via Arrow to the bigint output schema.
+        batch["user_id"] = batch["user_id"].astype("Int64")
+        ba = batch.groupby(_KEY, as_index=False, sort=False, dropna=False).agg(
             first_event_id=("event_id", "min"), n_seen=("event_id", "size")
         )
         merged = (
-            pd.concat([held, ba], ignore_index=True)
-            .groupby(_KEY, as_index=False, sort=False)
+            ba
+            if held is None
+            else pd.concat([held, ba], ignore_index=True)
+            .groupby(_KEY, as_index=False, sort=False, dropna=False)
             .agg(
                 first_event_id=("first_event_id", "min"),
                 n_seen=("n_seen", "sum"),
             )
+        )
+        merged = merged.astype(
+            {"user_id": "Int64", "first_event_id": "Int64", "n_seen": "Int64"}
         )
         state.update((pickle.dumps(merged),))
         # update-mode emit: only keys touched THIS batch, carrying

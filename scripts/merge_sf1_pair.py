@@ -3,7 +3,10 @@
 ``bench_details_sf1.json``:
 
     {"spark_queries": {name: sec}, "duckdb_queries": {name: sec},
-     "spark_total": s, "duckdb_total": s, "ratio": r,
+     "spark_total": s, "spark_total_with_prime": s, "duckdb_total": s,
+     "schema_version": 2,
+     "ratio": r,              # queries-only (historical r1-r9 meaning)
+     "ratio_with_prime": r,   # fairness headline incl. shared-build prime
      "n_common": n, "sf": 1}
 
 Usage:
@@ -46,8 +49,13 @@ def main() -> None:
         "spark_total": s_tot,
         "spark_total_with_prime": s_with_prime,
         "duckdb_total": d_tot,
-        "ratio": round(s_with_prime / d_tot, 3) if d_tot else None,
-        "ratio_excl_prime": round(s_tot / d_tot, 3) if d_tot else None,
+        # schema v2: "ratio" keeps its historical r1-r9 meaning
+        # (queries-only, no prime) so cross-round trend reads stay
+        # apples-to-apples; the fairness-adjusted headline lives in
+        # "ratio_with_prime".
+        "schema_version": 2,
+        "ratio": round(s_tot / d_tot, 3) if d_tot else None,
+        "ratio_with_prime": round(s_with_prime / d_tot, 3) if d_tot else None,
         "n_common": len(common),
         "sf": 1,
     }
@@ -65,7 +73,7 @@ def main() -> None:
     print(
         f"{dest}: {len(common)} paired, spark {s_with_prime}s"
         f" (incl {prime}s shared-build prime; {s_tot}s queries-only)"
-        f" vs duck {d_tot}s = {out['ratio']}x"
+        f" vs duck {d_tot}s = {out['ratio_with_prime']}x"
     )
 
 

@@ -40,3 +40,33 @@ def test_streaming_batch_equivalence_daily(spark, sf_dir):
     s = {(r.day, r.event_type): r.n for r in stream_out.collect()}
     b = {(r.day, r.event_type): r.n for r in batch.collect()}
     assert s == b
+
+
+def test_first_seen_stateful_keeps_null_keys(spark, tmp_path):
+    """SQL GROUP BY keeps NULL groups; the bucket-vectorised pandas
+    state path must too (pandas groupby drops NaN keys by default —
+    regression pin for the dropna=False + nullable-Int64 handling)."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4, 5, 6], dtype="Int64"),
+            "ts": pd.to_datetime(["2024-01-01"] * 6),
+            "user_id": pd.array([10, 10, None, None, 11, None], dtype="Int64"),
+            "event_type": ["a", "a", "b", "b", None, None],
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    rows.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    out = SPECS["streaming_first_seen_stateful"].builder(spark, str(tmp_path))
+    got = {
+        (r.user_id, r.event_type): (r.first_event_id, r.n_seen)
+        for r in out.collect()
+    }
+    assert got == {
+        (10, "a"): (1, 2),
+        (None, "b"): (3, 2),
+        (11, None): (5, 1),
+        (None, None): (6, 1),
+    }

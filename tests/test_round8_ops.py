@@ -302,3 +302,20 @@ def test_seasonal_components_reconstruct(spark, sf_dir):
     decomposition)."""
     for r in SPECS["seasonal_decompose_daily"].builder(spark, sf_dir).collect():
         assert abs((r.trend_r6 + r.seasonal_r6 + r.resid_r6) - r.cents) < 1e-2
+
+
+def test_kcore_over_cap_disk_branch_same_result(spark, sf_dir_mid, monkeypatch):
+    """The over-cap regime (shuffle semi joins + DISK_ONLY lineage
+    cuts — the branch the sf10 probe OOM'd before round 11) must give
+    the identical core, pinned by forcing the dispatch cap under the
+    sf0.01 node count."""
+    from aws_etl_global_footprint_network_spark.functions import ranking
+
+    want = sorted(
+        map(tuple, SPECS["kcore_copurchase"].builder(spark, sf_dir_mid).collect())
+    )
+    monkeypatch.setattr(ranking, "ADAPTIVE_WINDOW_CAP", 1)
+    got = sorted(
+        map(tuple, SPECS["kcore_copurchase"].builder(spark, sf_dir_mid).collect())
+    )
+    assert got == want and len(got) > 0

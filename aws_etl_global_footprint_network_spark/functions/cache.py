@@ -91,9 +91,10 @@ def cut_lineage_disk(df: DataFrame) -> DataFrame:
     blocks pin the protected storage region until concurrent
     execution memory is exhausted — 32 tasks OOM'd inside a 16 GB
     local JVM while three ~GB checkpoint generations sat in memory.
-    Disk blocks cost one write + one read per generation (~linear,
-    measured <15% of the round's shuffle time) and leave the whole
-    execution pool to the joins. Operators choose this variant
+    Disk blocks cost one write + one read per generation (linear in
+    frame size) and leave the whole execution pool to the joins —
+    post-fix, sf10 kcore completes at every tested config where the
+    memory-first cut OOM'd. Operators choose this variant
     exactly where they already dispatch to the non-broadcast recipe:
     past the cap the working set is by definition bigger than
     memory's share, at any cluster size."""

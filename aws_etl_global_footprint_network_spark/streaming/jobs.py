@@ -539,8 +539,25 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     precision, so value*100 sits within 1e-12 of an integer and the
     per-batch rounding mode can never face a .5 boundary — the
     accumulated total is exactly the oracle's integer-cents sum in
-    ANY batch/partition order."""
-    import os
+    ANY batch/partition order.
+
+    Bucket-vectorised state (round-10 verdict item 5 — the
+    streaming_first_seen_stateful rework applied here): per-USER
+    GroupState pays the fixed ~1 ms Python/Arrow toll per touched key
+    per batch. Grouping by a hash BUCKET of user_id instead, holding
+    the bucket's whole user->(n, cents) table as one pickled pandas
+    frame in a binary state column, and doing the merge as a
+    vectorised concat+groupby drops Python calls from touched-keys to
+    touched-buckets per batch. Emits stay per-user (update-mode
+    contract) but leave Python in bucket-sized Arrow frames. Bucket
+    count scales with the metadata-only input row count
+    (``BUCKET_ROWS``-sized bucket calls), so the pickled frame stays
+    bounded at any volume. pandas groupby runs dropna=False with
+    nullable-Int64 keys: SQL GROUP BY keeps NULL users. sf1 A/B
+    (scripts/ab_user_totals.py), one warm session, two alternating
+    rounds: per-key state 12.04/9.98 s -> bucket state 7.09/6.50 s,
+    identical totals."""
+    import pickle
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -548,29 +565,43 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     raw = read_testdata_raw(spark, sf_dir, "events")
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
 
-    output_schema = "user_id bigint, n_events bigint, cents bigint"
-    state_schema = "n bigint, cents bigint"
-
     def update(key, pdfs, state: GroupState):
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
-        state.update((n, cents))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+        held = pickle.loads(state.get[0]) if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch["user_id"] = batch["user_id"].astype("Int64")
+        batch["cents"] = (batch["value"] * 100).round().astype("int64")
+        ba = batch.groupby("user_id", as_index=False, sort=False, dropna=False).agg(
+            n_events=("cents", "size"), cents=("cents", "sum")
         )
+        merged = (
+            ba
+            if held is None
+            else pd.concat([held, ba], ignore_index=True)
+            .groupby("user_id", as_index=False, sort=False, dropna=False)
+            .agg(n_events=("n_events", "sum"), cents=("cents", "sum"))
+        )
+        merged = merged.astype(
+            {"user_id": "Int64", "n_events": "Int64", "cents": "Int64"}
+        )
+        state.update((pickle.dumps(merged),))
+        # update-mode emit: only users touched THIS batch, carrying
+        # their cumulative (cross-batch) totals
+        yield merged.merge(ba[["user_id"]], on="user_id")
 
     # Stage the source as 2 files and feed ONE file per micro-batch:
-    # the per-user GroupState must survive and accumulate across the
+    # the per-bucket state must survive and accumulate across the
     # batches for the final totals to be right (pinned by test against
     # the batch aggregate).
     n_rows = raw.count()
+    n_buckets = max(STREAM_STATE_PARTITIONS, n_rows // (2 * BUCKET_ROWS))
     stream = _staged_stream(spark, raw, cols=("user_id", "value"))
-    out = stream.groupBy("user_id").applyInPandasWithState(
+    bucketed = stream.withColumn(
+        "bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets)).cast("int")
+    )
+    out = bucketed.groupBy("bucket").applyInPandasWithState(
         update,
-        outputStructType=output_schema,
-        stateStructType=state_schema,
+        outputStructType="user_id bigint, n_events bigint, cents bigint",
+        stateStructType="blob binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -126,15 +126,18 @@ if __name__ == "__main__":
     # Partition count scales with DATA, not with memory: at sf10 the
     # default 32 shuffle partitions put ~3M edge rows in each of 32
     # concurrent tasks and kcore's over-cap regime exhausted the
-    # 16 GB execution pool (UNABLE_TO_ACQUIRE_MEMORY). 4x the
-    # partitions shrink every per-task working set 4x — the exact
-    # sizing rule a 100 TB cluster applies — and AQE coalesces the
-    # excess for the small stages. NOT extra heap: a measured 48 GB
-    # heap A/B made the same query 4x SLOWER (22.8 -> 92.6 s sf1
-    # kcore — GC pause volume scales with live heap), so memory
+    # 16 GB execution pool (UNABLE_TO_ACQUIRE_MEMORY). Doubling the
+    # pre-AQE partitions halves every per-task working set — the
+    # exact sizing rule a 100 TB cluster applies — and AQE coalesces
+    # the excess for the small stages; spark.sql.shuffle.partitions
+    # is a runtime conf, so each pass gets its own size (32 at sf1,
+    # SF10_SHUFFLE=64 default at sf10). NOT extra heap: a measured
+    # 48 GB heap A/B made the same query 4x SLOWER (22.8 -> 92.6 s
+    # sf1 kcore — GC pause volume scales with live heap), so memory
     # stays at the 16 GB default and parallelism does the work.
     specs = load_all()
-    spark = get_spark(app_name="bench-sf10", shuffle_partitions=128)
+    spark = get_spark(app_name="bench-sf10", shuffle_partitions=32)
+    sf10_parts = os.environ.get("SF10_SHUFFLE", "64")
 
     # Warm codegen shapes at the smallest SF (same rationale as
     # bench.py): first use of a plan shape pays 2-5 s of janino.
@@ -157,8 +160,10 @@ if __name__ == "__main__":
     else:
         t1 = {}
 
+    spark.conf.set("spark.sql.shuffle.partitions", sf10_parts)
     prime10 = bench.prime_shared_builds(spark, args.dir)
     t10, r10, d10, e10 = run_set(specs, PROBE, args.dir)
+    out["sf10_shuffle_partitions"] = int(sf10_parts)
 
     vs = {}
     for name, s10 in t10.items():

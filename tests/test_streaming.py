@@ -70,3 +70,23 @@ def test_first_seen_stateful_keeps_null_keys(spark, tmp_path):
         (11, None): (5, 1),
         (None, None): (6, 1),
     }
+
+
+def test_user_totals_stateful_keeps_null_keys(spark, tmp_path):
+    """Same NULL-group pin for the bucket-vectorised user totals."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4], dtype="Int64"),
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "user_id": pd.array([7, 7, None, None], dtype="Int64"),
+            "event_type": ["a"] * 4,
+            "value": [1.25, 2.0, 0.5, 0.25],
+            "props": ["{}"] * 4,
+        }
+    )
+    rows.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    out = SPECS["streaming_user_totals_stateful"].builder(spark, str(tmp_path))
+    got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    assert got == {7: (2, 3.25), None: (2, 0.75)}

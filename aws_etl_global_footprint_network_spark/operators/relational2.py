@@ -1108,9 +1108,10 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (map-side partial agg halves the doubled rows before the
     # exchange), and the dispatch cardinalities become exact
     # row-counts of the persisted aggregate — one tiny action instead
-    # of the HLL scan, with no inflation needed (sf1 A/B, one warm
-    # session, 2 rounds each: split form 3.57/3.38 s -> combined
-    # 2.41/2.33 s, same hash).
+    # of the HLL scan, with no inflation needed (sf1 A/B,
+    # scripts/ab_spearman.py, one warm session, 3 alternating rounds,
+    # cache cleared: split form 6.75/5.24/5.72 s -> combined
+    # 4.93/4.77/4.04 s, same hash).
     v = scope.persist(
         li.select(
             "flag",

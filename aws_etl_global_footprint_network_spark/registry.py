@@ -49,117 +49,84 @@ def register(
 
 # External correctness harnesses sample the FIRST 50 registry entries in
 # iteration order, so ordering is part of the contract.  DRIVER_WINDOW pins
-# those 50 slots explicitly.  Round-10 composition, per the round-9
-# verdict's items 1 and 6:
-#   * the 5 queries never externally sampled in r1-r9
-#     (feature_scaling_suite .. degree_distribution_log_bins);
-#   * every round-9 plan-changed query whose NEW plan lacked an
-#     external sample: the adaptive-dispatch stats trio
-#     (spearman/mann-whitney/ks), customer_rfm, kcore_copurchase,
-#     bucketed_join_colocated, grouped_pandas_rank,
-#     multimodal_features, and the rank-recipe family minus
-#     zipf_slope_tokens (already sampled ext-r9 on the new plan);
-#   * the two forced-dispatch queries registered THIS round
-#     (operators/scale_forced.py) — over-cap recipes pinned in the
-#     spec so sf0.01 sampling certifies the distributed branch;
-#   * every query whose plan changes THIS round
-#     (quantile_normalize_events is re-planned onto the value-table
-#     recipe; merge_rowlevel_cow / bpe_apply_segmentation /
-#     weekly_vs_window_equivalence / streaming_first_seen_stateful
-#     are the round-9 item-4/7 perf targets);
-#   * the remainder filled with the LONGEST-unsampled queries (last
-#     external sample r4) in registration order; the 15 r4 queries
-#     that didn't fit (repetition_filters, split_contamination_check,
-#     stratified_sample_exact, streaming_dedup_watermark,
-#     streaming_session_window .. zorder_layout) head the round-11
-#     rotation.
-# Everything outside the window keeps local coverage via
-# tests/test_oracle_parity.py (all queries, every test run) and the
-# per-round sf1 sweep (scripts/parity_sweep.py).
+# those 50 slots explicitly.  Round-11 composition, per the round-10
+# verdict's item 8 (rotate by STALENESS on current code — with all 280
+# queries externally sampled at least once, the window now tracks the
+# longest-unsampled tail plus every plan changed this round):
+#   * the 15 queries whose latest external sample is round 4 (the
+#     oldest tail; includes token_pmi_bigrams, ALSO re-planned this
+#     round onto the one-pass combined-gram form);
+#   * every round-11 plan-changed query: spearman_rank_corr (one-pass
+#     value table + exact-count dispatch), streaming_user_totals_
+#     stateful (bucket-vectorised state), streaming_first_seen_
+#     stateful (NULL-group dropna fix), bpe_apply_segmentation (ceil
+#     coalesce), kcore_copurchase (DISK_ONLY lineage cuts in the
+#     over-cap branch);
+#   * the remainder filled with 30 of the 39 round-5-stale queries in
+#     name order; the 9 that did not fit (scd2_merge_emulation,
+#     sequence_packing, streaming_ohlc_bars, supplier_balance_zscore,
+#     table_profile_orders, tfidf_top_terms, top3_parts_per_brand,
+#     top_orders_by_revenue, train_test_split_hash) head the round-12
+#     rotation, followed by the round-6 tail.
+# Max staleness after this window strictly decreases: nothing older
+# than round 5 remains unsampled.  Everything outside the window keeps
+# local coverage via tests/test_oracle_parity.py (all queries, every
+# test run) and the per-round sf1 sweep (scripts/parity_sweep.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # never externally sampled before this round
-    "feature_scaling_suite",
-    "entity_resolution_clusters",
-    "qini_uplift_by_bin",
-    "gdpr_delete_impact",
-    "degree_distribution_log_bins",
-    # round-9 plan-changed: adaptive-dispatch stats trio
+    # round-4-stale tail (longest unsampled)
+    "repetition_filters",
+    "split_contamination_check",
+    "stratified_sample_exact",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_sliding_counts",
+    "streaming_stream_stream_join",
+    "supplier_names_agg",
+    "target_encode_priority",
+    "token_pmi_bigrams",
+    "top_tokens_exploded",
+    "unigram_lm_score",
+    "user_event_pivot",
+    "vocab_coverage",
+    "zorder_layout",
+    # round-11 plan-changed
     "spearman_rank_corr",
-    "mann_whitney_u",
-    "ks_two_sample",
-    # round-9 plan-changed: individual queries
-    "customer_rfm",
-    "kcore_copurchase",
-    "bucketed_join_colocated",
-    "grouped_pandas_rank",
-    "multimodal_features",
-    # round-9 plan-changed: rank-recipe family (zipf sampled ext-r9)
-    "quantile_normalize_events",
-    "gini_revenue_concentration",
-    "percent_rank_normalize",
-    "shard_assignment_balanced",
-    "curriculum_schedule",
-    "psi_score_drift",
-    "equi_depth_histogram",
-    "decile_lift_table",
-    # round-10 forced over-cap dispatch (verdict item 6)
-    "forced_distributed_rank_suite",
-    "forced_distributed_cumsum",
-    # round-10 perf-target plans (verdict items 4 + 7, plus two
-    # weak-screen reworks: lone_fault one-exchange layout; psi's
-    # map-only binning is covered by psi_score_drift above)
-    "merge_rowlevel_cow",
-    "bpe_apply_segmentation",
-    "weekly_vs_window_equivalence",
+    "streaming_user_totals_stateful",
     "streaming_first_seen_stateful",
-    "lone_fault_suppliers",
-    "ngram_novelty_score",
-    "gap_islands_order_months",
-    # longest-unsampled (ext-r4), registration order
-    "acctbal_case_buckets",
-    "asof_last_purchase",
-    "chunk_sliding_windows",
-    "domain_mix_sampling",
-    "dsir_importance_weight",
-    "dup_ngram_spans",
-    "events_daily_agg",
-    "events_json_extract",
-    "events_topk_per_day",
-    "events_year_week",
-    "global_shuffle_shards",
-    "incremental_upsert_partition",
-    "ivfadc_rerank_topk",
-    "median_order_value",
-    "nation_check_avg",
-    "orders_monthly_growth",
-    "part_string_funcs",
-    "pq_codes",
-    "pq_train_codebooks",
-    "price_quantity_correlation",
+    "bpe_apply_segmentation",
+    "kcore_copurchase",
+    # round-5-stale fill (name order)
+    "acctbal_vs_global_avg",
+    "array_functions_embeddings",
+    "binary_payload_meta",
+    "corpus_quality_gates",
+    "cube_order_status_priority",
+    "customer_order_stats_left",
+    "customers_with_open_orders_semi",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dq_violation_report",
+    "embedding_quantize_stats",
+    "events_json_path",
+    "events_ohlc_bars",
+    "events_resample_ffill",
+    "events_trailing_1h_avg",
+    "fuzzy_name_pairs",
+    "interval_overlap_join",
+    "ivf_topk_probe",
+    "last_touch_attribution",
+    "lineitem_distinct_counts",
+    "math_scalar_funcs",
+    "matryoshka_topk_overlap",
+    "nation_acctbal_stats",
+    "orders_ordered_limit",
+    "parts_at_brand_max_price",
+    "price_percentiles_per_brand",
+    "regional_supplier_revenue",
+    "rollup_lineitem_qty",
+    "scd2_lookup_join",
 )
-
-# Never-externally-sampled after this window (round-10 rotation class
-# (a)): feature_scaling_suite, entity_resolution_clusters,
-# qini_uplift_by_bin, gdpr_delete_impact, degree_distribution_log_bins;
-# plus the round-9 plan-changed queries: the stats-dispatch trio
-# (spearman_rank_corr, mann_whitney_u, ks_two_sample), auc_roc_score /
-# kruskal_wallis_h (adaptive cumsum), and the shared-build graph
-# family whose members are NOT already in this window —
-# triangle_count_copurchase, kcore_copurchase, jaccard_link_prediction,
-# item_item_cosine_topk, market_basket_rules, next_order_transitions,
-# bfs_hops_copurchase (memoized basket/edge/transition builds); and
-# the round-9 performance rewrites: the streaming family
-# (streaming_first_seen_stateful, streaming_user_totals_stateful,
-# streaming_foreachbatch_upsert, streaming_ohlc_bars,
-# streaming_session_window, streaming_cdc_compaction,
-# streaming_static_enrich, streaming_daily_counts — staged 2-file
-# source, projected staging columns, input-sized state partitions),
-# grouped_pandas_rank (hash-bucketed grouped map),
-# bucketed_join_colocated (32 buckets + covering projection),
-# spearman_rank_corr (broadcast bounded rank tables), and
-# multimodal_features (header-only decode).  Each is re-verified per
-# test run by tests/test_oracle_parity.py and by the per-round sf1
-# sweep.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -147,7 +147,28 @@ if __name__ == "__main__":
         except Exception as exc:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    out = {"sf": 10, "unit": "sec", "probe_dir": args.dir}
+    out = {
+        "sf": 10,
+        "unit": "sec",
+        "probe_dir": args.dir,
+        "notes": {
+            "kcore_config_ab": (
+                "over-cap kcore at sf10, measured this round: 16g/32p"
+                " OOM'd before the DISK_ONLY lineage-cut fix; post-fix"
+                " 48g/32p 213.3s, 16g/64p 382.6s, 16g/128p 378.0s —"
+                " completion is owed to the disk cuts, the residual"
+                " spread is the single-box disk+GC tradeoff a real"
+                " cluster sidesteps by scaling executor memory with"
+                " data"
+            ),
+            "heap_ab": (
+                "sf1 kcore one-variable heap A/B: 16g 22.8s vs 48g"
+                " 92.6s — oversizing the local heap quadruples GC"
+                " cost; parallelism, not memory, carries the sf10"
+                " scale-up here"
+            ),
+        },
+    }
 
     # Same-session sf1 pass first (smaller; also re-warms the memoized
     # shared builds' plan shapes before the big run).

@@ -264,11 +264,13 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j),
     g AS (
       SELECT seg, COUNT(*) AS n, SUM(x) AS sx,
-             CAST(SUM(rnk * x) AS BIGINT) AS srx
+             SUM(rnk * x) AS srx
       FROM r GROUP BY seg)
     SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_customers,
            CAST(sx AS BIGINT) AS total_rev_cents,
-           ROUND((2.0 * srx - (n + 1.0) * sx) / (1.0 * n * sx) * 1e6, 0) / 1e6
+           ROUND((2.0 * CAST(srx AS DOUBLE)
+                   - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6, 0) / 1e6
              AS gini
     FROM g
     """,
@@ -285,10 +287,14 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (segment, x, custkey) — the ``functions/ranking`` recipe — and the
     per-segment rank is recovered as rn - min(rn per segment) + 1
     (a segment-cardinality aggregate joined back), so no per-segment
-    window ever sorts a whole segment through one task. All sums are
-    integer (sum(r*x) fits int64 up to ~1e9 customers x $1e6 — swap
-    the accumulator to DECIMAL(38,0) past that); the Gini division is
-    the single float op, identical fold order in both engines."""
+    window ever sorts a whole segment through one task. sum(r*x)
+    accumulates as DECIMAL(38,0): the sf10 parity sweep caught the
+    int64 accumulator at 1.4e19 (rank ~3e5 x revenue ~7e8 cents x
+    3e5 rows/segment) — exactly the overflow class the round-7 notes
+    say small scales cannot see; the per-row product still fits int64
+    but is cast before multiplying anyway (the spearman rule), DuckDB
+    widens to HUGEINT natively, and the closing Gini formula is cast
+    to DOUBLE explicitly on both sides in identical order."""
     scope = CacheScope("gini_revenue_concentration")
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         adaptive_row_number,
@@ -319,11 +325,14 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = r.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("rnk") * F.col("x")).cast("bigint").alias("srx"),
+        F.sum(
+            F.col("rnk").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).alias("srx"),
     )
     gini = (
-        F.lit(2.0) * F.col("srx") - (F.col("n") + F.lit(1.0)) * F.col("sx")
-    ) / (F.lit(1.0) * F.col("n") * F.col("sx"))
+        F.lit(2.0) * F.col("srx").cast("double")
+        - (F.col("n").cast("double") + F.lit(1.0)) * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * F.col("sx").cast("double"))
     return g.select(
         F.col("seg").alias("c_mktsegment"),
         F.col("n").cast("bigint").alias("n_customers"),

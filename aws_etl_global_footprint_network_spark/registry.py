@@ -61,9 +61,12 @@ def register(
 #     stateful (bucket-vectorised state), streaming_first_seen_
 #     stateful (NULL-group dropna fix), bpe_apply_segmentation (ceil
 #     coalesce), kcore_copurchase (DISK_ONLY lineage cuts in the
-#     over-cap branch);
-#   * the remainder filled with 30 of the 39 round-5-stale queries in
-#     name order; the 9 that did not fit (scd2_merge_emulation,
+#     over-cap branch), gini_revenue_concentration (DECIMAL(38,0)
+#     rank-product accumulator — the sf10 sweep caught the int64
+#     overflow);
+#   * the remainder filled with 29 of the 39 round-5-stale queries in
+#     name order; the 10 that did not fit (scd2_lookup_join,
+#     scd2_merge_emulation,
 #     sequence_packing, streaming_ohlc_bars, supplier_balance_zscore,
 #     table_profile_orders, tfidf_top_terms, top3_parts_per_brand,
 #     top_orders_by_revenue, train_test_split_hash) head the round-12
@@ -95,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_first_seen_stateful",
     "bpe_apply_segmentation",
     "kcore_copurchase",
+    "gini_revenue_concentration",
     # round-5-stale fill (name order)
     "acctbal_vs_global_avg",
     "array_functions_embeddings",
@@ -125,7 +129,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "price_percentiles_per_brand",
     "regional_supplier_revenue",
     "rollup_lineitem_qty",
-    "scd2_lookup_join",
 )
 
 

@@ -314,3 +314,38 @@ def test_hll_dispatch_estimate_inflates_conservatively():
         got = hll_dispatch_estimate(est)
         assert got >= est, "inflation may never shrink an estimate"
         assert got == int(est * HLL_DISPATCH_INFLATION)
+
+
+def test_dispatch_log_records_branches(spark):
+    """DISPATCH_LOG is the sf10 probe's evidence channel: every
+    adaptive dispatcher appends (kind, n_rows, cap, branch), under-cap
+    -> window, over-cap -> distributed."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.functions import ranking
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    scope = CacheScope("test_dispatch_log")
+    try:
+        ranking.DISPATCH_LOG.clear()
+        ranking.adaptive_row_number(df, [F.col("v")], "rn", scope, n_rows=10).count()
+        ranking.adaptive_cumsum(
+            df, "g", [F.col("v")], {"c": "v"}, scope, n_rows=10
+        ).count()
+        ranking.adaptive_cumsum(
+            df, "g", [F.col("v")], {"c": "v"}, scope, n_rows=10, window_cap=1
+        ).count()
+        kinds = [(d["kind"], d["branch"]) for d in ranking.DISPATCH_LOG]
+        assert ("row_number", "window") in kinds
+        assert ("cumsum", "window") in kinds
+        assert ("cumsum", "distributed") in kinds
+        # the distributed path also logs its offsets decision
+        assert any(k == "cumsum_offsets" for k, _ in kinds)
+        for d in ranking.DISPATCH_LOG:
+            assert set(d) == {"kind", "n_rows", "cap", "branch"}
+    finally:
+        ranking.DISPATCH_LOG.clear()
+        scope.release()

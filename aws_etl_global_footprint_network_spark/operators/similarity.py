@@ -372,7 +372,19 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision is 1.0 and only recall depends on band geometry —
     measured on the planted twins via ``bench.py --recall`` (the
     organic corpus has no pairs in the near-dup regime; see the
-    constants block)."""
+    constants block).
+
+    Geometry must scale with the corpus (sf10 probe, round 11): the
+    2^BITS_PER_BAND bucket space is FIXED, so per-bucket occupancy
+    grows linearly with n and candidate-verify work quadratically —
+    measured x49 wall on 10x vectors (sf1 ~12 -> sf10 ~122
+    vectors/bucket) while verified OUTPUT stayed exactly linear
+    (precision contract intact). Production sizing: one more bit per
+    band per corpus doubling (equivalently a modulo-hash bucket space
+    sized n / target-occupancy) holds per-bucket work constant at any
+    scale. Pinned here because the DuckDB oracle twin mirrors these
+    exact planes/bands — the cross-engine hash gate needs a fixed
+    geometry."""
     emb = augmented_embeddings(spark, sf_dir)
     # persist: the band table and both verify sides would otherwise
     # recompute the 80-plane projection / twin synthesis per use.

@@ -78,12 +78,33 @@ TWIN_EPS = 0.7
 PAIR_ID_BOUND = 1000
 
 
-def _hyperplanes() -> list[list[float]]:
+# Adaptive (multi-probe) geometry — ann_lsh_pairs_adaptive.  The
+# fixed 8x11 layout above keeps its 2^11 buckets at every corpus size,
+# so per-bucket occupancy grows linearly with n and candidate-verify
+# work quadratically (measured x49 wall on 10x vectors, round-11 sf10
+# probe).  The adaptive variant appends up to ADAPTIVE_MAX_EXTRA sign
+# bits per band — one per corpus doubling past ADAPTIVE_NREF vectors —
+# and recovers the recall those AND-bits would cost by ALSO probing
+# the Hamming-1 neighborhood of the extra bits (multi-probe LSH,
+# Lv et al., VLDB 2007): a twin pair disagreeing on one extra bit
+# still collides via the flipped-bucket probe row.  Per doubling the
+# bucket space doubles while probe rows grow by one, so per-bucket
+# occupancy stays ~constant and candidate work ~linear in n.
+# ADAPTIVE_NREF anchors extra=0 at the sf0.1 corpus (2000 vectors)
+# where the fixed geometry was tuned — at the driver's sf0.01 gate the
+# adaptive query IS the fixed geometry, bit for bit.
+ADAPTIVE_NREF = 2000
+ADAPTIVE_MAX_EXTRA = 6  # covers 64x the reference corpus; the law
+# continues by construction (the ladder is the only thing that caps)
+N_PLANES_POOL = N_PLANES + LSH_BANDS * ADAPTIVE_MAX_EXTRA  # 136
+
+
+def _hyperplanes(n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1], derived from
     md5 of 'hp|{plane}|{dim}' — reproducible from this source file
     alone (no RNG state, no engine hash)."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for i in range(DIM):
             h = int(hashlib.md5(f"hp|{p}|{i}".encode()).hexdigest()[:15], 16)
@@ -92,7 +113,29 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-HYPERPLANES = _hyperplanes()
+# The pool is a strict extension: planes 0..N_PLANES-1 are the same
+# md5-derived values the fixed query embeds, so the fixed oracle text
+# is unchanged and the adaptive query's BASE bits reuse them.
+HYPERPLANES_POOL = _hyperplanes(N_PLANES_POOL)
+HYPERPLANES = HYPERPLANES_POOL[:N_PLANES]
+
+
+def _extra_bits(n: int, nref: int) -> int:
+    """Python twin of ``_extra_bits_sql``: the number of adaptive bucket
+    bits = corpus doublings past ``nref`` (integer ladder, no float
+    log2 edge cases), capped at ADAPTIVE_MAX_EXTRA."""
+    for k in range(ADAPTIVE_MAX_EXTRA):
+        if n <= nref * (1 << k):
+            return k
+    return ADAPTIVE_MAX_EXTRA
+
+
+def _extra_bits_sql(nref: int) -> str:
+    whens = " ".join(
+        f"WHEN n <= {nref * (1 << k)} THEN {k}"
+        for k in range(ADAPTIVE_MAX_EXTRA)
+    )
+    return f"CASE {whens} ELSE {ADAPTIVE_MAX_EXTRA} END"
 
 
 @register(
@@ -382,9 +425,11 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (precision contract intact). Production sizing: one more bit per
     band per corpus doubling (equivalently a modulo-hash bucket space
     sized n / target-occupancy) holds per-bucket work constant at any
-    scale. Pinned here because the DuckDB oracle twin mirrors these
-    exact planes/bands — the cross-engine hash gate needs a fixed
-    geometry."""
+    scale. This query keeps the fixed geometry because its registered
+    oracle embeds it; ``ann_lsh_pairs_adaptive`` below IS the sizing
+    law applied — corpus-counted extra bits plus Hamming-1 multi-probe
+    — with both engines deriving the same geometry from the same
+    count, so it stays hash-paired at every scale."""
     emb = augmented_embeddings(spark, sf_dir)
     # persist: the band table and both verify sides would otherwise
     # recompute the 80-plane projection / twin synthesis per use.
@@ -411,6 +456,211 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= LSH_PAIR_THRESHOLD)
         .select("vec_a", "vec_b", round_compat(cos, 6).alias("score"))
     )
+
+
+# --------------------------------------------------------------------
+# Adaptive multi-probe sign-LSH (the measured fix for the fixed
+# geometry's superlinear scaling — see the constants block)
+# --------------------------------------------------------------------
+
+def _adaptive_plane_dot_sql(p: int) -> str:
+    """Unrolled e[i]*w_i projection against pool plane ``p`` (DuckDB
+    side; same left-to-right fold as the fixed oracle)."""
+    return " + ".join(
+        f"e[{i + 1}]*{HYPERPLANES_POOL[p][i]!r}" for i in range(DIM)
+    )
+
+
+def _adaptive_oracle(nref: int = ADAPTIVE_NREF) -> str:
+    """DuckDB twin of the adaptive query.  SQL is static, so the
+    oracle computes ALL pool planes and MASKS the extra-bit terms with
+    the ``params.extra`` scalar (CASE ladder over COUNT(*)); the Spark
+    side knows ``extra`` at plan-build time and only computes the
+    planes it uses — different work, identical buckets."""
+    proj = ", ".join(
+        f"CASE WHEN ({_adaptive_plane_dot_sql(p)}) > 0 THEN 1 ELSE 0 END"
+        f" AS bit{p}"
+        for p in range(N_PLANES_POOL)
+    )
+
+    def bucket(b: int) -> str:
+        base = " + ".join(
+            f"(bit{b * BITS_PER_BAND + j}::BIGINT << {j})"
+            for j in range(BITS_PER_BAND)
+        )
+        ext = " + ".join(
+            f"(CASE WHEN p.extra > {je} THEN"
+            f" (bit{N_PLANES + b * ADAPTIVE_MAX_EXTRA + je}::BIGINT"
+            f" << {BITS_PER_BAND + je}) ELSE 0 END)"
+            for je in range(ADAPTIVE_MAX_EXTRA)
+        )
+        return f"{base} + {ext}"
+
+    home_vals = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {bucket(b)} AS bucket"
+        " FROM bits, params p"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH {_augmented_sql()},
+    params AS (SELECT {_extra_bits_sql(nref)} AS extra
+               FROM (SELECT COUNT(*) AS n FROM embeddings)),
+    bits AS MATERIALIZED (SELECT vec_id, e, {proj} FROM v),
+    home AS MATERIALIZED ({home_vals}),
+    probes AS (
+      SELECT vec_id, band,
+             xor(bucket, 1::BIGINT << ({BITS_PER_BAND} + t.j)) AS bucket
+      FROM home, params p, unnest(range(0, {ADAPTIVE_MAX_EXTRA})) AS t(j)
+      WHERE t.j < p.extra),
+    allb AS (SELECT * FROM home UNION ALL SELECT * FROM probes),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM home a JOIN allb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    , scored AS (
+      SELECT c.vec_a, c.vec_b,
+             {dot_sql('x.e', 'y.e')} / (x.nrm * y.nrm) AS cos
+      FROM cand c JOIN v x ON x.vec_id = c.vec_a
+                  JOIN v y ON y.vec_id = c.vec_b)
+    SELECT vec_a, vec_b, ROUND(cos, 6) AS score
+    FROM scored WHERE cos >= {LSH_PAIR_THRESHOLD}
+    """
+
+
+def _adaptive_home_table(emb: DataFrame, extra: int) -> DataFrame:
+    """Home band table at ``extra`` adaptive bits.
+
+    Only the planes actually used are projected (88 + 8*extra), unlike
+    the oracle's compute-all-and-mask — the Spark plan is built after
+    the dispatch count, so the geometry is a literal here."""
+
+    def plane_dot(p: int) -> str:
+        lits = ", ".join(f"{x!r}D" for x in HYPERPLANES_POOL[p])
+        return (
+            f"aggregate(zip_with(e, array({lits}), (x, y) -> x * y),"
+            " 0.0D, (acc, v) -> acc + v)"
+        )
+
+    needed = list(range(N_PLANES)) + [
+        N_PLANES + b * ADAPTIVE_MAX_EXTRA + je
+        for b in range(LSH_BANDS)
+        for je in range(extra)
+    ]
+    bits = emb.selectExpr(
+        "vec_id",
+        *[
+            f"CASE WHEN {plane_dot(p)} > 0 THEN 1 ELSE 0 END AS bit{p}"
+            for p in needed
+        ],
+    )
+
+    def bucket(b: int) -> str:
+        terms = [
+            f"shiftleft(CAST(bit{b * BITS_PER_BAND + j} AS BIGINT), {j})"
+            for j in range(BITS_PER_BAND)
+        ] + [
+            f"shiftleft(CAST(bit{N_PLANES + b * ADAPTIVE_MAX_EXTRA + je}"
+            f" AS BIGINT), {BITS_PER_BAND + je})"
+            for je in range(extra)
+        ]
+        return " + ".join(terms)
+
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {bucket(b)})"
+        for b in range(LSH_BANDS)
+    )
+    return bits.selectExpr(
+        "vec_id", f"explode(array({structs})) AS bb"
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+
+def _probe_rows(home: DataFrame, extra: int) -> DataFrame:
+    """Hamming-1 probe rows on the ``extra`` adaptive bits (one flipped
+    bucket per extra bit per home row)."""
+    return home.select(
+        "vec_id",
+        "band",
+        F.expr(
+            f"explode(transform(sequence(0, {extra - 1}),"
+            f" j -> bucket ^ shiftleft(CAST(1 AS BIGINT),"
+            f" {BITS_PER_BAND} + j)))"
+        ).alias("bucket"),
+    )
+
+
+def _adaptive_lsh_pairs(
+    spark: SparkSession, sf_dir: str, nref: int = ADAPTIVE_NREF
+) -> DataFrame:
+    """Core of ann_lsh_pairs_adaptive, parameterized by ``nref`` so
+    tests can force a non-zero ``extra`` on the small corpora and run
+    parity against ``_adaptive_oracle(nref)`` at the same geometry."""
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
+    )
+
+    n = read_testdata(spark, sf_dir, "embeddings").count()
+    extra = _extra_bits(n, nref)
+    _log_dispatch("lsh_adaptive_bits", n, nref, f"extra={extra}")
+    emb = augmented_embeddings(spark, sf_dir)
+    scope = CacheScope("ann_lsh_pairs_adaptive")
+    emb = scope.persist(emb)
+    home = scope.persist(_adaptive_home_table(emb, extra))
+    allb = home if extra == 0 else home.unionByName(_probe_rows(home, extra))
+    a = home.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = allb.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    x = emb.select(
+        F.col("vec_id").alias("xid"), F.col("e").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("yid"), F.col("e").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    cos = dot("xe", "ye") / (F.col("xn") * F.col("yn"))
+    return (
+        cand.join(x, F.col("xid") == F.col("vec_a"))
+        .join(y, F.col("yid") == F.col("vec_b"))
+        .filter(cos >= LSH_PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", round_compat(cos, 6).alias("score"))
+    )
+
+
+@register(
+    "ann_lsh_pairs_adaptive",
+    _adaptive_oracle(),
+    f"multi-probe sign-LSH near-dup pairs with corpus-adaptive bucket"
+    f" bits ({BITS_PER_BAND}+log2(n/{ADAPTIVE_NREF}) per band,"
+    f" Hamming-1 probes on the extra bits), verified at cosine >="
+    f" {LSH_PAIR_THRESHOLD}",
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_pairs_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_lsh_pairs`` with the geometry law from its docstring
+    actually applied: one extra bucket bit per band per corpus
+    doubling past ADAPTIVE_NREF vectors, plus Hamming-1 multi-probe
+    on the extra bits so the added AND-bits do not pay for bucket
+    shrinkage with recall (a twin pair disagreeing on one extra bit
+    still meets in the flipped bucket — probing is symmetric because
+    XOR distance is: home_a = home_b ^ mask iff home_b = home_a ^
+    mask, so joining home against home+probes misses nothing).
+
+    Scale: per-bucket occupancy is held ~constant by construction —
+    bucket space doubles with the corpus while probe rows grow by one
+    — so candidate-verify work scales ~linearly where the fixed
+    geometry's scaled quadratically (x49 wall at 10x vectors, sf10
+    probe, round 11).  The dispatch is one metadata-cheap COUNT of
+    the raw embeddings table, logged to DISPATCH_LOG; both engines
+    derive the same bit count from the same count via the same
+    integer ladder (no float log2), so the cross-engine hash gate
+    holds at every scale, and at the driver's sf0.01 gate (extra=0)
+    the buckets are bit-identical to ann_lsh_pairs'."""
+    return _adaptive_lsh_pairs(spark, sf_dir, ADAPTIVE_NREF)
 
 
 # --------------------------------------------------------------------

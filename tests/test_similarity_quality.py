@@ -259,3 +259,84 @@ def test_ivfadc_recall_floor(spark, sf_dir):
     }
     assert exact and got
     assert len(exact & got) / len(exact) >= 0.3
+
+
+# ---------------------------------------------------------------------
+# Adaptive multi-probe LSH (ann_lsh_pairs_adaptive)
+# ---------------------------------------------------------------------
+
+def test_extra_bits_ladder():
+    # one extra bit per corpus doubling past nref, integer-exact at the
+    # boundaries, capped at ADAPTIVE_MAX_EXTRA
+    e = similarity._extra_bits
+    nref = 2000
+    assert e(500, nref) == 0
+    assert e(2000, nref) == 0
+    assert e(2001, nref) == 1
+    assert e(4000, nref) == 1
+    assert e(20000, nref) == 4  # sf1
+    assert e(200000, nref) == similarity.ADAPTIVE_MAX_EXTRA  # sf10, capped
+    assert e(10**12, nref) == similarity.ADAPTIVE_MAX_EXTRA
+
+
+def test_adaptive_lsh_degenerates_to_fixed_at_gate_scale(spark, sf_dir):
+    # below ADAPTIVE_NREF the adaptive query IS the fixed geometry:
+    # identical verified pairs, bit for bit
+    fixed = {
+        tuple(r)
+        for r in load_all()["ann_lsh_pairs"].builder(spark, sf_dir).collect()
+    }
+    adaptive = {
+        tuple(r)
+        for r in load_all()["ann_lsh_pairs_adaptive"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert adaptive == fixed and fixed
+
+
+def test_adaptive_lsh_forced_geometry_parity_and_recall(spark, sf_dir):
+    # force extra=2 on the 500-vector corpus (nref=125) and check
+    # (a) cross-engine hash parity at the NON-default geometry — the
+    #     masked-bits oracle and the literal-bits Spark plan agree;
+    # (b) multi-probe holds recall: >= 0.9 of the pairs the fixed
+    #     geometry verifies survive two added bucket bits;
+    # (c) the bucket space actually grew (the point of the exercise).
+    from tests.oracle_harness import compare, duck_connection
+
+    nref = 125
+    df = similarity._adaptive_lsh_pairs(spark, sf_dir, nref=nref)
+    con = duck_connection(sf_dir)
+    try:
+        res = compare(
+            "ann_lsh_pairs_adaptive_forced",
+            df,
+            similarity._adaptive_oracle(nref),
+            con,
+        )
+        assert res.ok, res.detail
+    finally:
+        con.close()
+    fixed = {
+        (r.vec_a, r.vec_b)
+        for r in load_all()["ann_lsh_pairs"].builder(spark, sf_dir).collect()
+    }
+    adaptive = {(r.vec_a, r.vec_b) for r in df.collect()}
+    assert adaptive <= fixed  # precision 1.0 both; adaptive can only prune
+    assert len(adaptive) / len(fixed) >= 0.9
+
+    emb = similarity.augmented_embeddings(spark, sf_dir).persist()
+    base_buckets = (
+        similarity._adaptive_home_table(emb, 0)
+        .select("band", "bucket")
+        .distinct()
+        .count()
+    )
+    grown_buckets = (
+        similarity._adaptive_home_table(emb, 2)
+        .select("band", "bucket")
+        .distinct()
+        .count()
+    )
+    emb.unpersist()
+    assert grown_buckets > base_buckets

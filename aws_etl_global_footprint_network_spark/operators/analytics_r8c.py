@@ -580,6 +580,28 @@ WIN_MIN_SHARED = 3
 WIN_TOP = 25
 WIN_MAX_DF = 100  # stop-fingerprint cap: drop h present in > this many docs
 _POS_SCALE = 1 << 20  # position packed under the hash for tie-breaks
+# Karp-Rabin gram fingerprint (what Schleimer et al. actually roll):
+# h(gram) = (sum code[j] * B^(k-1-j)) % P31 with B = 4096 > any
+# character code, so the pre-mod polynomial is INJECTIVE on 5-gram
+# [a-z0-9] text (max term 122 * 4096^4 ~ 2^55, no int64 overflow) —
+# strictly better-distributed than a truncated md5, and 5 integer
+# multiply-adds per position instead of a cryptographic hash of a
+# fresh 5-char substring (the measured floor of the round-10 plan:
+# the md5-vs-window A/B in scripts/ab_winnowing.py showed identical
+# 5.4 s sf1 times for the explode+window and map-only layouts — the
+# hash volume, not the exchanges, was the cost).
+WIN_B = 4096
+
+
+def _kr_sql(i_expr: str) -> str:
+    """DuckDB Karp-Rabin polynomial for the gram starting at ``i_expr``
+    (1-based) over the normalised column ``s``."""
+    terms = " + ".join(
+        f"ord(substr(s, CAST({i_expr} + {j} AS INT), 1))"
+        f" * {WIN_B ** (WIN_K - 1 - j)}"
+        for j in range(WIN_K)
+    )
+    return f"(({terms}) % {P31})"
 
 
 @register(
@@ -591,8 +613,7 @@ _POS_SCALE = 1 << 20  # position packed under the hash for tie-breaks
       FROM documents),
     g AS (
       SELECT doc_id, i,
-             ({md5_hash60_sql("substr(s, CAST(i AS INT), {k})")} % {{p}})
-               * {_POS_SCALE} + i AS packed
+             {_kr_sql('i')} * {_POS_SCALE} + i AS packed
       FROM nrm, unnest(range(1, length(s) - {WIN_K} + 2)) AS t(i)
       WHERE length(s) >= {WIN_K + WIN_W - 1}
         AND length(s) < {_POS_SCALE}),
@@ -616,7 +637,7 @@ _POS_SCALE = 1 << 20  # position packed under the hash for tie-breaks
       GROUP BY 1, 2 HAVING COUNT(*) >= {WIN_MIN_SHARED})
     SELECT doc_a, doc_b, shared FROM pairs
     ORDER BY shared DESC, doc_a, doc_b LIMIT {WIN_TOP}
-    """.replace("{k}", str(WIN_K)).replace("{p}", str(P31)),
+    """,
     "MOSS-style winnowing near-dup pairs: one fingerprint (window"
     f" minimum of {WIN_K}-gram hashes, window {WIN_W}) per text"
     " window guarantees any match of length >= k+w-1 is caught with"
@@ -632,78 +653,65 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Schleimer et al., MOSS) selects a POSITIONAL one — the minimum
     hash in every window of w consecutive k-grams — which guarantees
     detection of any shared substring of length k+w-1 (minhash only
-    catches global similarity). The per-position k-gram explode is
-    bounded by document length (a domain constant, like basket
-    size); the window minimum partitions BY DOC — never a global
-    sort; tie-breaks pack the position into the low bits (leftmost
-    minimum, deterministic both engines; positions < 2^20 by the
-    corpus's doc-length domain). Candidate pairs come from an
-    equality bucket join on the fingerprint value, never all-pairs —
-    and fingerprints present in more than {WIN_MAX_DF} documents are
-    dropped FIRST (IDF-style stop-fingerprints): a ubiquitous
-    fingerprint contributes df^2 join rows and zero near-dup signal
-    (measured at sf1: 2.5e10 join rows uncapped vs 3.7e6 capped,
-    because the synthetic corpus's tiny vocabulary makes common
-    5-grams near-universal). The detection guarantee then holds for
-    shared substrings carrying at least one sub-stop-frequency
-    fingerprint — the only kind that identifies a PAIR anyway.
-    Spark side mirrors the oracle's leftmost-min rule exactly.
-    spread() fans the single-file documents read out across cores
-    BEFORE the ~250x position explode + md5 (doc_fingerprint
-    precedent — 2 input splits would otherwise serialize the whole
-    k-gram stage)."""
+    catches global similarity).
+
+    Fingerprint extraction is MAP-ONLY (round 11): the per-position
+    Karp-Rabin hashes, the W-wide sliding minima, and the per-doc
+    distinct fingerprint set are higher-order array expressions on
+    the one row each document already occupies — the ~250x gram rows
+    never exist as shuffle input.  The hash is the base-4096
+    polynomial from the constants block (injective pre-mod on 5-gram
+    normalised text; 5 integer multiply-adds per position) — the
+    round-10 md5-per-position plan was the measured floor, not the
+    exchanges (scripts/ab_winnowing.py: explode+window and map-only
+    md5 layouts both 5.4 s at sf1; Karp-Rabin map-only 1.7 s,
+    remaining time is the bucket join tail).  Tie-breaks pack the
+    position into the low bits (leftmost minimum, deterministic both
+    engines; positions < 2^20 by the corpus's doc-length domain,
+    enforced on both sides because hash parity could never catch a
+    shared overflow).  Candidate pairs come from an equality bucket
+    join on the fingerprint value, never all-pairs — and fingerprints
+    present in more than {WIN_MAX_DF} documents are dropped FIRST
+    (IDF-style stop-fingerprints): a ubiquitous fingerprint
+    contributes df^2 join rows and zero near-dup signal (measured at
+    sf1: 2.5e10 join rows uncapped vs 3.7e6 capped).  The detection
+    guarantee then holds for shared substrings carrying at least one
+    sub-stop-frequency fingerprint — the only kind that identifies a
+    PAIR anyway.  spread() fans the single-file documents read out
+    across cores BEFORE the per-doc array work."""
     from aws_etl_global_footprint_network_spark.sources.readers import spread
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
 
     d = spread(read_testdata(spark, sf_dir, "documents")).select(
         "doc_id",
         F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "").alias("s"),
     )
-    # upper bound mirrors the oracle: the k-gram position packs into
-    # the low 20 bits of the fingerprint (h * _POS_SCALE + i), so a
-    # normalised text of >= 2^20 chars would bleed position bits into
-    # the hash — identically in both engines, which is exactly why
-    # hash parity could never catch it (round-8 advice); docs that
-    # long are excluded explicitly on both sides instead
     nrm = d.filter(
         (F.length("s") >= WIN_K + WIN_W - 1) & (F.length("s") < _POS_SCALE)
     )
-    g = nrm.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("s") - WIN_K + 1)
-        ).alias("i"),
-        "s",
-    ).select(
-        "doc_id",
-        "i",
-        (
-            (md5_hash60(F.expr(f"substr(s, i, {WIN_K})")) % F.lit(P31))
-            * _POS_SCALE
-            + F.col("i")
-        ).alias("packed"),
+    codes = "transform(sequence(1, length(s)), c -> CAST(ascii(substring(s, c, 1)) AS BIGINT))"
+    poly = " + ".join(
+        f"element_at(codes, i + {j}) * {WIN_B ** (WIN_K - 1 - j)}"
+        for j in range(WIN_K)
     )
-    wwin = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(0, WIN_W - 1)
+    packed = (
+        f"transform(sequence(1, length(s) - {WIN_K} + 1),"
+        f" i -> (({poly}) % {P31}) * {_POS_SCALE} + i)"
     )
-    wdoc = Window.partitionBy("doc_id")
-    w = g.select(
-        "doc_id",
-        "i",
-        F.min("packed").over(wwin).alias("m"),
-        F.max("i").over(wdoc).alias("max_i"),
+    least_w = ", ".join(f"element_at(packed, i + {j})" for j in range(WIN_W))
+    mins = (
+        f"transform(sequence(1, size(packed) - {WIN_W} + 1),"
+        f" i -> least({least_w}))"
     )
-    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
-
     scope = CacheScope("winnowing_neardup_pairs")
     fp = scope.persist(
-        w.filter(F.col("i") <= F.col("max_i") - (WIN_W - 1))
-        .select(
+        nrm.selectExpr("doc_id", f"{codes} AS codes", "s")
+        .selectExpr("doc_id", f"{packed} AS packed")
+        .selectExpr(
             "doc_id",
-            F.expr(f"m DIV {_POS_SCALE}").alias("h"),
+            f"explode(array_distinct(transform({mins},"
+            f" m -> m DIV {_POS_SCALE}))) AS h",
         )
-        .distinct()
     )
     rare = (
         fp.groupBy("h")

@@ -63,6 +63,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_vectorized",
     "ann_lsh_pairs",
+    "ann_lsh_pairs_adaptive",
     "ivf_assignments",
     "asof_last_purchase",
     "session_window_native",

@@ -688,21 +688,42 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid still drives the paper's keep rule.
 SEM_T = 0.85
 SEM_SIGN_BITS = 10
+# Adaptive cell granularity (round 11): the 2^10 cell space is fixed,
+# so per-cell occupancy — and the within-cell pair join, the operator's
+# only superlinear term — grows linearly with the corpus (x20.8 wall on
+# 10x vectors, sf10 probe). Granularity is exactly the dial SemDeDup
+# prescribes, so the cell key gains one sign bit per corpus doubling
+# past the similarity module's ADAPTIVE_NREF (same integer ladder, same
+# COUNT(*), masked in the static oracle / literal in the Spark plan).
+# Twins can NEVER split on added sign bits: the planted noise is a
+# strictly positive per-coordinate scale factor, so every coordinate
+# sign — all 64 of them — is twin-invariant by construction.
+SEM_MAX_EXTRA_BITS = 6
 
 
-def _sem_oracle() -> str:
+def _sem_oracle(nref: int | None = None) -> str:
     from aws_etl_global_footprint_network_spark.functions.vectors import dot_sql
     from aws_etl_global_footprint_network_spark.operators.similarity import (
+        ADAPTIVE_NREF,
         CENTROID_ROUND,
         _augmented_sql,
+        _extra_bits_sql,
     )
+
+    nref = ADAPTIVE_NREF if nref is None else nref
 
     sign_bits = " + ".join(
         f"CASE WHEN v.e[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
         for i in range(SEM_SIGN_BITS)
+    ) + " + " + " + ".join(
+        f"(CASE WHEN p.extra > {j} AND v.e[{SEM_SIGN_BITS + j + 1}] > 0"
+        f" THEN {1 << (SEM_SIGN_BITS + j)} ELSE 0 END)"
+        for j in range(SEM_MAX_EXTRA_BITS)
     )
     return f"""
     WITH {_augmented_sql()},
+    params AS (SELECT {_extra_bits_sql(nref)} AS extra
+               FROM (SELECT COUNT(*) AS n FROM embeddings)),
     ex AS (SELECT t.label, generate_subscripts(t.e, 1) AS pos,
                   unnest(t.e) AS val
            FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) t),
@@ -723,7 +744,7 @@ def _sem_oracle() -> str:
             FROM dists) WHERE rn = 1),
     asg AS (
       SELECT a.vec_id, a.sd, ({sign_bits}) AS cluster
-      FROM asg0 a JOIN v ON v.vec_id = a.vec_id),
+      FROM asg0 a JOIN v ON v.vec_id = a.vec_id, params p),
     pairs AS (
       SELECT a.vec_id AS va, a.cluster, a.sd AS sda, b.sd AS sdb,
              b.vec_id AS vb,
@@ -756,6 +777,13 @@ def _sem_oracle() -> str:
     tags=("dedup", "similarity", "mlprep", "scale"),
 )
 def semantic_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered wrapper; see ``_semantic_dedup_drop``."""
+    return _semantic_dedup_drop(spark, sf_dir)
+
+
+def _semantic_dedup_drop(
+    spark: SparkSession, sf_dir: str, nref: int | None = None
+) -> DataFrame:
     """The SemDeDup shape, Spark-first: centroids broadcast (bounded
     k), assignment is a map-only argmin, the sign-signature refinement
     is pure per-row arithmetic, and the pair join shuffles on the
@@ -764,13 +792,34 @@ def semantic_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-cluster neighbour at cosine >= SEM_T sits strictly farther
     from the centroid (rounded sq-dist; vec_id breaks exact ties), so
     every duplicate neighbourhood keeps exactly its farthest member —
-    no iterative connected components needed."""
+    no iterative connected components needed.
+
+    Round 11: the cell key carries SEM_SIGN_BITS + one sign bit per
+    corpus doubling past ADAPTIVE_NREF (see the constants block) —
+    per-cell occupancy, and with it the Σ cluster_size² pair join,
+    stays ~constant where the fixed 2^10 grid grew linearly (x20.8
+    wall at 10x vectors, sf10 probe). The dispatch COUNT is logged;
+    the oracle derives the identical bit count in SQL. ``nref``
+    (tests only) forces a non-default geometry so parity can be
+    pinned with extra > 0 on the small corpora."""
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
+    )
     from aws_etl_global_footprint_network_spark.functions.vectors import dot
     from aws_etl_global_footprint_network_spark.operators.similarity import (
+        ADAPTIVE_NREF,
+        _extra_bits,
         augmented_embeddings,
         ivf_label_centroids,
     )
+    from aws_etl_global_footprint_network_spark.sources.readers import (
+        read_testdata,
+    )
 
+    nref = ADAPTIVE_NREF if nref is None else nref
+    n = read_testdata(spark, sf_dir, "embeddings").count()
+    extra = _extra_bits(n, nref)
+    _log_dispatch("semdedup_cell_bits", n, nref, f"extra={extra}")
     aug = augmented_embeddings(spark, sf_dir)
     scope = CacheScope("semantic_dedup_drop")
     cent = ivf_label_centroids(spark, sf_dir)
@@ -796,7 +845,7 @@ def semantic_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sign_bits = sum(
         F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(SEM_SIGN_BITS)
+        for i in range(SEM_SIGN_BITS + extra)
     )
     asg = scope.persist(
         asg0.join(aug, "vec_id").select(

@@ -412,10 +412,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_dedup_oracle() -> str:
-    # Reuses the full sign-LSH pair oracle as a subquery; DuckDB allows
-    # a WITH inside a derived table.
+    # Reuses the full ADAPTIVE sign-LSH pair oracle as a subquery
+    # (round 11 — the fixed-geometry pairs scaled x24.7 on 10x vectors
+    # at the sf10 probe; the adaptive index is the measured fix and at
+    # gate scale degenerates to the same buckets); DuckDB allows a
+    # WITH inside a derived table.
     from aws_etl_global_footprint_network_spark.operators.similarity import (
-        _lsh_oracle,
+        _adaptive_oracle,
     )
 
     return f"""
@@ -423,7 +426,7 @@ def _embedding_dedup_oracle() -> str:
            MIN(vec_a) AS canonical_id,
            CAST(COUNT(*) AS BIGINT) AS n_partners,
            MAX(score) AS best_score
-    FROM ({_lsh_oracle()}) p
+    FROM ({_adaptive_oracle()}) p
     GROUP BY vec_b
     """
 
@@ -444,12 +447,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the keep/drop policy is the standard lowest-id-canonical
     rule: a vector is dropped iff it is the higher id in at least one
     verified pair. One extra groupBy on top of the verified pairs, so
-    the scale posture is exactly ann_lsh_pairs'."""
+    the scale posture is exactly the index's — since round 11 that is
+    ``ann_lsh_pairs_adaptive`` (corpus-adaptive bucket bits +
+    Hamming-1 multi-probe), replacing the fixed geometry whose
+    per-bucket occupancy grew linearly with n (x24.7 wall on 10x
+    vectors, sf10 probe)."""
     from aws_etl_global_footprint_network_spark.operators.similarity import (
-        ann_lsh_pairs,
+        ann_lsh_pairs_adaptive,
     )
 
-    pairs = ann_lsh_pairs(spark, sf_dir)
+    pairs = ann_lsh_pairs_adaptive(spark, sf_dir)
     return pairs.groupBy(F.col("vec_b").alias("dropped_id")).agg(
         F.min("vec_a").alias("canonical_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_partners"),

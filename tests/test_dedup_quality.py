@@ -139,3 +139,32 @@ def test_vectorized_topk_matches_exact(spark, sf_dir_mid):
         assert exact[k][0] == fast[k][0], (k, exact[k], fast[k])
         # exact operator rounds to 6 decimals; fast path is unrounded
         assert abs(exact[k][1] - fast[k][1]) < 6e-7
+
+
+def test_semdedup_adaptive_cells_parity_and_twin_safety(spark, sf_dir):
+    # force extra=2 cell bits on the 500-vector corpus (nref=125):
+    # (a) the masked-bits oracle and literal-bits Spark plan agree at a
+    #     NON-default geometry; (b) added sign bits never split a
+    #     planted twin pair (the noise factor is strictly positive), so
+    #     the dropped set is invariant under cell growth.
+    from aws_etl_global_footprint_network_spark.operators.curation import (
+        _sem_oracle,
+        _semantic_dedup_drop,
+    )
+    from tests.oracle_harness import compare, duck_connection
+
+    df = _semantic_dedup_drop(spark, sf_dir, nref=125)
+    con = duck_connection(sf_dir)
+    try:
+        res = compare("semdedup_forced", df, _sem_oracle(125), con)
+        assert res.ok, res.detail
+    finally:
+        con.close()
+    from aws_etl_global_footprint_network_spark.registry import load_all
+
+    default = {
+        r.vec_id
+        for r in load_all()["semantic_dedup_drop"].builder(spark, sf_dir).collect()
+    }
+    forced = {r.vec_id for r in df.collect()}
+    assert forced == default

@@ -653,8 +653,13 @@ def ann_lsh_pairs_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-bucket occupancy is held ~constant by construction —
     bucket space doubles with the corpus while probe rows grow by one
     — so candidate-verify work scales ~linearly where the fixed
-    geometry's scaled quadratically (x49 wall at 10x vectors, sf10
-    probe, round 11).  The dispatch is one metadata-cheap COUNT of
+    geometry's scaled quadratically.  Measured
+    (bench_lsh_adaptive_r11.json): sf10 143.3 s vs the fixed
+    geometry's 412.1 s (2.9x), twin recall 0.832 at extra=6 vs the
+    fixed design point's 0.894; at sf1 a warm alternating A/B is a
+    wash (7.7 vs 7.2 s minima — at ~12/bucket occupancy the extra
+    planes/probes offset the candidate savings; the crossover is
+    above sf1).  The dispatch is one metadata-cheap COUNT of
     the raw embeddings table, logged to DISPATCH_LOG; both engines
     derive the same bit count from the same count via the same
     integer ladder (no float log2), so the cross-engine hash gate

@@ -64,13 +64,19 @@ def register(
 #     over-cap branch), gini_revenue_concentration (DECIMAL(38,0)
 #     rank-product accumulator — the sf10 sweep caught the int64
 #     overflow);
-#   * the remainder filled with 29 of the 39 round-5-stale queries in
-#     name order; the 10 that did not fit (scd2_lookup_join,
-#     scd2_merge_emulation,
+#   * the remainder filled with round-5-stale queries in name order;
+#     the ones that did not fit (orders_ordered_limit,
+#     parts_at_brand_max_price, price_percentiles_per_brand,
+#     rollup_lineitem_qty — displaced by the second session's four
+#     plan-changed slots — plus scd2_lookup_join, scd2_merge_emulation,
 #     sequence_packing, streaming_ohlc_bars, supplier_balance_zscore,
 #     table_profile_orders, tfidf_top_terms, top3_parts_per_brand,
 #     top_orders_by_revenue, train_test_split_hash) head the round-12
 #     rotation, followed by the round-6 tail.
+#   * second-session round-11 additions (plan+oracle changed, must be
+#     externally re-sampled): ann_lsh_pairs_adaptive (new),
+#     winnowing_neardup_pairs (Karp-Rabin contract),
+#     dedup_embedding_cosine + semantic_dedup_drop (adaptive geometry).
 # Max staleness after this window strictly decreases: nothing older
 # than round 5 remains unsampled.  Everything outside the window keeps
 # local coverage via tests/test_oracle_parity.py (all queries, every
@@ -99,6 +105,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_apply_segmentation",
     "kcore_copurchase",
     "gini_revenue_concentration",
+    # round-11 second session: the adaptive-geometry family (new query
+    # + two plan+oracle re-pairs) and the Karp-Rabin winnowing contract
+    "ann_lsh_pairs_adaptive",
+    "winnowing_neardup_pairs",
+    "dedup_embedding_cosine",
+    "semantic_dedup_drop",
     # round-5-stale fill (name order)
     "acctbal_vs_global_avg",
     "array_functions_embeddings",
@@ -124,11 +136,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "math_scalar_funcs",
     "matryoshka_topk_overlap",
     "nation_acctbal_stats",
-    "orders_ordered_limit",
-    "parts_at_brand_max_price",
-    "price_percentiles_per_brand",
     "regional_supplier_revenue",
-    "rollup_lineitem_qty",
 )
 
 

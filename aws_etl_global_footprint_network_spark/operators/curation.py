@@ -698,18 +698,30 @@ SEM_SIGN_BITS = 10
 # Twins can NEVER split on added sign bits: the planted noise is a
 # strictly positive per-coordinate scale factor, so every coordinate
 # sign — all 64 of them — is twin-invariant by construction.
-SEM_MAX_EXTRA_BITS = 6
+# MUST equal similarity.ADAPTIVE_MAX_EXTRA (the ladder's cap):
+# _sem_oracle asserts it, and the sf10 sweep is what caught the
+# original skew — with the ladder capping at 8 but only 6 extra terms
+# masked in the oracle, extra=7 made Spark use a 17th sign bit the
+# oracle never saw (green at extra<=6, divergent only at a decade
+# above sf1; the forced-geometry test runs extra=2).
+SEM_MAX_EXTRA_BITS = 8
 
 
 def _sem_oracle(nref: int | None = None) -> str:
     from aws_etl_global_footprint_network_spark.functions.vectors import dot_sql
     from aws_etl_global_footprint_network_spark.operators.similarity import (
+        ADAPTIVE_MAX_EXTRA,
         ADAPTIVE_NREF,
         CENTROID_ROUND,
         _augmented_sql,
         _extra_bits_sql,
     )
 
+    # the ladder caps at ADAPTIVE_MAX_EXTRA; every capped value must
+    # have a masked term below or Spark sees sign bits the oracle
+    # doesn't (the sf10-only divergence this assert now pins at
+    # import time)
+    assert SEM_MAX_EXTRA_BITS == ADAPTIVE_MAX_EXTRA
     nref = ADAPTIVE_NREF if nref is None else nref
 
     sign_bits = " + ".join(

@@ -90,13 +90,27 @@ PAIR_ID_BOUND = 1000
 # still collides via the flipped-bucket probe row.  Per doubling the
 # bucket space doubles while probe rows grow by one, so per-bucket
 # occupancy stays ~constant and candidate work ~linear in n.
-# ADAPTIVE_NREF anchors extra=0 at the sf0.1 corpus (2000 vectors)
-# where the fixed geometry was tuned — at the driver's sf0.01 gate the
-# adaptive query IS the fixed geometry, bit for bit.
+# ADAPTIVE_NREF anchors extra=0 at the sf0.1 corpus (2000 vectors),
+# i.e. it preserves that corpus's ~1.2-vectors/bucket load at every
+# scale.  THREE operating points were measured at sf10 (one warm
+# session each, bench_lsh_adaptive_r11.json "anchor_experiments"):
+# occupancy ~8/bucket (anchor 20000, extra=4) 234.1 s at twin recall
+# 0.863; ~1.9 (anchor 2000, extra=6) 143.3 s at 0.832; ~1 (anchor
+# 2000, extra=7 — the committed constants) 49.8 s at 0.815, vs the
+# fixed geometry's 412.1 s at its 0.894 design point.  Candidate
+# VERIFICATION dominates above ~2/bucket, so the anchor keeps the
+# low-occupancy operating point every production LSH index uses:
+# 8.3x the fixed wall at sf10 for ~8 points of twin recall, each
+# extra bit costing ~1 point with Hamming-1 probing absorbing single
+# disagreements.  The price below the crossover: the index itself is
+# a measured wash at sf1 (7.7 vs 7.2 s warm minima) and its dedup
+# consumer pays ~4 s there — bounded, linear overhead bought back
+# 8x one decade up.
 ADAPTIVE_NREF = 2000
-ADAPTIVE_MAX_EXTRA = 6  # covers 64x the reference corpus; the law
-# continues by construction (the ladder is the only thing that caps)
-N_PLANES_POOL = N_PLANES + LSH_BANDS * ADAPTIVE_MAX_EXTRA  # 136
+ADAPTIVE_MAX_EXTRA = 8  # headroom to ~500k vectors (256x the anchor);
+# the law continues by construction — raising this pool constant is
+# the only change a larger corpus needs
+N_PLANES_POOL = N_PLANES + LSH_BANDS * ADAPTIVE_MAX_EXTRA  # 152
 
 
 def _hyperplanes(n_planes: int) -> list[list[float]]:
@@ -654,17 +668,17 @@ def ann_lsh_pairs_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket space doubles with the corpus while probe rows grow by one
     — so candidate-verify work scales ~linearly where the fixed
     geometry's scaled quadratically.  Measured
-    (bench_lsh_adaptive_r11.json): sf10 143.3 s vs the fixed
-    geometry's 412.1 s (2.9x), twin recall 0.832 at extra=6 vs the
-    fixed design point's 0.894; at sf1 a warm alternating A/B is a
-    wash (7.7 vs 7.2 s minima — at ~12/bucket occupancy the extra
-    planes/probes offset the candidate savings; the crossover is
-    above sf1).  The dispatch is one metadata-cheap COUNT of
-    the raw embeddings table, logged to DISPATCH_LOG; both engines
-    derive the same bit count from the same count via the same
-    integer ladder (no float log2), so the cross-engine hash gate
-    holds at every scale, and at the driver's sf0.01 gate (extra=0)
-    the buckets are bit-identical to ann_lsh_pairs'."""
+    (bench_lsh_adaptive_r11.json): sf10 **49.8 s vs the fixed
+    geometry's 412.1 s (8.3x)** at twin recall 0.815 (fixed design
+    point 0.894; three occupancy operating points measured, see the
+    constants block); at sf1 a warm alternating A/B is a wash (7.7
+    vs 7.2 s minima — the crossover is above sf1).  The dispatch is
+    one metadata-cheap COUNT of the raw embeddings table, logged to
+    DISPATCH_LOG; both engines derive the same bit count from the
+    same count via the same integer ladder (no float log2), so the
+    cross-engine hash gate holds at every scale, and at the driver's
+    sf0.01 gate (extra=0) the buckets are bit-identical to
+    ann_lsh_pairs'."""
     return _adaptive_lsh_pairs(spark, sf_dir, ADAPTIVE_NREF)
 
 

@@ -269,14 +269,17 @@ def test_extra_bits_ladder():
     # one extra bit per corpus doubling past nref, integer-exact at the
     # boundaries, capped at ADAPTIVE_MAX_EXTRA
     e = similarity._extra_bits
-    nref = 2000
-    assert e(500, nref) == 0
-    assert e(2000, nref) == 0
+    nref = similarity.ADAPTIVE_NREF  # 2000: the sf0.1 occupancy anchor
+    assert e(500, nref) == 0  # driver gate
+    assert e(2000, nref) == 0  # sf0.1 (the anchor itself)
     assert e(2001, nref) == 1
     assert e(4000, nref) == 1
     assert e(20000, nref) == 4  # sf1
-    assert e(200000, nref) == similarity.ADAPTIVE_MAX_EXTRA  # sf10, capped
+    assert e(200000, nref) == 7  # sf10 (the first anchor run capped
+    # at the old MAX_EXTRA=6; with headroom 8 the ladder gives 7)
     assert e(10**12, nref) == similarity.ADAPTIVE_MAX_EXTRA
+    # boundary exactness at a smaller anchor (the forced-test geometry)
+    assert e(500, 125) == 2 and e(125, 125) == 0 and e(126, 125) == 1
 
 
 def test_adaptive_lsh_degenerates_to_fixed_at_gate_scale(spark, sf_dir):

@@ -155,25 +155,37 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(value * 100) AS BIGINT) AS cents
       FROM events WHERE value IS NOT NULL),
     g AS (
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
-             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
-                  AS DECIMAL(38,0)) AS ss
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS HUGEINT) AS s,
+             CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS HUGEINT) AS ss
       FROM e GROUP BY event_type),
+    t0 AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(n) AS HUGEINT) AS nt,
+             CAST(SUM(s) AS HUGEINT) AS s_tot
+      FROM g),
+    ctr AS (SELECT k, nt, s_tot, s_tot // nt AS c,
+                   s_tot - (s_tot // nt) * nt AS s_rem FROM t0),
+    terms AS (
+      SELECT ((g.s - ctr.c * g.n) * ctr.nt - ctr.s_rem * g.n)
+               * ((g.s - ctr.c * g.n) * ctr.nt - ctr.s_rem * g.n) * 100
+               // (g.n * ctr.nt * ctr.nt) AS ssb100,
+             (g.ss - 2 * ctr.c * g.s + ctr.c * ctr.c * g.n)
+               - ((g.s - ctr.c * g.n) * (g.s - ctr.c * g.n) // g.n) AS ssw
+      FROM g, ctr),
     t AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS k,
-             CAST(SUM(n) AS BIGINT) AS n_total,
-             SUM(CAST(s AS DOUBLE)) AS s_all,
-             SUM(CAST(ss AS DOUBLE)) AS ss_all,
-             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
-      FROM g)
+      SELECT (SELECT CAST(k AS BIGINT) FROM ctr) AS k,
+             (SELECT CAST(nt AS BIGINT) FROM ctr) AS n_total,
+             CAST(SUM(ssb100) AS DOUBLE) / 100.0 AS ssb,
+             CAST(SUM(ssw) AS DOUBLE) AS ssw
+      FROM terms)
     SELECT k AS k_groups, n_total,
-           ROUND((sb - s_all * s_all / n_total) / 10000.0 * 1e6, 0) / 1e6
-             AS ss_between_r6,
-           ROUND((ss_all - sb) / 10000.0 * 1e6, 0) / 1e6 AS ss_within_r6,
-           CASE WHEN ss_all - sb > 0 AND k > 1 AND n_total > k
-                THEN ROUND(((sb - s_all * s_all / n_total) / (k - 1))
-                           / ((ss_all - sb) / (n_total - k)) * 1e6, 0) / 1e6
+           ROUND(ssb / 10000.0 * 1e6, 0) / 1e6 AS ss_between_r6,
+           ROUND(ssw / 10000.0 * 1e6, 0) / 1e6 AS ss_within_r6,
+           CASE WHEN ssw > 0 AND k > 1 AND n_total > k
+                THEN ROUND((ssb / (k - 1))
+                           / (ssw / (n_total - k)) * 1e6, 0) / 1e6
                 ELSE NULL END AS f_stat_r6
     FROM t
     """,
@@ -188,15 +200,24 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SSB/(k-1)) / (SSW/(N-k)) needs only per-group (n, Σx, Σx²) — ONE
     combinable groupBy over the corpus, then a k-row reduce. Integer
     cents sums accumulate as DECIMAL(38,0) (Σx² crosses int64 around
-    1e6 rows/group under ANSI — the spearman lesson; DuckDB widens to
-    HUGEINT natively and both cast to DOUBLE before the closing
-    formula, per the cross-engine decimal-overflow gotcha). The
-    closing chain is a fixed float expression in identical order both
-    engines; SS columns are reported in squared currency units
-    (cents²/1e4) rounded 1e-6; degenerate within-variance pins NULL.
-    The k-row float additions (s_all, ss_all, sb) reduce over k<=7
-    group partials — ordering noise ~1e-16 relative sits far below
-    the 1e-6 rounding grain (the chisq_type_weekday precedent)."""
+    1e6 rows/group under ANSI — the spearman lesson).
+
+    The CLOSING arithmetic is integer-exact too (round 11): the
+    original float reduce (sb − s_all²/N) cancels ~1e14 operands down
+    to ~1e10, and the sf10 sweep caught the two engines disagreeing at
+    the 12th significant digit — beyond what the 1e-6 grain absorbs
+    once SS magnitudes outgrow double precision (green at sf1, the
+    gini lesson one level up: not the SUMS but the CANCELLATION).
+    Both engines now center cents at the integer grand mean c = S
+    DIV N and compute SSB = Σ ((s'_g·N − S'·n_g)²·100) DIV (n_g·N²)
+    (x100 scale keeps the per-group truncation at 0.01 cents², 4e-8
+    relative even at sf0.001 — inside the independent numpy
+    reference's 1e-6) and SSW = Σ (ss'_g − s'_g² DIV n_g) entirely in
+    DECIMAL(38,0)/HUGEINT with floor divisions on non-negative
+    numerators — bit-identical integers, converted to DOUBLE once for
+    the fixed closing chain. Exact through ~3e8 events ((s'·N)²·100
+    < 10^38); past that drop the x100 for another decade. Degenerate
+    within-variance pins NULL."""
     e = (
         read_testdata(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -207,31 +228,43 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     g = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("cents").cast(dec)).alias("s"),
         F.sum((F.col("cents").cast(dec) * F.col("cents"))).alias("ss"),
     )
-    t = g.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("n").cast("bigint").alias("n_total"),
-        F.sum(F.col("s").cast("double")).alias("s_all"),
-        F.sum(F.col("ss").cast("double")).alias("ss_all"),
-        F.sum(
-            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
-        ).alias("sb"),
+    ctr = g.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("s_tot"),
+    ).selectExpr(
+        "k",
+        "nt",
+        "s_tot DIV nt AS c",
+        "s_tot - (s_tot DIV nt) * nt AS s_rem",
     )
-    ssb = F.col("sb") - F.col("s_all") * F.col("s_all") / F.col("n_total")
-    ssw = F.col("ss_all") - F.col("sb")
-    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    terms = g.crossJoin(F.broadcast(ctr)).selectExpr(
+        "k",
+        "nt",
+        "((s - c * n) * nt - s_rem * n) * ((s - c * n) * nt - s_rem * n)"
+        " * 100 DIV (n * nt * nt) AS ssb100",
+        "(ss - 2 * c * s + c * c * n) - ((s - c * n) * (s - c * n) DIV n)"
+        " AS ssw",
+    )
+    t = terms.groupBy("k", "nt").agg(
+        (F.sum("ssb100").cast("double") / F.lit(100.0)).alias("ssb"),
+        F.sum("ssw").cast("double").alias("ssw"),
+    )
+    ssb, ssw = F.col("ssb"), F.col("ssw")
+    k, nt = F.col("k").cast("bigint"), F.col("nt").cast("bigint")
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
     return t.select(
-        F.col("k").alias("k_groups"),
-        "n_total",
+        k.alias("k_groups"),
+        nt.alias("n_total"),
         round_compat(ssb / 10000.0, 6).alias("ss_between_r6"),
         round_compat(ssw / 10000.0, 6).alias("ss_within_r6"),
-        F.when(
-            (ssw > 0) & (F.col("k") > 1) & (F.col("n_total") > F.col("k")),
-            round_compat(f, 6),
-        ).alias("f_stat_r6"),
+        F.when((ssw > 0) & (k > 1) & (nt > k), round_compat(f, 6)).alias(
+            "f_stat_r6"
+        ),
     )
 
 

@@ -602,9 +602,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) >= 2),
     f AS (
       SELECT event_type, n1, n2,
-             s1 * 1.0 / n1 - s2 * 1.0 / n2 AS dmean,
-             ((n1 * q1 - s1 * s1) * 1.0 / (n1 * 1.0 * (n1 - 1))) / n1 AS a1,
-             ((n2 * q2 - s2 * s2) * 1.0 / (n2 * 1.0 * (n2 - 1))) / n2 AS a2
+             CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS dmean,
+             CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1 AS a1,
+             CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 AS a2
       FROM s)
     SELECT event_type,
            CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
@@ -630,8 +632,14 @@ def welch_mean_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample: both groups' sufficient statistics (n, Sx, Sx^2)
     aggregate as CASE-gated sums in a single combinable groupBy —
     one corpus pass, one shuffle, output is event-type-cardinality.
-    All sums are exact int64 (cents <= 2^16, squares <= 2^32, corpus
-    rows < 2^31 keep every sum < 2^63); the t statistic and the
+    Sufficient statistics accumulate as DECIMAL(38,0) and the
+    variance numerator n*Q - S^2 is computed EXACTLY in decimal
+    before the single cast to DOUBLE: the original int64 closing
+    chain had n*Q ~ 5e19 > 2^63 at sf10 — the round-11 sf10 sweep
+    caught it as an ANSI ARITHMETIC_OVERFLOW (the docstring's old
+    "corpus rows < 2^31 keep every sum < 2^63" bound was about the
+    SUMS and missed the n*Q product; DuckDB widens to HUGEINT
+    natively, so only Spark threw).  The t statistic and the
     Welch-Satterthwaite df are then a fixed chain of IEEE ops on
     exact inputs, written in identical order in both engines and
     rounded at 1e-6. Sample variance uses the (n*Q - S^2)/(n(n-1))
@@ -648,30 +656,32 @@ def welch_mean_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100, 0).cast("long").alias("x"),
         )
     )
+    dec = "decimal(38,0)"
     wd = F.when(~F.col("we"), F.lit(1)).otherwise(F.lit(0))
     wk = F.when(F.col("we"), F.lit(1)).otherwise(F.lit(0))
+    xd = F.col("x").cast(dec)
     s = (
         e.groupBy("event_type")
         .agg(
             F.sum(wd).alias("n1"),
-            F.sum(wd * F.col("x")).alias("s1"),
-            F.sum(wd * F.col("x") * F.col("x")).alias("q1"),
+            F.sum(wd * xd).alias("s1"),
+            F.sum(wd * xd * F.col("x")).alias("q1"),
             F.sum(wk).alias("n2"),
-            F.sum(wk * F.col("x")).alias("s2"),
-            F.sum(wk * F.col("x") * F.col("x")).alias("q2"),
+            F.sum(wk * xd).alias("s2"),
+            F.sum(wk * xd * F.col("x")).alias("q2"),
         )
         .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
     )
-    dmean = F.col("s1") * 1.0 / F.col("n1") - F.col("s2") * 1.0 / F.col("n2")
+    dmean = F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast(
+        "double"
+    ) / F.col("n2")
     a1 = (
-        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
-        * 1.0
-        / (F.col("n1") * 1.0 * (F.col("n1") - 1))
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n1").cast("double") * (F.col("n1") - 1))
     ) / F.col("n1")
     a2 = (
-        (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2"))
-        * 1.0
-        / (F.col("n2") * 1.0 * (F.col("n2") - 1))
+        (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast("double")
+        / (F.col("n2").cast("double") * (F.col("n2") - 1))
     ) / F.col("n2")
     f = s.select(
         "event_type",

@@ -67,7 +67,8 @@ def register(
 #   * the remainder filled with round-5-stale queries in name order;
 #     the ones that did not fit (orders_ordered_limit,
 #     parts_at_brand_max_price, price_percentiles_per_brand,
-#     rollup_lineitem_qty — displaced by the second session's four
+#     rollup_lineitem_qty, matryoshka_topk_overlap,
+#     nation_acctbal_stats — displaced by the second session's six
 #     plan-changed slots — plus scd2_lookup_join, scd2_merge_emulation,
 #     sequence_packing, streaming_ohlc_bars, supplier_balance_zscore,
 #     table_profile_orders, tfidf_top_terms, top3_parts_per_brand,
@@ -106,11 +107,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kcore_copurchase",
     "gini_revenue_concentration",
     # round-11 second session: the adaptive-geometry family (new query
-    # + two plan+oracle re-pairs) and the Karp-Rabin winnowing contract
+    # + two plan+oracle re-pairs), the Karp-Rabin winnowing contract,
+    # and the two stats whose closing arithmetic the sf10 sweep caught
+    # (anova cancellation, welch int64 overflow — both re-paired)
     "ann_lsh_pairs_adaptive",
     "winnowing_neardup_pairs",
     "dedup_embedding_cosine",
     "semantic_dedup_drop",
+    "anova_f_oneway",
+    "welch_mean_test",
     # round-5-stale fill (name order)
     "acctbal_vs_global_avg",
     "array_functions_embeddings",
@@ -134,8 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "last_touch_attribution",
     "lineitem_distinct_counts",
     "math_scalar_funcs",
-    "matryoshka_topk_overlap",
-    "nation_acctbal_stats",
     "regional_supplier_revenue",
 )
 

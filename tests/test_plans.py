@@ -75,6 +75,10 @@ CARTESIAN_WHITELIST = {
     "nation_region_cross",
     # scalar-subquery pattern: broadcast of a single aggregated row
     "acctbal_vs_global_avg",
+    # same pattern: the 1-row (k, N, c, S') totals frame broadcast
+    # against the k<=|event_type| group partials (round-11 exact
+    # integer-centered ANOVA close)
+    "anova_f_oneway",
     # same pattern: corpus size N enters as a broadcast 1-row aggregate
     "tfidf_top_terms",
     # same pattern: corpus max date enters as a broadcast 1-row aggregate

@@ -208,16 +208,40 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 12th significant digit — beyond what the 1e-6 grain absorbs
     once SS magnitudes outgrow double precision (green at sf1, the
     gini lesson one level up: not the SUMS but the CANCELLATION).
-    Both engines now center cents at the integer grand mean c = S
-    DIV N and compute SSB = Σ ((s'_g·N − S'·n_g)²·100) DIV (n_g·N²)
-    (x100 scale keeps the per-group truncation at 0.01 cents², 4e-8
-    relative even at sf0.001 — inside the independent numpy
-    reference's 1e-6) and SSW = Σ (ss'_g − s'_g² DIV n_g) entirely in
-    DECIMAL(38,0)/HUGEINT with floor divisions on non-negative
-    numerators — bit-identical integers, converted to DOUBLE once for
-    the fixed closing chain. Exact through ~3e8 events ((s'·N)²·100
-    < 10^38); past that drop the x100 for another decade. Degenerate
-    within-variance pins NULL."""
+    Both engines now center cents at the integer grand mean c =
+    floor(S / N) and compute SSB = Σ ((s'_g·N − S'·n_g)²·100) DIV
+    (n_g·N²) (x100 scale keeps the per-group truncation at 0.01
+    cents², 4e-8 relative even at sf0.001 — inside the independent
+    numpy reference's 1e-6) and SSW = Σ (ss'_g − s'_g² DIV n_g)
+    entirely in DECIMAL(38,0)/HUGEINT — bit-identical integers,
+    converted to DOUBLE once for the fixed closing chain.  The grand
+    mean uses an explicit FLOOR formulation on the Spark side (DIV
+    truncates toward zero, DuckDB // floors) so parity no longer
+    assumes a non-negative value domain (round-12 advisor item); every
+    remaining DIV numerator is a square, where truncation == floor
+    unconditionally.  The SSB quotient is cast back to DECIMAL(38,0)
+    before its SUM (Spark DIV yields BIGINT; the sum's true headroom
+    is the decimal's, not int64's — advisor item 2).  Exact through
+    ~3e8 events ((s'·N)²·100 < 10^38); past that drop the x100 for
+    another decade. Degenerate within-variance pins NULL.
+
+    Width dispatch (round 12): only the corpus-sized groupBy pays for
+    DECIMAL — the closing runs on k rows.  When parquet footer stats
+    prove n_total·max(cents)² < 2^62 (``functions/width``, true
+    through ~1.5e9 events at the observed 0..560 value domain, sf10
+    included) the sufficient statistics accumulate as int64 and are
+    cast to DECIMAL(38,0) afterwards at k-row cost; the blanket
+    DECIMAL aggregation that round 11 introduced (0.24 -> 0.65 s at
+    sf0.1) engages only above the proven bound or when stats are
+    missing.  Both widths produce identical exact integers, so the
+    hash gate is width-independent; the decision is in DISPATCH_LOG."""
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
+    )
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        cents_sumsq_int64_safe,
+    )
+
     e = (
         read_testdata(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -227,11 +251,32 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dec = "decimal(38,0)"
-    g = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum(F.col("cents").cast(dec)).alias("s"),
-        F.sum((F.col("cents").cast(dec) * F.col("cents"))).alias("ss"),
+    narrow = cents_sumsq_int64_safe(sf_dir, "events", "value")
+    _log_dispatch(
+        "anova_acc_width", int(narrow), 0,
+        "int64 sufficient stats" if narrow else "decimal(38,0) stats",
     )
+    if narrow:
+        g = (
+            e.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n64"),
+                F.sum(F.col("cents")).alias("s64"),
+                F.sum(F.col("cents") * F.col("cents")).alias("ss64"),
+            )
+            .select(
+                "event_type",
+                F.col("n64").cast(dec).alias("n"),
+                F.col("s64").cast(dec).alias("s"),
+                F.col("ss64").cast(dec).alias("ss"),
+            )
+        )
+    else:
+        g = e.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("cents").cast(dec)).alias("s"),
+            F.sum((F.col("cents").cast(dec) * F.col("cents"))).alias("ss"),
+        )
     ctr = g.agg(
         F.count(F.lit(1)).cast(dec).alias("k"),
         F.sum("n").alias("nt"),
@@ -239,14 +284,20 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "k",
         "nt",
-        "s_tot DIV nt AS c",
-        "s_tot - (s_tot DIV nt) * nt AS s_rem",
+        "s_tot",
+        # floor(s_tot / nt) for either sign of s_tot; both branches
+        # hand DIV a non-negative numerator, where truncation == floor
+        "CASE WHEN s_tot >= 0 THEN s_tot DIV nt"
+        " ELSE -((-s_tot + nt - CAST(1 AS decimal(38,0))) DIV nt) END AS c",
+    ).selectExpr(
+        "k", "nt", "c", "s_tot - c * nt AS s_rem"
     )
     terms = g.crossJoin(F.broadcast(ctr)).selectExpr(
         "k",
         "nt",
-        "((s - c * n) * nt - s_rem * n) * ((s - c * n) * nt - s_rem * n)"
-        " * 100 DIV (n * nt * nt) AS ssb100",
+        "CAST(((s - c * n) * nt - s_rem * n)"
+        " * ((s - c * n) * nt - s_rem * n)"
+        " * 100 DIV (n * nt * nt) AS decimal(38,0)) AS ssb100",
         "(ss - 2 * c * s + c * c * n) - ((s - c * n) * (s - c * n) DIV n)"
         " AS ssw",
     )

@@ -639,7 +639,16 @@ def welch_mean_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught it as an ANSI ARITHMETIC_OVERFLOW (the docstring's old
     "corpus rows < 2^31 keep every sum < 2^63" bound was about the
     SUMS and missed the n*Q product; DuckDB widens to HUGEINT
-    natively, so only Spark threw).  The t statistic and the
+    natively, so only Spark threw).  Width dispatch (round 12): that
+    catch was in the per-event-type CLOSING — k rows — where DECIMAL
+    is free; only the corpus-sized groupBy paid the round-11 blanket
+    DECIMAL tax.  When parquet footer stats prove n_total·max(cents)²
+    < 2^62 (``functions/width``; true through ~1.5e9 events at the
+    observed value domain, sf10 included) the six sufficient sums
+    accumulate as int64 and are cast to DECIMAL(38,0) after the
+    groupBy, so the exact n*Q - S² decimal close is unchanged on
+    both widths; decision logged to DISPATCH_LOG.  The t statistic
+    and the
     Welch-Satterthwaite df are then a fixed chain of IEEE ops on
     exact inputs, written in identical order in both engines and
     rounded at 1e-6. Sample variance uses the (n*Q - S^2)/(n(n-1))
@@ -656,10 +665,22 @@ def welch_mean_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100, 0).cast("long").alias("x"),
         )
     )
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
+    )
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        cents_sumsq_int64_safe,
+    )
+
     dec = "decimal(38,0)"
+    narrow = cents_sumsq_int64_safe(sf_dir, "events", "value")
+    _log_dispatch(
+        "welch_acc_width", int(narrow), 0,
+        "int64 sufficient stats" if narrow else "decimal(38,0) stats",
+    )
     wd = F.when(~F.col("we"), F.lit(1)).otherwise(F.lit(0))
     wk = F.when(F.col("we"), F.lit(1)).otherwise(F.lit(0))
-    xd = F.col("x").cast(dec)
+    xd = F.col("x") if narrow else F.col("x").cast(dec)
     s = (
         e.groupBy("event_type")
         .agg(
@@ -672,6 +693,12 @@ def welch_mean_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
     )
+    if narrow:
+        s = s.select(
+            "event_type",
+            *[F.col(c).cast(dec).alias(c)
+              for c in ("n1", "s1", "q1", "n2", "s2", "q2")],
+        )
     dmean = F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast(
         "double"
     ) / F.col("n2")

@@ -288,16 +288,32 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-segment rank is recovered as rn - min(rn per segment) + 1
     (a segment-cardinality aggregate joined back), so no per-segment
     window ever sorts a whole segment through one task. sum(r*x)
-    accumulates as DECIMAL(38,0): the sf10 parity sweep caught the
-    int64 accumulator at 1.4e19 (rank ~3e5 x revenue ~7e8 cents x
+    needs a wide accumulator at scale: the sf10 parity sweep caught
+    the int64 accumulator at 1.4e19 (rank ~3e5 x revenue ~7e8 cents x
     3e5 rows/segment) — exactly the overflow class the round-7 notes
-    say small scales cannot see; the per-row product still fits int64
-    but is cast before multiplying anyway (the spearman rule), DuckDB
-    widens to HUGEINT natively, and the closing Gini formula is cast
-    to DOUBLE explicitly on both sides in identical order."""
+    say small scales cannot see; DuckDB widens to HUGEINT natively,
+    and the closing Gini formula is cast to DOUBLE explicitly on both
+    sides in identical order.
+
+    Width dispatch (round 12): the round-11 blanket DECIMAL(38,0)
+    accumulator cost 1.23 -> 4.09 s at sf1 to buy headroom only sf10
+    needs.  srx = SUM(rnk*x) over one segment is bounded by
+    n_seg * sx_seg (rnk <= n_seg), so the customer-cardinality frame
+    j is persisted once (it feeds the rank recipe anyway) and a 5-row
+    (count, sum) per-segment aggregate proves the bound: int64 when
+    max_seg(n*sx) < 2^62 (sf1: 2.3e17, safe), DECIMAL(38,0) above
+    (sf10: 2.3e19, wide).  Both widths are exact integers — hash
+    parity is width-independent — and the decision is in
+    DISPATCH_LOG.  At 100 TB the persisted frame stays
+    customer-cardinality (not fact-cardinality) and the stats pass is
+    one combinable aggregate over it."""
     scope = CacheScope("gini_revenue_concentration")
     from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
         adaptive_row_number,
+    )
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        INT64_SAFE_BOUND,
     )
 
     rev = (
@@ -312,8 +328,21 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_testdata(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment").alias("seg")
     )
-    j = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
-        "seg", "x", F.col("c_custkey").alias("k")
+    j = scope.persist(
+        rev.join(cust, rev.o_custkey == cust.c_custkey).select(
+            "seg", "x", F.col("c_custkey").alias("k")
+        )
+    )
+    seg_stats = (
+        j.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+        .collect()
+    )
+    bound = max((row["n"] * row["sx"] for row in seg_stats), default=0)
+    narrow = float(bound) < INT64_SAFE_BOUND
+    _log_dispatch(
+        "gini_acc_width", bound, int(INT64_SAFE_BOUND),
+        "int64 srx" if narrow else "decimal(38,0) srx",
     )
     rn = adaptive_row_number(
         j, [F.col("seg"), F.col("x"), F.col("k")], "rn", scope
@@ -322,12 +351,16 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = rn.join(mn, rn.seg == mn.mseg).select(
         "seg", "x", (F.col("rn") - F.col("mn") + F.lit(1)).alias("rnk")
     )
+    srx_term = (
+        F.col("rnk") * F.col("x")
+        if narrow
+        else F.col("rnk").cast("decimal(38,0)")
+        * F.col("x").cast("decimal(38,0)")
+    )
     g = r.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(
-            F.col("rnk").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
-        ).alias("srx"),
+        F.sum(srx_term).alias("srx"),
     )
     gini = (
         F.lit(2.0) * F.col("srx").cast("double")

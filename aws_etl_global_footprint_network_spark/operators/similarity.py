@@ -364,19 +364,24 @@ def sign_band_table(emb: DataFrame) -> DataFrame:
     All expressions are generated as SQL text and parsed JVM-side:
     the equivalent Column-operator tree (N_PLANES x DIM literals) cost
     ~5 s of py4j round-trips per build (measured at 88 planes), pure
-    driver overhead that no codegen cache can amortise."""
+    driver overhead that no codegen cache can amortise.
 
-    def plane_dot(p: int) -> str:
-        lits = ", ".join(f"{x!r}D" for x in HYPERPLANES[p])
-        return (
-            f"aggregate(zip_with(e, array({lits}), (x, y) -> x * y),"
-            " 0.0D, (acc, v) -> acc + v)"
-        )
+    The projection is UNROLLED straight-line arithmetic
+    (``e[0]*w0 + e[1]*w1 + ...``) rather than
+    ``aggregate(zip_with(...))``: higher-order-function lambdas are
+    evaluated interpretively per element (no whole-stage codegen for
+    the lambda body), which made the projection the dominant cost of
+    both LSH families at sf1 (round-12 A/B, scripts/ab_lsh_unroll.py).
+    The unrolled form is the exact same left-to-right float64 fold —
+    bit-identical sign bits, verified by summing all bits over the sf1
+    corpus — and is the same rewrite the DuckDB oracle adopted in
+    round 6 for the same reason (6x there; see _lsh_oracle)."""
 
     bits = emb.selectExpr(
         "vec_id",
         *[
-            f"CASE WHEN {plane_dot(p)} > 0 THEN 1 ELSE 0 END AS bit{p}"
+            f"CASE WHEN {_plane_dot_spark(p)} > 0 THEN 1 ELSE 0 END"
+            f" AS bit{p}"
             for p in range(N_PLANES)
         ],
     )
@@ -485,6 +490,15 @@ def _adaptive_plane_dot_sql(p: int) -> str:
     )
 
 
+def _plane_dot_spark(p: int) -> str:
+    """Unrolled e[i]*w_i projection against pool plane ``p`` (Spark
+    side, 0-based indexing; same left-to-right float64 fold as the
+    DuckDB twin above, so the sign bits are bit-identical)."""
+    return " + ".join(
+        f"e[{i}]*{HYPERPLANES_POOL[p][i]!r}D" for i in range(DIM)
+    )
+
+
 def _adaptive_oracle(nref: int = ADAPTIVE_NREF) -> str:
     """DuckDB twin of the adaptive query.  SQL is static, so the
     oracle computes ALL pool planes and MASKS the extra-bit terms with
@@ -546,14 +560,13 @@ def _adaptive_home_table(emb: DataFrame, extra: int) -> DataFrame:
 
     Only the planes actually used are projected (88 + 8*extra), unlike
     the oracle's compute-all-and-mask — the Spark plan is built after
-    the dispatch count, so the geometry is a literal here."""
+    the dispatch count, so the geometry is a literal here.
 
-    def plane_dot(p: int) -> str:
-        lits = ", ".join(f"{x!r}D" for x in HYPERPLANES_POOL[p])
-        return (
-            f"aggregate(zip_with(e, array({lits}), (x, y) -> x * y),"
-            " 0.0D, (acc, v) -> acc + v)"
-        )
+    The projection is unrolled straight-line arithmetic (see
+    ``sign_band_table``'s docstring): the former
+    ``aggregate(zip_with(...))`` lambdas were the dominant sf1 cost of
+    this whole query family (round-12 A/B, scripts/ab_lsh_unroll.py);
+    the unrolled form is the same left-to-right fold, bit-identical."""
 
     needed = list(range(N_PLANES)) + [
         N_PLANES + b * ADAPTIVE_MAX_EXTRA + je
@@ -563,7 +576,8 @@ def _adaptive_home_table(emb: DataFrame, extra: int) -> DataFrame:
     bits = emb.selectExpr(
         "vec_id",
         *[
-            f"CASE WHEN {plane_dot(p)} > 0 THEN 1 ELSE 0 END AS bit{p}"
+            f"CASE WHEN {_plane_dot_spark(p)} > 0 THEN 1 ELSE 0 END"
+            f" AS bit{p}"
             for p in needed
         ],
     )

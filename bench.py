@@ -27,6 +27,13 @@ Usage:
                                      # reference delegates execution
                                      # to DuckDB, so this IS its
                                      # single-node throughput)
+    python bench.py --pair --all     # VM-proof committed pair: BOTH
+                                     # engines interleaved per query in
+                                     # ONE session (Spark_i, Duck_i,
+                                     # Duck_{i+1}, Spark_{i+1}, ...) so
+                                     # environment drift hits both
+                                     # sides of every ratio equally;
+                                     # writes bench_details_pair_sf*.json
 """
 
 from __future__ import annotations
@@ -531,6 +538,122 @@ def duck_mode(specs, names) -> None:
     )
 
 
+def pair_mode(specs, names) -> None:
+    """Same-session interleaved Spark/DuckDB pair (round-12 verdict
+    item 3): the committed sf1 ratio was built from two separate runs,
+    and two drift attributions in round 11 showed the VM shears the
+    engines +-15% in OPPOSITE directions between sessions — a ratio
+    from non-simultaneous runs carries that shear.  Here every query
+    runs on BOTH engines back-to-back inside one process, with the
+    engine order alternating per query (Spark-first on even index,
+    DuckDB-first on odd) so neither engine systematically enjoys the
+    warmer caches; the pair total is therefore self-controlled: any
+    environment drift during the run lands on both sides of every
+    ratio in equal measure.  Spark gets the usual sf0.001 codegen
+    warmup and the shared-build prime (priced separately, as in the
+    default mode); DuckDB gets the same connection reuse --duck mode
+    uses.  Only oracle-paired queries participate (a ratio needs both
+    sides).  Writes ``bench_details_pair_sf{sf}.json`` (schema v3)
+    and prints the compact pair line."""
+    from tests.oracle_harness import duck_connection
+
+    paired = [n for n in names if specs[n].oracle is not None]
+    spark = get_spark(app_name="bench-pair")
+    con = duck_connection(SF_DIR)
+
+    warm = os.path.join(os.path.dirname(os.path.normpath(SF_DIR)), "sf0.001")
+    if os.path.isdir(warm) and warm != os.path.normpath(SF_DIR):
+        for name in paired:
+            try:
+                specs[name].builder(spark, warm).count()
+            except Exception as exc:  # pragma: no cover - best-effort
+                print(f"# pair warmup {name} failed: {exc}", file=sys.stderr)
+    prime_sec = prime_shared_builds(spark, SF_DIR)
+
+    spark_q: dict[str, float] = {}
+    duck_q: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for i, name in enumerate(paired):
+        def run_spark() -> None:
+            t0 = time.perf_counter()
+            specs[name].builder(spark, SF_DIR).count()
+            spark_q[name] = round(time.perf_counter() - t0, 3)
+
+        def run_duck() -> None:
+            t0 = time.perf_counter()
+            con.sql(specs[name].oracle).fetchall()
+            duck_q[name] = round(time.perf_counter() - t0, 3)
+
+        try:
+            for step in ((run_spark, run_duck) if i % 2 == 0
+                         else (run_duck, run_spark)):
+                step()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            spark_q.pop(name, None)
+            duck_q.pop(name, None)
+            print(f"# pair {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
+        print(
+            f"# pair {name}: spark {spark_q[name]:.3f}s"
+            f" duck {duck_q[name]:.3f}s"
+            f" ({'S' if i % 2 == 0 else 'D'} first)",
+            file=sys.stderr,
+        )
+
+    common = sorted(set(spark_q) & set(duck_q))
+    s_tot = round(sum(spark_q[k] for k in common), 3)
+    d_tot = round(sum(duck_q[k] for k in common), 3)
+    p_tot = round(sum(prime_sec.values()), 3)
+    # Relational-control ratio: the stable non-streaming, non-forced
+    # subset used to judge protocol stability run-over-run (streaming
+    # rows measure micro-batch machinery, forced rows pin over-cap
+    # recipes at any size — both are by-construction outliers).
+    control = [
+        k for k in common
+        if "streaming" not in specs[k].tags
+        and "forced-dispatch" not in specs[k].tags
+    ]
+    cs = sum(spark_q[k] for k in control)
+    cd = sum(duck_q[k] for k in control)
+    line = {
+        "metric": "interleaved_pair_ratio",
+        "value": round(s_tot / d_tot, 4) if d_tot else None,
+        "unit": "spark/duck",
+        "ratio_with_prime": round((s_tot + p_tot) / d_tot, 4)
+        if d_tot else None,
+        "control_ratio": round(cs / cd, 4) if cd else None,
+        "n_common": len(common),
+        "n_control": len(control),
+        "spark_total": s_tot,
+        "duckdb_total": d_tot,
+        "prime_total": p_tot,
+        "sf": _sf_from_dir(SF_DIR),
+        "protocol": "interleaved-same-session-v1",
+    }
+    details = {
+        "spark_queries": spark_q,
+        "duckdb_queries": duck_q,
+        "shared_build_prime_sec": prime_sec,
+        "query_flags": query_flags(specs, common),
+        "schema_version": 3,
+        **line,
+    }
+    if errors:
+        line["n_errors"] = len(errors)
+        details["errors"] = errors
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(
+        here, f"bench_details_pair_sf{_sf_from_dir(SF_DIR):g}.json"
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(details, fh, indent=1, sort_keys=True)
+    print(f"# pair detail -> {sidecar}", file=sys.stderr)
+    out = json.dumps(line)
+    assert len(out) < 1500, f"pair line too long: {len(out)}"
+    print(out)
+
+
 def prime_shared_builds(spark, sf_dir) -> dict[str, float]:
     """Materialize the cross-query memoized builds (basket arrays,
     co-purchase edge variants, transition pairs) ONCE before the
@@ -644,6 +767,10 @@ def main() -> None:
 
     if "--duck" in sys.argv:
         duck_mode(specs, names)
+        return
+
+    if "--pair" in sys.argv:
+        pair_mode(specs, names)
         return
 
     cold_dir = os.path.join(

@@ -545,48 +545,68 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     streaming_first_seen_stateful rework applied here): per-USER
     GroupState pays the fixed ~1 ms Python/Arrow toll per touched key
     per batch. Grouping by a hash BUCKET of user_id instead, holding
-    the bucket's whole user->(n, cents) table as one pickled pandas
-    frame in a binary state column, and doing the merge as a
-    vectorised concat+groupby drops Python calls from touched-keys to
-    touched-buckets per batch. Emits stay per-user (update-mode
-    contract) but leave Python in bucket-sized Arrow frames. Bucket
-    count scales with the metadata-only input row count
-    (``BUCKET_ROWS``-sized bucket calls), so the pickled frame stays
-    bounded at any volume. pandas groupby runs dropna=False with
-    nullable-Int64 keys: SQL GROUP BY keeps NULL users. sf1 A/B
-    (scripts/ab_user_totals.py), one warm session, two alternating
-    rounds: per-key state 12.04/9.98 s -> bucket state 7.09/6.50 s,
-    identical totals."""
-    import pickle
+    the bucket's whole user->(n, cents) table in a binary state
+    column, drops Python calls from touched-keys to touched-buckets
+    per batch. Emits stay per-user (update-mode contract) but leave
+    Python in bucket-sized Arrow frames. Bucket count scales with the
+    metadata-only input row count (``BUCKET_ROWS``-sized bucket
+    calls), so the state frame stays bounded at any volume.
 
+    Numpy-exact merge (round 12, verdict item 5): the round-11 floor
+    was NOT state serialization — a micro-A/B put the pickle
+    roundtrip at 0.3 ms/call but the pandas concat+groupby merge at
+    ~19 ms/call x 500 bucket-calls at sf1 (= the measured ~6.5 s
+    floor).  The merge is now three int64 numpy arrays (user sentinel
+    ``_NULL_USER`` for SQL NULL, unique + np.add.at — exact integer
+    sums, no float accumulation) and the state blob is their raw
+    bytes (~0.5 ms/call total, 37x the pandas path; prototype A/B in
+    this docstring's commit).  User ids must fit float64 exactly
+    (< 2^53) because Arrow hands nullable bigint to pandas as
+    float64+NaN; testdata ids are < 2^31.  sf1 A/B history
+    (scripts/ab_user_totals.py): per-key state 12.04/9.98 s ->
+    pandas bucket state 7.09/6.50 s -> numpy bucket state (this)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     raw = read_testdata_raw(spark, sf_dir, "events")
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    _NULL_USER = np.int64(-(2**63))  # sentinel: below any real id
+
+    def _agg(u, n, c):
+        uu, inv = np.unique(u, return_inverse=True)
+        ns = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(ns, inv, n)
+        cs = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(cs, inv, c)
+        return uu, ns, cs
 
     def update(key, pdfs, state: GroupState):
-        held = pickle.loads(state.get[0]) if state.exists else None
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch["user_id"] = batch["user_id"].astype("Int64")
-        batch["cents"] = (batch["value"] * 100).round().astype("int64")
-        ba = batch.groupby("user_id", as_index=False, sort=False, dropna=False).agg(
-            n_events=("cents", "size"), cents=("cents", "sum")
-        )
-        merged = (
-            ba
-            if held is None
-            else pd.concat([held, ba], ignore_index=True)
-            .groupby("user_id", as_index=False, sort=False, dropna=False)
-            .agg(n_events=("n_events", "sum"), cents=("cents", "sum"))
-        )
-        merged = merged.astype(
-            {"user_id": "Int64", "n_events": "Int64", "cents": "Int64"}
-        )
-        state.update((pickle.dumps(merged),))
+        u = batch["user_id"].to_numpy(dtype="float64", na_value=np.nan)
+        u = np.where(np.isnan(u), _NULL_USER, u).astype(np.int64)
+        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        bu, bn, bc = _agg(u, np.ones(len(u), dtype=np.int64), cents)
+        if state.exists:
+            arr = np.frombuffer(state.get[0], dtype=np.int64)
+            k = len(arr) // 3
+            mu, mn, mc = _agg(
+                np.concatenate([arr[:k], bu]),
+                np.concatenate([arr[k : 2 * k], bn]),
+                np.concatenate([arr[2 * k :], bc]),
+            )
+        else:
+            mu, mn, mc = bu, bn, bc
+        state.update((np.concatenate([mu, mn, mc]).tobytes(),))
         # update-mode emit: only users touched THIS batch, carrying
-        # their cumulative (cross-batch) totals
-        yield merged.merge(ba[["user_id"]], on="user_id")
+        # their cumulative (cross-batch) totals; mu is unique-sorted,
+        # so each bu locates via one searchsorted
+        pos = np.searchsorted(mu, bu)
+        out_u = pd.array(mu[pos], dtype="Int64")
+        out_u[mu[pos] == _NULL_USER] = pd.NA
+        yield pd.DataFrame(
+            {"user_id": out_u, "n_events": mn[pos], "cents": mc[pos]}
+        )
 
     # Stage the source as 2 files and feed ONE file per micro-batch:
     # the per-bucket state must survive and accumulate across the

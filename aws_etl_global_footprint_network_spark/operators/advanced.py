@@ -476,7 +476,7 @@ def scd2_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi-structured ingestion through the VARIANT type (Spark 4):"
     " parse_json -> variant_get typed extraction + try_variant_get"
     " missing-path NULL contract, aggregated by extracted key",
-    tags=("projection", "json", "variant"),
+    tags=("projection", "json", "variant", "json-parse-floor"),
 )
 def variant_props_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark-4-native path for semi-structured columns: VARIANT
@@ -486,7 +486,18 @@ def variant_props_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a VARIANT parquet column. try_variant_get on an absent path
     yields NULL — pinned against the oracle's json_extract_string
     NULL — so schema drift in the props payload degrades softly
-    instead of failing the pipeline."""
+    instead of failing the pipeline.
+
+    Perf floor (round-12 A/B, scripts/ab_variant_parse.py, one warm
+    sf1 session, alternating reps): VARIANT 2.9/3.3 s, from_json with
+    an explicit schema 2.5/2.7 s, get_json_object x2 paths 4.4/5.7 s,
+    vs the DuckDB oracle's yyjson ~0.3 s.  The gap to the oracle is
+    Spark's row-wise JSON parse machinery, not this plan: the chosen
+    VARIANT path is within ~15% of the best Spark alternative and is
+    the feature this query exists to demonstrate (the `json-parse-
+    floor` tag surfaces that in the bench sidecar's query_flags).  At
+    100 TB the answer is shredded VARIANT parquet (parse once at
+    ingest, extraction pushes to the scan), not a faster re-parse."""
     ev = read_testdata(spark, sf_dir, "events")
     # parse ONCE into a variant column, then extract — two
     # variant_get expressions over parse_json(props) would each

@@ -366,7 +366,15 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group summation orders cannot drift the hash. Fixed iteration
     count keeps the oracle declarative; a production run iterates to
     an epsilon with lineage checkpointing every few rounds, exactly
-    like connected_components."""
+    like connected_components.
+
+    No per-round lineage cut (round-12 A/B, warm sf1, alternating):
+    cut_lineage after every rank update cost 5.6 s vs 0.9 s without —
+    the localCheckpoint materialization is the whole price, and with
+    a FIXED 3-round loop over an already-checkpointed edge table the
+    uncut plan is 3 levels deep, nowhere near the growth that forces
+    cuts in unbounded loops (kcore's 2^rounds lesson still holds
+    there; re-add a cut every few rounds if PR_ITERS grows)."""
     from aws_etl_global_footprint_network_spark.operators.dedup import (
         dedup_ngram_jaccard,
     )
@@ -387,10 +395,8 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("u").alias("node")).distinct()
     deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.agg(F.count(F.lit(1)).alias("c"))
-    r = (
-        nodes.crossJoin(F.broadcast(n))
-        .select("node", round_compat(F.lit(1.0) / F.col("c"), PR_ROUND).alias("r"))
-        .transform(cut_lineage)
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "node", round_compat(F.lit(1.0) / F.col("c"), PR_ROUND).alias("r")
     )
     for _ in range(PR_ITERS):
         contrib = (
@@ -413,7 +419,6 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PR_ROUND,
                 ).alias("r"),
             )
-            .transform(cut_lineage)
         )
     return r.select(
         F.col("node").cast("bigint").alias("doc_id"), F.col("r").alias("pagerank")

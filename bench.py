@@ -711,6 +711,13 @@ def query_flags(specs, names) -> dict[str, dict]:
             # recipes at any input size, so their small-SF ratio vs a
             # single-threaded DuckDB window is by construction
             f["forced_dispatch"] = True
+        floors = [t for t in specs[name].tags if t.endswith("-floor")]
+        if floors:
+            # structural-floor rows: the docstring pins a measured A/B
+            # showing the plan is within noise of the best Spark
+            # alternative and the residual ratio is engine machinery
+            # (e.g. row-wise JSON parse), not a plan defect
+            f["structural_floor"] = floors[0]
         if f:
             flags[name] = f
     return flags

@@ -829,6 +829,10 @@ def _semantic_dedup_drop(
     )
 
     nref = ADAPTIVE_NREF if nref is None else nref
+    # Anchor units: counts the RAW table while the cells hash the
+    # twin-AUGMENTED corpus (+1/TWIN_EVERY) — same convention as the
+    # similarity.py constants block, oracle counts identically, and
+    # the eager per-build COUNT is a parquet metadata read.
     n = read_testdata(spark, sf_dir, "embeddings").count()
     extra = _extra_bits(n, nref)
     _log_dispatch("semdedup_cell_bits", n, nref, f"extra={extra}")

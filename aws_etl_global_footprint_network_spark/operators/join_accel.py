@@ -34,13 +34,31 @@ from aws_etl_global_footprint_network_spark.registry import register
 from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 
 # --- Bloom filter geometry ------------------------------------------------
-# 2^16 bits / 4 hashes: at sf0.1 the build side is ~15k keys ->
-# kn/m ~ 0.9 -> ~13% FPR (a visible prune, a visible residual); the
-# production dial is m ~ 10 bits/key for ~1% FPR. Must be a power of
-# two so pmod reduces cleanly.
-BLOOM_BITS = 1 << 16
+# The bitmap is sized to the BUILD-SIDE COUNT at plan time (round 12):
+# the old fixed 2^16 bits were tuned for sf0.1's ~15k keys (~13% FPR)
+# and SATURATED one scale up — at sf1's ~150k keys the FPR is ~99.95%,
+# a filter that prunes nothing while the probe still pays 4 hashes per
+# row (the fixed-geometry bug class the adaptive LSH fixed, one
+# operator over).  The law: bits = next power of two >= BLOOM_BITS_PER
+# _KEY * n_keys (m/n = 10, k = 4 -> ~1.2% FPR), floored at 2^16 and
+# capped at BLOOM_BITS_CAP because the bitmap travels as a plan-
+# constant word array (2^22 bits = 128k words ~ 1 MB plan literal).
+# Past the cap the FPR degrades gracefully (logged); the production
+# dial on a real cluster is a broadcast variable or the engine's
+# native runtime filter at 2^30 bits, not a bigger literal.  Must be
+# a power of two so pmod reduces cleanly.
+BLOOM_MIN_BITS = 1 << 16
+BLOOM_BITS_CAP = 1 << 22
+BLOOM_BITS_PER_KEY = 10
 BLOOM_HASHES = 4
 HIGH_VALUE_ORDER = 450_000.0  # build-side predicate: ~10% of orders
+
+
+def _bloom_bits_for(n_keys: int) -> int:
+    bits = BLOOM_MIN_BITS
+    while bits < BLOOM_BITS_PER_KEY * n_keys and bits < BLOOM_BITS_CAP:
+        bits <<= 1
+    return bits
 
 
 def _bit_mask(pos):
@@ -51,12 +69,12 @@ def _bit_mask(pos):
     return F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
 
 
-def bloom_bitmap_words(keys: DataFrame, key_col: str) -> list[int]:
-    """Aggregate the build side into a Bloom bitmap of
-    ``BLOOM_BITS / 32`` 32-bit words.
+def bloom_bitmap_words(keys: DataFrame, key_col: str, bits: int) -> list[int]:
+    """Aggregate the build side into a Bloom bitmap of ``bits / 32``
+    32-bit words (``bits`` from ``_bloom_bits_for`` at plan time).
 
     One explode (BLOOM_HASHES rows per key) + one groupBy on the word
-    index (at most BLOOM_BITS/32 groups) + a bounded collect of the words —
+    index (at most bits/32 groups) + a bounded collect of the words —
     constant-size driver traffic regardless of build cardinality,
     which is exactly why this scales where collecting the key set
     would not."""
@@ -65,7 +83,7 @@ def bloom_bitmap_words(keys: DataFrame, key_col: str) -> list[int]:
             F.array(
                 *[
                     F.pmod(
-                        F.xxhash64(F.col(key_col), F.lit(i)), F.lit(BLOOM_BITS)
+                        F.xxhash64(F.col(key_col), F.lit(i)), F.lit(bits)
                     ).alias(f"p{i}")
                     for i in range(BLOOM_HASHES)
                 ]
@@ -81,13 +99,13 @@ def bloom_bitmap_words(keys: DataFrame, key_col: str) -> list[int]:
         .agg(F.bit_or("mask").alias("bits"))
         .collect()
     )
-    out = [0] * (BLOOM_BITS // 32)
+    out = [0] * (bits // 32)
     for r in words:
         out[r["word"]] = r["bits"]
     return out
 
 
-def bloom_might_contain(key, words: list[int]):
+def bloom_might_contain(key, words: list[int], bits: int):
     """Membership test column against a literal bitmap (the broadcast
     happens via the plan constant — no executor-side state). One
     ArrayType literal, not CreateArray of 2048 scalars: same folded
@@ -95,7 +113,7 @@ def bloom_might_contain(key, words: list[int]):
     arr = F.lit(words)
     test = F.lit(True)
     for i in range(BLOOM_HASHES):
-        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS))
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(bits))
         word = F.element_at(arr, (pos / 32).cast("int") + 1)
         test = test & (word.bitwiseAND(_bit_mask(pos)) != 0)
     return test
@@ -115,8 +133,9 @@ def bloom_might_contain(key, words: list[int]):
     GROUP BY l_returnflag
     """,
     "semi join accelerated by a broadcast Bloom bitmap: the probe scan"
-    " is pruned map-side by a 2^16-bit/4-hash filter built from the"
-    " high-value order keys, then an exact residual semi join removes"
+    " is pruned map-side by a count-sized (10 bits/key, 4-hash) filter"
+    " built from the high-value order keys, then an exact residual"
+    " semi join removes"
     " the false positives — the result is EXACTLY the plain semi join"
     " (the oracle), the bitmap only changes where the work happens;"
     " revenue in exact integer cents (engine-order-independent)",
@@ -129,14 +148,29 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     key set would OOM in the regime this operator exists for. AQE picks
     broadcast on its own when the build side happens to be small — the
     bloom-pruned probe side is what shrinks either way
-    (tests/test_plans.py pins hint-independence)."""
+    (tests/test_plans.py pins hint-independence).
+
+    Bitmap geometry is count-adaptive (round 12): the fixed 2^16 bits
+    saturated at sf1 (~150k keys -> FPR ~0.9995, a no-op filter whose
+    probe hashes were pure overhead).  The build-side count (one cheap
+    aggregate over the already-scanned orders filter, logged to
+    DISPATCH_LOG) picks bits = next pow2 >= 10/key within
+    [2^16, 2^22]; at sf1 that is 2^21 -> ~0.4% FPR and the probe
+    shuffle carries ~10% of lineitem instead of ~100%."""
     orders = read_testdata(spark, sf_dir, "orders")
     li = read_testdata(spark, sf_dir, "lineitem")
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
+    )
+
     keys = orders.filter(F.col("o_totalprice") > HIGH_VALUE_ORDER).select(
         "o_orderkey"
     )
-    words = bloom_bitmap_words(keys, "o_orderkey")
-    pruned = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
+    n_keys = keys.count()
+    bits = _bloom_bits_for(n_keys)
+    _log_dispatch("bloom_bits", n_keys, BLOOM_BITS_CAP, f"bits={bits}")
+    words = bloom_bitmap_words(keys, "o_orderkey", bits)
+    pruned = li.filter(bloom_might_contain(F.col("l_orderkey"), words, bits))
     exact = pruned.join(
         keys, pruned.l_orderkey == keys.o_orderkey, "left_semi"
     )

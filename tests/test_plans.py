@@ -377,9 +377,13 @@ def test_bloom_residual_hint_independent(spark, sf_dir):
     keys = orders.filter(
         F.col("o_totalprice") > join_accel.HIGH_VALUE_ORDER
     ).select("o_orderkey")
-    words = join_accel.bloom_bitmap_words(keys, "o_orderkey")
+    words = join_accel.bloom_bitmap_words(
+        keys, "o_orderkey", join_accel.BLOOM_MIN_BITS
+    )
     pruned = li.filter(
-        join_accel.bloom_might_contain(F.col("l_orderkey"), words)
+        join_accel.bloom_might_contain(
+            F.col("l_orderkey"), words, join_accel.BLOOM_MIN_BITS
+        )
     )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
         100 - F.round(F.col("l_discount") * 100, 0).cast("long")

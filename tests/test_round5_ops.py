@@ -31,6 +31,7 @@ SPECS = load_all()
 def test_bloom_prune_has_no_false_negatives(spark, sf_dir):
     from aws_etl_global_footprint_network_spark.operators.join_accel import (
         HIGH_VALUE_ORDER,
+        BLOOM_MIN_BITS,
         bloom_bitmap_words,
         bloom_might_contain,
     )
@@ -38,7 +39,7 @@ def test_bloom_prune_has_no_false_negatives(spark, sf_dir):
     o = read_testdata(spark, sf_dir, "orders")
     li = read_testdata(spark, sf_dir, "lineitem")
     keys = o.filter(F.col("o_totalprice") > HIGH_VALUE_ORDER).select("o_orderkey")
-    words = bloom_bitmap_words(keys, "o_orderkey")
+    words = bloom_bitmap_words(keys, "o_orderkey", BLOOM_MIN_BITS)
     assert any(w != 0 for w in words), "empty bitmap"
     true_rows = {
         r.l_orderkey
@@ -49,7 +50,7 @@ def test_bloom_prune_has_no_false_negatives(spark, sf_dir):
     passed = {
         r.l_orderkey
         for r in li.filter(
-            bloom_might_contain(F.col("l_orderkey"), words)
+            bloom_might_contain(F.col("l_orderkey"), words, BLOOM_MIN_BITS)
         ).collect()
     }
     assert true_rows <= passed, "bloom dropped a true key (false negative)"

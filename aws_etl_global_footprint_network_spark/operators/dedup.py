@@ -162,6 +162,13 @@ def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # MATERIALIZED is load-bearing (the round-6 _lsh_oracle lesson,
+    # caught again in round 12): DuckDB inlines every
+    # non-MATERIALIZED CTE per reference, so `sig` recomputed the
+    # whole shingle+hash+min-agg pipeline once per band and `tok`
+    # once per consumer (4x) — measured 143.5 -> 3.8 s at sf1,
+    # identical rows; the sf10 oracle went from stalled (>45 min)
+    # to feasible.  Same fix in _containment_oracle below.
     perms = ", ".join(
         f"MIN({minhash_perm_sql('h', i)}) AS m{i}" for i in range(MINHASH_K)
     )
@@ -172,12 +179,12 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH base AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
-    tok AS (
+    tok AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct({word_shingles_sql('t', 3)})) AS token
       FROM base),
     h AS (SELECT doc_id, {hash31_sql('token')} AS h FROM tok),
-    sig AS (SELECT doc_id, {perms} FROM h GROUP BY doc_id),
-    bands AS ({band_rows}),
+    sig AS MATERIALIZED (SELECT doc_id, {perms} FROM h GROUP BY doc_id),
+    bands AS MATERIALIZED ({band_rows}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -486,12 +493,12 @@ def _containment_oracle() -> str:
     )
     return f"""
     WITH base AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
-    tok AS (
+    tok AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct({word_shingles_sql('t', 3)})) AS token
       FROM base),
     h AS (SELECT doc_id, {hash31_sql('token')} AS h FROM tok),
-    sig AS (SELECT doc_id, {perms} FROM h GROUP BY doc_id),
-    bands AS ({band_rows}),
+    sig AS MATERIALIZED (SELECT doc_id, {perms} FROM h GROUP BY doc_id),
+    bands AS MATERIALIZED ({band_rows}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b

@@ -82,14 +82,20 @@ def _sq_sql(a: str, b: str) -> str:
 def _pq_prefix_sql() -> str:
     """Shared CTE chain: subvectors -> seed codebook -> one Lloyd
     round -> refined codebook ``cb1`` -> final assignment ``codesr``
-    (vec_id, m, code, d)."""
+    (vec_id, m, code, d).
+
+    The multiply-referenced stages are MATERIALIZED (round-12 oracle
+    audit, the _minhash_oracle lesson): DuckDB inlines plain CTEs per
+    reference, so subv/cb0/cb1 (4-8 refs in the ADC consumers) re-ran
+    the whole training chain each time — the PQ-family oracles were
+    40-70 s at sf1 and would have stalled the sf10 sweep."""
     return f"""
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     sub AS (SELECT vec_id, unnest(range(0, {M})) AS m, e FROM v),
-    subv AS (SELECT vec_id, m,
+    subv AS MATERIALIZED (SELECT vec_id, m,
                     list_slice(e, m * {SUBDIM} + 1, (m + 1) * {SUBDIM}) AS sv
              FROM sub),
-    cb0 AS (SELECT m, vec_id AS code, sv AS c FROM subv WHERE vec_id < {K}),
+    cb0 AS MATERIALIZED (SELECT m, vec_id AS code, sv AS c FROM subv WHERE vec_id < {K}),
     d0 AS (SELECT s.vec_id, s.m, cb0.code, {_sq_sql('s.sv', 'cb0.c')} AS d
            FROM subv s JOIN cb0 USING (m)),
     asg0 AS (SELECT vec_id, m, code FROM (
@@ -103,11 +109,11 @@ def _pq_prefix_sql() -> str:
     cb1e AS (SELECT m, code, spos,
                     ROUND(AVG(val) * 1e{PQ_ROUND}, 0) / 1e{PQ_ROUND} AS cv
              FROM upd GROUP BY m, code, spos),
-    cb1 AS (SELECT m, code, list(cv ORDER BY spos) AS c
+    cb1 AS MATERIALIZED (SELECT m, code, list(cv ORDER BY spos) AS c
             FROM cb1e GROUP BY m, code),
     d1 AS (SELECT s.vec_id, s.m, cb1.code, {_sq_sql('s.sv', 'cb1.c')} AS d
            FROM subv s JOIN cb1 USING (m)),
-    codesr AS (SELECT vec_id, m, code, d FROM (
+    codesr AS MATERIALIZED (SELECT vec_id, m, code, d FROM (
         SELECT vec_id, m, code, d,
                ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                   ORDER BY d, code) AS rn
@@ -485,14 +491,14 @@ def _ivf_cent_sql() -> str:
     cent AS (SELECT label, pos,
                     ROUND(AVG(val) * 1e6, 0) / 1e6 AS cv
              FROM exc GROUP BY label, pos),
-    carr AS (SELECT label, list(cv ORDER BY pos) AS c FROM cent
+    carr AS MATERIALIZED (SELECT label, list(cv ORDER BY pos) AS c FROM cent
              GROUP BY label),
     cdist AS (SELECT v.vec_id, carr.label,
                      list_sum(list_transform(range(1, len(v.e) + 1),
                          i -> (v.e[i] - carr.c[i]) * (v.e[i] - carr.c[i])))
                        AS d
               FROM v CROSS JOIN carr),
-    assigned AS (SELECT vec_id, label FROM (
+    assigned AS MATERIALIZED (SELECT vec_id, label FROM (
         SELECT vec_id, label,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
         FROM cdist) WHERE rn = 1)"""

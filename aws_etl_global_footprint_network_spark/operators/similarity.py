@@ -371,44 +371,11 @@ def sign_band_table(emb: DataFrame) -> DataFrame:
     N_PLANES hyperplane sign bits packed into LSH_BANDS bucket ids.
     Shared by the query builder and bench.py's --recall measurement.
 
-    All expressions are generated as SQL text and parsed JVM-side:
-    the equivalent Column-operator tree (N_PLANES x DIM literals) cost
-    ~5 s of py4j round-trips per build (measured at 88 planes), pure
-    driver overhead that no codegen cache can amortise.
-
-    The projection is UNROLLED straight-line arithmetic
-    (``e[0]*w0 + e[1]*w1 + ...``) rather than
-    ``aggregate(zip_with(...))``: higher-order-function lambdas are
-    evaluated interpretively per element (no whole-stage codegen for
-    the lambda body), which made the projection the dominant cost of
-    both LSH families at sf1 (round-12 A/B, scripts/ab_lsh_unroll.py).
-    The unrolled form is the exact same left-to-right float64 fold —
-    bit-identical sign bits, verified by summing all bits over the sf1
-    corpus — and is the same rewrite the DuckDB oracle adopted in
-    round 6 for the same reason (6x there; see _lsh_oracle)."""
-
-    bits = emb.selectExpr(
-        "vec_id",
-        *[
-            f"CASE WHEN {_plane_dot_spark(p)} > 0 THEN 1 ELSE 0 END"
-            f" AS bit{p}"
-            for p in range(N_PLANES)
-        ],
-    )
-
-    def bucket(b: int) -> str:
-        return " + ".join(
-            f"shiftleft(CAST(bit{b * BITS_PER_BAND + j} AS BIGINT), {j})"
-            for j in range(BITS_PER_BAND)
-        )
-
-    structs = ", ".join(
-        f"named_struct('band', {b}, 'bucket', {bucket(b)})"
-        for b in range(LSH_BANDS)
-    )
-    return bits.selectExpr("vec_id", f"explode(array({structs})) AS bb").select(
-        "vec_id", "bb.band", "bb.bucket"
-    )
+    Delegates to ``_band_bucket_frame`` (extra=0) — the Arrow-batched
+    numpy projection; see its docstring for the three-strategy A/B
+    that put both JVM expression forms (interpreted HOF lambdas, and
+    unrolled SQL that blows janino's 64 KB method limit) behind it."""
+    return _band_bucket_frame(emb, 0)
 
 
 def band_candidate_pairs(bands: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -466,6 +433,14 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (functions.cache.CacheScope).
     scope = CacheScope("ann_lsh_pairs")
     emb = scope.persist(emb)
+    # Materialize BEFORE building the band table: left lazy, the first
+    # action fuses twin-synthesis + norm + the 88 unrolled plane dots
+    # + bucket packing into ONE whole-stage method that blows janino's
+    # 64 KB limit, and the fallback interprets the ENTIRE fused stage
+    # (md5 twin transform included) — measured 83 s vs ~8 s at sf1
+    # (round 12).  From the cache, the projection stage compiles
+    # standalone.
+    emb.count()
     bands = scope.persist(sign_band_table(emb))
     cand = band_candidate_pairs(bands).withColumnsRenamed(
         {"vec_id_a": "vec_a", "vec_id_b": "vec_b"}
@@ -503,9 +478,87 @@ def _adaptive_plane_dot_sql(p: int) -> str:
 def _plane_dot_spark(p: int) -> str:
     """Unrolled e[i]*w_i projection against pool plane ``p`` (Spark
     side, 0-based indexing; same left-to-right float64 fold as the
-    DuckDB twin above, so the sign bits are bit-identical)."""
+    DuckDB twin above, so the sign bits are bit-identical).  Kept for
+    scripts/ab_lsh_unroll.py's strategy A/B — the production band
+    tables use ``_band_bucket_frame`` below (the unrolled SQL form
+    exceeds janino's 64 KB method limit at 88+ planes, degrading the
+    WHOLE fused stage to interpreted evaluation)."""
     return " + ".join(
         f"e[{i}]*{HYPERPLANES_POOL[p][i]!r}D" for i in range(DIM)
+    )
+
+
+def _band_bucket_frame(emb: DataFrame, extra: int) -> DataFrame:
+    """(vec_id, band, bucket) sign-LSH band table via ONE Arrow-batched
+    numpy projection (``mapInPandas``).
+
+    Why Python here (round 12, third strategy measured —
+    scripts/ab_lsh_unroll.py): the 88-to-152-plane x 64-dim projection
+    is the dominant cost of the whole LSH family, and neither JVM
+    strategy survives at this width — ``aggregate(zip_with(...))``
+    lambdas are evaluated interpretively per element (no codegen for
+    HOF bodies), and the unrolled ``e[0]*w0 + ...`` SQL form blows
+    janino's 64 KB per-method limit, which silently degrades the
+    ENTIRE fused whole-stage (twin synthesis included) to interpreted
+    mode (measured 83-118 s at sf1).  The numpy form is a vectorized
+    fold over the batch — ``acc = acc + E[:, i] * W[i]`` for i in
+    0..63 — which performs the exact same left-to-right float64
+    multiply-add per (row, plane) as the DuckDB oracle's unrolled
+    chain, so the sign bits are BIT-IDENTICAL (verified by a full
+    symmetric-diff at sf1 and the sf0.01/sf1/sf10 hash sweeps); the
+    leading 0.0 in the accumulator cannot flip a sign (+-0.0 both
+    fail ``> 0``).  Scale posture: map-only, Arrow-batched, ~200
+    float64 ops per row per plane executed SIMD-wide — at 100 TB this
+    is the standard vectorized-UDF projection stage, partitioned like
+    any map.
+
+    ``extra`` appends the adaptive bucket bits (see the constants
+    block): pool plane N_PLANES + band*ADAPTIVE_MAX_EXTRA + je feeds
+    bucket bit BITS_PER_BAND + je of ``band``."""
+    import numpy as np
+    import pandas as pd
+
+    needed = list(range(N_PLANES)) + [
+        N_PLANES + b * ADAPTIVE_MAX_EXTRA + je
+        for b in range(LSH_BANDS)
+        for je in range(extra)
+    ]
+    w = np.array(
+        [[HYPERPLANES_POOL[p][i] for p in needed] for i in range(DIM)]
+    )
+
+    def project(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            e = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            acc = np.zeros((n, w.shape[1]))
+            for i in range(DIM):
+                acc += e[:, i : i + 1] * w[i]
+            bits = (acc > 0).astype(np.int64)
+            vec = pdf["vec_id"].to_numpy()
+            frames = []
+            for b in range(LSH_BANDS):
+                bucket = np.zeros(n, dtype=np.int64)
+                for j in range(BITS_PER_BAND):
+                    bucket += bits[:, b * BITS_PER_BAND + j] << j
+                for je in range(extra):
+                    col = N_PLANES + b * extra + je
+                    bucket += bits[:, col] << (BITS_PER_BAND + je)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vec,
+                            "band": np.full(n, b, dtype=np.int32),
+                            "bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select("vec_id", "e").mapInPandas(
+        project, "vec_id long, band int, bucket long"
     )
 
 
@@ -570,46 +623,11 @@ def _adaptive_home_table(emb: DataFrame, extra: int) -> DataFrame:
 
     Only the planes actually used are projected (88 + 8*extra), unlike
     the oracle's compute-all-and-mask — the Spark plan is built after
-    the dispatch count, so the geometry is a literal here.
-
-    The projection is unrolled straight-line arithmetic (see
-    ``sign_band_table``'s docstring): the former
-    ``aggregate(zip_with(...))`` lambdas were the dominant sf1 cost of
-    this whole query family (round-12 A/B, scripts/ab_lsh_unroll.py);
-    the unrolled form is the same left-to-right fold, bit-identical."""
-
-    needed = list(range(N_PLANES)) + [
-        N_PLANES + b * ADAPTIVE_MAX_EXTRA + je
-        for b in range(LSH_BANDS)
-        for je in range(extra)
-    ]
-    bits = emb.selectExpr(
-        "vec_id",
-        *[
-            f"CASE WHEN {_plane_dot_spark(p)} > 0 THEN 1 ELSE 0 END"
-            f" AS bit{p}"
-            for p in needed
-        ],
-    )
-
-    def bucket(b: int) -> str:
-        terms = [
-            f"shiftleft(CAST(bit{b * BITS_PER_BAND + j} AS BIGINT), {j})"
-            for j in range(BITS_PER_BAND)
-        ] + [
-            f"shiftleft(CAST(bit{N_PLANES + b * ADAPTIVE_MAX_EXTRA + je}"
-            f" AS BIGINT), {BITS_PER_BAND + je})"
-            for je in range(extra)
-        ]
-        return " + ".join(terms)
-
-    structs = ", ".join(
-        f"named_struct('band', {b}, 'bucket', {bucket(b)})"
-        for b in range(LSH_BANDS)
-    )
-    return bits.selectExpr(
-        "vec_id", f"explode(array({structs})) AS bb"
-    ).select("vec_id", "bb.band", "bb.bucket")
+    the dispatch count, so the geometry is a literal here.  Delegates
+    to ``_band_bucket_frame`` (the Arrow-batched numpy projection;
+    see its docstring for why both JVM expression forms lose at this
+    plane width)."""
+    return _band_bucket_frame(emb, extra)
 
 
 def _probe_rows(home: DataFrame, extra: int) -> DataFrame:
@@ -642,6 +660,10 @@ def _adaptive_lsh_pairs(
     emb = augmented_embeddings(spark, sf_dir)
     scope = CacheScope("ann_lsh_pairs_adaptive")
     emb = scope.persist(emb)
+    # eager materialize: see ann_lsh_pairs — keeps the (88+8*extra)-
+    # plane projection stage inside janino's method limit by cutting
+    # it off from the twin-synthesis scan
+    emb.count()
     home = scope.persist(_adaptive_home_table(emb, extra))
     allb = home if extra == 0 else home.unionByName(_probe_rows(home, extra))
     a = home.select(F.col("vec_id").alias("vec_a"), "band", "bucket")

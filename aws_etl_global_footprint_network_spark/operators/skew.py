@@ -59,14 +59,15 @@ from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
     """
     WITH fact AS (
       SELECT CAST(l_orderkey % 5 AS BIGINT) AS hot_key,
-             l_extendedprice * (1 - l_discount) AS rev
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS revc
       FROM lineitem),
     dim AS (
       SELECT CAST(n_nationkey % 5 AS BIGINT) AS hot_key,
              MIN(n_name) AS bucket_name
       FROM nation GROUP BY 1)
     SELECT d.bucket_name, COUNT(*) AS n,
-           ROUND(SUM(f.rev) * 100, 0) / 100 AS revenue
+           SUM(f.revc) / 10000.0 AS revenue
     FROM fact f JOIN dim d USING (hot_key)
     GROUP BY d.bucket_name
     """,
@@ -81,10 +82,21 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     key). salted_join spreads each hot key over n_salt sub-partitions
     so no single task owns a key's full row set; the oracle runs the
     unsalted join, so the hash gate proves the rewrite changes the
-    schedule, never the answer."""
+    schedule, never the answer.
+
+    Revenue is exact integer cents x discount-percent (the bloom/Q1
+    formulation): the round-12 sf10 sweep caught the float SUM
+    diverging in the LAST CENT (605039463814.88 vs .87) — at ~6e11
+    magnitudes over 12M rows per bucket, the two engines' different
+    summation orders accumulate enough rounding to cross the 0.01
+    grain; integer sums are order-independent (bound: rows x 5e7
+    cents x 100 < 2^62 through ~sf1000)."""
     li = read_testdata(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 5).cast("bigint").alias("hot_key"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        ).alias("revc"),
     )
     n = read_testdata(spark, sf_dir, "nation").select(
         (F.col("n_nationkey") % 5).cast("bigint").alias("hot_key"), "n_name"
@@ -92,5 +104,5 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, n, "hot_key", n_salt=8, how="inner")
     return joined.groupBy("bucket_name").agg(
         F.count(F.lit(1)).alias("n"),
-        round_compat(F.sum("rev"), 2).alias("revenue"),
+        (F.sum("revc") / 10000.0).alias("revenue"),
     )

@@ -128,7 +128,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_sessionization",
     "file_compaction_plan",
     "grouping_sets_events",
-    "hard_negative_mining",
+    # round-12 late catch: salted_join_revenue's float revenue SUM
+    # diverged in the last cent at sf10 (summation order); re-paired
+    # on exact integer cents and re-sampled here
+    "salted_join_revenue",
 )
 
 

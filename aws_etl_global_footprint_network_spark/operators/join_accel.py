@@ -41,17 +41,34 @@ from aws_etl_global_footprint_network_spark.sources.readers import read_testdata
 # row (the fixed-geometry bug class the adaptive LSH fixed, one
 # operator over).  The law: bits = next power of two >= BLOOM_BITS_PER
 # _KEY * n_keys (m/n = 10, k = 4 -> ~1.2% FPR), floored at 2^16 and
-# capped at BLOOM_BITS_CAP because the bitmap travels as a plan-
-# constant word array (2^22 bits = 128k words ~ 1 MB plan literal).
-# Past the cap the FPR degrades gracefully (logged); the production
-# dial on a real cluster is a broadcast variable or the engine's
-# native runtime filter at 2^30 bits, not a bigger literal.  Must be
-# a power of two so pmod reduces cleanly.
+# capped at BLOOM_BITS_CAP.  The bitmap travels as a BROADCAST
+# RELATION of (word index, word bits) rows — never a plan literal:
+# the round-12 pair caught the literal form at 40 s/query at sf1,
+# all of it Catalyst/py4j handling of a 2^21-bit (64k-element) array
+# constant; the same geometry as a 4-way broadcast word join runs in
+# ~0.2 s warm.  The cap is therefore a broadcast-size bound, not a
+# plan-size bound: 2^26 bits = 2M 32-bit words ~ 16 MB hash relation
+# (covers ~6.7M build keys at ~1.2% FPR).  Past it the FPR degrades
+# gracefully (logged); the production dial at 10^9 keys is the
+# engine's native runtime filter (2^30-bit broadcast var), same
+# structure, bigger transport.  Must be a power of two so pmod
+# reduces cleanly.
 BLOOM_MIN_BITS = 1 << 16
-BLOOM_BITS_CAP = 1 << 22
+BLOOM_BITS_CAP = 1 << 26
 BLOOM_BITS_PER_KEY = 10
 BLOOM_HASHES = 4
 HIGH_VALUE_ORDER = 450_000.0  # build-side predicate: ~10% of orders
+# Build the bloom ONLY past this build-side count (round-12 width
+# dispatch): below it the EXACT key set is a ~8 MB broadcast —
+# comfortably under the session's 64 MB dim threshold — and a plain
+# broadcast semi join beats bitmap-build + 4 probe joins by
+# construction (measured at sf1: plain ~3 s vs explicit bloom ~9 s;
+# 150k keys is simply not the regime the structure exists for).
+# Past the cap (sf10 crosses it naturally: ~1.5M high-value orders)
+# the exact set is no longer a sane broadcast and the bitmap is.
+# Same measured-cap pattern as the rank dispatchers; decisions land
+# in DISPATCH_LOG either way.
+BLOOM_BUILD_MIN_KEYS = 1_000_000
 
 
 def _bloom_bits_for(n_keys: int) -> int:
@@ -74,10 +91,12 @@ def bloom_bitmap_words(keys: DataFrame, key_col: str, bits: int) -> list[int]:
     32-bit words (``bits`` from ``_bloom_bits_for`` at plan time).
 
     One explode (BLOOM_HASHES rows per key) + one groupBy on the word
-    index (at most bits/32 groups) + a bounded collect of the words —
-    constant-size driver traffic regardless of build cardinality,
-    which is exactly why this scales where collecting the key set
-    would not."""
+    index (at most bits/32 groups) + a bounded Arrow collect of the
+    words — driver traffic is capped by the bitmap size regardless of
+    build cardinality, which is exactly why this scales where
+    collecting the key set would not."""
+    import numpy as np
+
     positions = keys.select(
         F.explode(
             F.array(
@@ -97,20 +116,70 @@ def bloom_bitmap_words(keys: DataFrame, key_col: str, bits: int) -> list[int]:
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-        .collect()
+        .toArrow()  # Arrow batch, not 2M py4j Row objects
     )
-    out = [0] * (bits // 32)
-    for r in words:
-        out[r["word"]] = r["bits"]
-    return out
+    out = np.zeros(bits // 32, dtype=np.int64)
+    out[words["word"].to_numpy()] = words["bits"].to_numpy()
+    return out.tolist()
+
+
+def bloom_words_relation(spark: SparkSession, words: list[int]) -> DataFrame:
+    """The bitmap as a (w_idx, w_bits) relation of its NON-ZERO words,
+    shipped executor-side via one Arrow batch. This is the transport
+    the probe joins broadcast — the form that scales: a 2^26-bit map
+    is a 16 MB hash relation here vs an unoptimizable 2M-element plan
+    constant as a literal (the round-12 pair measured the literal form
+    at 40 s/query at sf1, ~all of it plan handling)."""
+    import numpy as np
+    import pandas as pd
+
+    w = np.asarray(words, dtype=np.int64)
+    nz = np.nonzero(w)[0]
+    return spark.createDataFrame(
+        pd.DataFrame({"w_idx": nz.astype(np.int32), "w_bits": w[nz]})
+    )
+
+
+def bloom_prune(
+    probe: DataFrame, key, words_df: DataFrame, bits: int
+) -> DataFrame:
+    """Filter ``probe`` to rows whose ``key`` passes the Bloom test —
+    BLOOM_HASHES map-side broadcast LEFT joins against the word
+    relation (one per hash position), then one conjunctive filter.
+    A missing word (left-join NULL) means no bits set there, so the
+    row fails the test: false negatives remain impossible. All joins
+    are broadcast by construction (the relation is capped at ~16 MB),
+    so the prune is a single map-side stage — no shuffle touches the
+    probe until the residual join sees only survivors."""
+    cond = F.lit(True)
+    out = probe
+    for i in range(BLOOM_HASHES):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(bits))
+        w = words_df.select(
+            F.col("w_idx").alias(f"wi{i}"), F.col("w_bits").alias(f"wb{i}")
+        )
+        out = out.join(
+            F.broadcast(w), (pos / 32).cast("int") == F.col(f"wi{i}"), "left"
+        )
+        cond = cond & (
+            F.col(f"wb{i}").bitwiseAND(_bit_mask(pos)) != 0
+        )  # NULL word -> NULL -> filtered, as required
+    return out.filter(cond).select(probe.columns)
 
 
 def bloom_might_contain(key, words: list[int], bits: int):
-    """Membership test column against a literal bitmap (the broadcast
-    happens via the plan constant — no executor-side state). One
-    ArrayType literal, not CreateArray of 2048 scalars: same folded
-    result, smaller plan (measured ~6% on the probe count)."""
-    arr = F.lit(words)
+    """Membership test column against a literal bitmap — the SMALL-
+    bitmap form (<= BLOOM_MIN_BITS): zero joins, the words ride the
+    plan as one ArrayType literal (a single numpy-backed py4j
+    transfer; a Python list would build CreateArray of bits/32
+    scalar literals, one JVM call each). Kept for unit-level checks
+    and tiny builds; the registered operator always uses
+    ``bloom_prune`` — Catalyst cost on this literal grows with the
+    bitmap (~12 s plan-side at 2^21 bits) while the relation form
+    stays flat."""
+    import numpy as np
+
+    arr = F.lit(np.asarray(words, dtype=np.int64))
     test = F.lit(True)
     for i in range(BLOOM_HASHES):
         pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(bits))
@@ -147,16 +216,34 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries NO broadcast hint for exactly that reason: hard-hinting the
     key set would OOM in the regime this operator exists for. AQE picks
     broadcast on its own when the build side happens to be small — the
-    bloom-pruned probe side is what shrinks either way
-    (tests/test_plans.py pins hint-independence).
+    bloom-pruned probe side is what shrinks either way. The ONLY
+    broadcast hints in the plan sit on the word relation inside
+    ``bloom_prune`` — the structure that fits by construction
+    (tests/test_plans.py pins exactly that split).
 
-    Bitmap geometry is count-adaptive (round 12): the fixed 2^16 bits
-    saturated at sf1 (~150k keys -> FPR ~0.9995, a no-op filter whose
-    probe hashes were pure overhead).  The build-side count (one cheap
+    Dispatch (round 12): building a bloom for a BROADCASTABLE key set
+    is pure overhead — below BLOOM_BUILD_MIN_KEYS the operator runs
+    the plain semi join (AQE broadcasts the keys; identical result)
+    and only past it builds the bitmap, the same measured-cap width
+    dispatch as the rank recipes. sf10 crosses the cap naturally
+    (~1.5M high-value orders); ``forced_bloom_semi_join`` pins the
+    bloom branch at every scale for external hash evidence.
+
+    Bitmap geometry is count-adaptive: the fixed 2^16 bits saturated
+    at sf1 (~150k keys -> FPR ~0.9995, a no-op filter whose probe
+    hashes were pure overhead).  The build-side count (one cheap
     aggregate over the already-scanned orders filter, logged to
     DISPATCH_LOG) picks bits = next pow2 >= 10/key within
-    [2^16, 2^22]; at sf1 that is 2^21 -> ~0.4% FPR and the probe
-    shuffle carries ~10% of lineitem instead of ~100%."""
+    [2^16, 2^26].  The bitmap probes as a broadcast word relation,
+    never a plan literal — the literal form cost 40 s/query at sf1 in
+    the round-12 interleaved pair (Catalyst/py4j on a 64k-element
+    constant), vs ~0.2 s warm for the same geometry as joins."""
+    return _bloom_semi_revenue(spark, sf_dir, build_min_keys=BLOOM_BUILD_MIN_KEYS)
+
+
+def _bloom_semi_revenue(
+    spark: SparkSession, sf_dir: str, build_min_keys: int
+) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders")
     li = read_testdata(spark, sf_dir, "lineitem")
     from aws_etl_global_footprint_network_spark.functions.ranking import (
@@ -167,10 +254,17 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey"
     )
     n_keys = keys.count()
-    bits = _bloom_bits_for(n_keys)
-    _log_dispatch("bloom_bits", n_keys, BLOOM_BITS_CAP, f"bits={bits}")
-    words = bloom_bitmap_words(keys, "o_orderkey", bits)
-    pruned = li.filter(bloom_might_contain(F.col("l_orderkey"), words, bits))
+    if n_keys <= build_min_keys:
+        # broadcastable key set: the bloom cannot win here, skip it
+        _log_dispatch("bloom_bits", n_keys, build_min_keys, "plain-semi")
+        pruned = li
+    else:
+        bits = _bloom_bits_for(n_keys)
+        _log_dispatch("bloom_bits", n_keys, build_min_keys, f"bits={bits}")
+        words = bloom_words_relation(
+            spark, bloom_bitmap_words(keys, "o_orderkey", bits)
+        )
+        pruned = bloom_prune(li, F.col("l_orderkey"), words, bits)
     exact = pruned.join(
         keys, pruned.l_orderkey == keys.o_orderkey, "left_semi"
     )
@@ -181,6 +275,36 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         (F.sum(cents) / 10000.0).alias("revenue"),
     )
+
+
+@register(
+    "forced_bloom_semi_join",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+             AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > {HIGH_VALUE_ORDER})
+    GROUP BY l_returnflag
+    """,
+    "the Bloom semi join with the build-bitmap branch pinned"
+    " unconditionally (dispatch cap 0): bitmap aggregate + broadcast"
+    " word-relation probe joins + exact residual semi join at every"
+    " scale — external hash evidence for the machinery a 10^8-key"
+    " build side would execute, independent of the dispatch cap",
+    tags=("join", "bloom", "scale", "forced-dispatch"),
+)
+def forced_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence twin of ``bloom_semi_join_prune`` (same oracle): the
+    dispatcher never takes the bloom branch below BLOOM_BUILD_MIN_KEYS,
+    so without this pin the driver's sf0.01 hash window would only
+    ever certify the plain-semi branch. Cap 0 forces bitmap build +
+    word-relation probe pruning + residual join — the over-cap plan —
+    at any sf."""
+    return _bloom_semi_revenue(spark, sf_dir, build_min_keys=0)
 
 
 # --- Interval overlap -----------------------------------------------------

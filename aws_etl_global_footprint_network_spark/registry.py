@@ -64,12 +64,15 @@ def register(
 #     minhash-family + five PQ-family queries whose DuckDB oracles
 #     gained MATERIALIZED hints (results identical; re-sampled out of
 #     caution);
+#   * the new forced_bloom_semi_join (registered this round — the
+#     dispatched operator only takes the bloom branch past 1M build
+#     keys, so the pin needs its own external sample);
 #   * the remainder filled with round-6-stale queries in name order
-#     (ann_cosine_topk_vectorized .. hard_negative_mining); the
-#     round-6 tail (heavy_hitters_twopass, incremental_agg_
-#     maintenance, inverted_postings_stats, mad_outlier_stats,
-#     market_basket_rules, markov_event_transitions, and onward in
-#     name order) heads the round-13 rotation.
+#     (ann_cosine_topk_vectorized .. file_compaction_plan); the
+#     round-6 tail (grouping_sets_events, heavy_hitters_twopass,
+#     incremental_agg_maintenance, inverted_postings_stats,
+#     mad_outlier_stats, market_basket_rules, and onward in name
+#     order) heads the round-13 rotation.
 # Max staleness after this window strictly decreases again: nothing
 # older than round 6 remains unsampled.  Everything outside the window
 # keeps local coverage via tests/test_oracle_parity.py (all queries,
@@ -104,6 +107,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "last_touch_attribution",
     "pagerank_neardup_graph",
     "bloom_semi_join_prune",
+    # new in round 12: pins the over-cap bloom branch (the registered
+    # dispatcher takes plain-semi below 1M build keys)
+    "forced_bloom_semi_join",
     # round-12 oracle-changed (MATERIALIZED hints; same results)
     "dedup_minhash_lsh",
     "dedup_containment_pairs",
@@ -127,7 +133,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_running_sum",
     "events_sessionization",
     "file_compaction_plan",
-    "grouping_sets_events",
     # round-12 late catch: salted_join_revenue's float revenue SUM
     # diverged in the last cent at sf10 (summation order); re-paired
     # on exact integer cents and re-sampled here

@@ -363,14 +363,31 @@ def test_bloom_residual_hint_independent(spark, sf_dir):
     """The Bloom residual semi join must NOT carry a user broadcast
     hint: the operator exists for the regime where the key set outgrows
     broadcast (only the bitmap fits), so a hard hint would OOM exactly
-    where the operator is supposed to win. The result must be identical
-    with and without the hint (the hint only moves work), and the
-    registered plan must contain no ResolvedHint."""
+    where the operator is supposed to win. The ONLY hints allowed in
+    the registered plan are the BLOOM_HASHES word-relation broadcasts
+    inside bloom_prune — the structure that fits by construction; the
+    keys subtree (the orders scan) must be hint-free. The result must
+    be identical with and without a hint on the residual join (the
+    hint only moves work)."""
     from aws_etl_global_footprint_network_spark.operators import join_accel
 
-    df = SPECS["bloom_semi_join_prune"].builder(spark, sf_dir)
+    # under-cap dispatch: the registered plan is the plain semi join,
+    # hint-free end to end
+    plain = SPECS["bloom_semi_join_prune"].builder(spark, sf_dir)
+    assert (
+        "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
+    )
+    # forced bloom branch: hints exist ONLY on the word relation
+    df = SPECS["forced_bloom_semi_join"].builder(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed, analyzed[:500]
+    assert analyzed.count("ResolvedHint") == join_accel.BLOOM_HASHES, (
+        analyzed[:500]
+    )
+    # every hint sits immediately above the word relation (w_idx
+    # rename), none above anything touching the orders/keys side
+    for frag in analyzed.split("ResolvedHint")[1:]:
+        first_rel = frag.split("\n")[1] if "\n" in frag else frag
+        assert "wi" in first_rel or "w_idx" in frag[:400], frag[:400]
 
     orders = read_testdata(spark, sf_dir, "orders")
     li = read_testdata(spark, sf_dir, "lineitem")
@@ -380,10 +397,11 @@ def test_bloom_residual_hint_independent(spark, sf_dir):
     words = join_accel.bloom_bitmap_words(
         keys, "o_orderkey", join_accel.BLOOM_MIN_BITS
     )
-    pruned = li.filter(
-        join_accel.bloom_might_contain(
-            F.col("l_orderkey"), words, join_accel.BLOOM_MIN_BITS
-        )
+    pruned = join_accel.bloom_prune(
+        li,
+        F.col("l_orderkey"),
+        join_accel.bloom_words_relation(spark, words),
+        join_accel.BLOOM_MIN_BITS,
     )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
         100 - F.round(F.col("l_discount") * 100, 0).cast("long")

@@ -57,6 +57,24 @@ def test_bloom_prune_has_no_false_negatives(spark, sf_dir):
     # the filter must actually prune something at this geometry
     n_all = li.count()
     assert len(passed) < n_all
+    # the broadcast-relation form (what the registered operator runs)
+    # must pass the exact same row set as the literal form
+    from aws_etl_global_footprint_network_spark.operators.join_accel import (
+        bloom_prune,
+        bloom_words_relation,
+    )
+
+    spark = li.sparkSession
+    rel_passed = {
+        r.l_orderkey
+        for r in bloom_prune(
+            li,
+            F.col("l_orderkey"),
+            bloom_words_relation(spark, words),
+            BLOOM_MIN_BITS,
+        ).collect()
+    }
+    assert rel_passed == passed, "relation form diverged from literal form"
 
 
 def test_misra_gries_candidates_cover_true_heavy_hitters(spark, sf_dir):

@@ -183,25 +183,102 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Edge count below which components resolve DRIVER-SIDE (round-12
+# width dispatch): a verified near-dup pair graph is a tiny fraction
+# of the corpus (sf1: 8 edges; even 1% of a 10^9-doc corpus pairs up
+# to ~10^7 edges = a 160 MB Arrow pull — past this cap), while every
+# Pregel round costs 2 joins + a groupBy + a convergence count + a
+# lineage cut ~= 1-2 s of fixed job machinery REGARDLESS of size
+# (measured: 8 edges took ~8 s through the loop at sf1). Union-find
+# with path halving on the driver is ~1M unions/s in plain Python,
+# so the cap keeps the local branch under ~1 s while bounding the
+# collect at ~16 MB of (u, v) longs. Same measured-cap pattern as
+# the rank dispatchers; decisions land in DISPATCH_LOG.
+CC_LOCAL_EDGE_CAP = 1_000_000
+
+
+def _local_components(u, v):
+    """Driver-side union-find (path-halving) over int64 numpy edge
+    arrays; returns (nodes, min-label roots) as numpy arrays."""
+    import numpy as np
+
+    nodes, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+    parent = np.arange(len(nodes))
+    ui, vi = idx[: len(u)], idx[len(u):]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(ui.tolist(), vi.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-index root wins
+    roots = np.array([find(i) for i in range(len(nodes))])
+    # nodes is sorted ascending, so the min-index root IS the
+    # min-node-id label of the component
+    return nodes, nodes[roots]
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, local_cap: int | None = None
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list
     ``(u, v)`` -> ``(node, cluster_id)`` where cluster_id is the
     smallest node id in the component.
 
-    Pregel-style: each round every node adopts the minimum label among
-    itself, its neighbours, AND its current label's label (a
-    pointer-jumping shortcut that halves remaining path lengths, so
-    convergence is O(log diameter) rounds rather than O(diameter) —
-    a 1000-hop chain resolves in ~10 rounds). Runs to convergence
-    (no label changed); ``max_iter`` is a safety bound and exceeding
-    it RAISES rather than silently returning partially-merged (wrong)
-    clusters. Each round is two joins + one groupBy;
-    ``localCheckpoint`` cuts the growing lineage (on a cluster:
-    ``checkpoint`` to durable storage). The per-round convergence
-    count is a driver-side scalar — one long per round, the same
-    bounded pattern as any Pregel superstep barrier."""
+    Width dispatch (round 12): the edge list is probed with a
+    ``limit(cap + 1)`` Arrow collect — ONE bounded pass, no separate
+    count job. If the graph fits (<= CC_LOCAL_EDGE_CAP edges) the
+    components resolve with a driver-side union-find and ship back as
+    one Arrow batch: identical labels, none of the per-round job
+    machinery that dominates tiny graphs (sf1's 8-edge graph spent
+    ~8 s in the loop, ~0.1 s local). Past the cap the probe's rows
+    are discarded and the distributed path below runs.
+
+    Distributed path — Pregel-style: each round every node adopts the
+    minimum label among itself, its neighbours, AND its current
+    label's label (a pointer-jumping shortcut that halves remaining
+    path lengths, so convergence is O(log diameter) rounds rather
+    than O(diameter) — a 1000-hop chain resolves in ~10 rounds).
+    Runs to convergence (no label changed); ``max_iter`` is a safety
+    bound and exceeding it RAISES rather than silently returning
+    partially-merged (wrong) clusters. Each round is two joins + one
+    groupBy; ``localCheckpoint`` cuts the growing lineage (on a
+    cluster: ``checkpoint`` to durable storage). The per-round
+    convergence count is a driver-side scalar — one long per round,
+    the same bounded pattern as any Pregel superstep barrier."""
+    import pandas as pd
+
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
+    )
+
+    cap = CC_LOCAL_EDGE_CAP if local_cap is None else local_cap
+    spark = edges.sparkSession
+    # node-id type is preserved (long doc ids here, string names in
+    # entity resolution): numpy's sort order on int64 and on Python
+    # strings both match Spark's F.least / binary-collation LEAST,
+    # so the min-label contract is identical on either branch
+    node_t = edges.schema["u"].dataType.simpleString()
+    probe = (
+        edges.select("u", "v").limit(cap + 1).toArrow() if cap > 0 else None
+    )
+    if probe is not None and probe.num_rows <= cap:
+        _log_dispatch("cc_edges", probe.num_rows, cap, "local-union-find")
+        nodes, labels = _local_components(
+            probe["u"].to_numpy(zero_copy_only=False),
+            probe["v"].to_numpy(zero_copy_only=False),
+        )
+        out = pd.DataFrame({"node": nodes, "cluster_id": labels})
+        return spark.createDataFrame(
+            out, schema=f"node {node_t}, cluster_id {node_t}"
+        )
+    _log_dispatch(
+        "cc_edges", cap + 1 if probe is not None else -1, cap, "pregel"
+    )
     # checkpointed once: the symmetric edge list is joined in EVERY
     # round, and each round's eager localCheckpoint would re-execute
     # the caller's (possibly expensive) edge pipeline otherwise

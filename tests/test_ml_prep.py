@@ -42,8 +42,16 @@ def test_connected_components_chain_merges(spark):
     edges = spark.createDataFrame(
         [(10, 20), (20, 30), (30, 40), (100, 200)], "u long, v long"
     )
+    want = {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+    # both dispatch branches must agree: local union-find (default at
+    # this size) and the forced Pregel loop (local_cap=0)
     got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
-    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+    assert got == want
+    got_pregel = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, local_cap=0).collect()
+    }
+    assert got_pregel == want
 
 
 def test_train_test_split_deterministic_and_stratified(spark, sf_dir):

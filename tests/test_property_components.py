@@ -45,8 +45,15 @@ def _union_find(edges):
 @given(edges=edges_strategy)
 def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "u long, v long")
+    # default dispatch (local union-find at this size) AND the forced
+    # Pregel branch must both match the reference union-find
     got = {r.node: r.cluster_id for r in connected_components(df).collect()}
     assert got == _union_find(edges)
+    got_pregel = {
+        r.node: r.cluster_id
+        for r in connected_components(df, local_cap=0).collect()
+    }
+    assert got_pregel == _union_find(edges)
 
 
 def test_long_chain_converges(spark):
@@ -56,7 +63,11 @@ def test_long_chain_converges(spark):
     n = 64
     edges = [(i, i + 1) for i in range(n)]
     df = spark.createDataFrame(edges, "u long, v long")
-    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    # pointer jumping is a Pregel-branch property: force it
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(df, local_cap=0).collect()
+    }
     assert got == {i: 0 for i in range(n + 1)}
 
 
@@ -68,7 +79,7 @@ def test_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "u long, v long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, local_cap=0)
 
 
 # --- round-6 hardening: weighted-MG merge + bounded top-R ----------------

@@ -1212,14 +1212,24 @@ def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order is engine-dependent); every downstream op — the
     fixed-order w = C v folds, the norm, the projections — is
     identical-order IEEE arithmetic on those rounded values, so the
-    iteration is deterministic without per-round rounding."""
+    iteration is deterministic without per-round rounding.  The
+    eigensolve itself runs on the DRIVER (round 12): it is D(D+1)/2
+    = 36 rounded doubles of constant-size arithmetic, and the
+    previous in-plan unrolled iteration paid ~3
+    jobs of fixed machinery (persist + broadcast-subplan + top-k) to
+    evaluate what is one bounded collect plus Python IEEE doubles —
+    measured 4.2 s -> ~1.5 s warm at sf1 with bit-identical output
+    (Python, Java and DuckDB all do correctly-rounded IEEE-754 ops,
+    and the fold order below mirrors the oracle's SQL chains term
+    for term).  All ROUNDing stays in-plan so Spark HALF_UP
+    semantics apply unchanged; the eigenvector components ride into
+    the projection as exact double literals."""
     emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double_array("embedding").alias("e")
     )
-    scope = CacheScope("pca_power_projection")
-    emb = scope.persist(emb)
     idx = range(1, PCA_D + 1)
-    moments = emb.agg(
+    # the ONLY corpus pass: map-side-combinable moment averages
+    mrow = emb.agg(
         *[
             round_compat(
                 F.avg(F.element_at("e", i) * F.element_at("e", j)), PCA_C_ROUND
@@ -1228,50 +1238,48 @@ def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in idx
             if j >= i
         ]
-    )
+    ).collect()[0]
 
-    # Iteration arithmetic as selectExpr STRINGS, not Column trees:
-    # 6 rounds x ~500 Column operator calls cost ~4 s of pure py4j
-    # round-trips at build time (the same lesson as sign_band_table's
-    # one-F.expr rule); string assembly is Python-side and each round
-    # is ONE py4j call. Fold order matches the oracle exactly.
-    def cn(i: int, j: int) -> str:
-        return f"c{min(i, j)}_{max(i, j)}"
+    def cv(i: int, j: int) -> float:
+        return mrow[f"c{min(i, j)}_{max(i, j)}"] or 0.0  # None on empty corpus
 
-    c_cols = [cn(i, j) for i in idx for j in idx if j >= i]
-    state = moments.selectExpr(
-        "*", *[f"CAST(1.0 AS DOUBLE) AS v{i}" for i in idx]
-    )
+    # power iteration on the driver, fold order identical to the
+    # oracle's "+"-chains (left-associative), IEEE doubles throughout
+    import math
+
+    v = [1.0] * PCA_D
     for _ in range(PCA_ITERS):
-        ws = [
-            "("
-            + " + ".join(f"{cn(i, j)} * v{j}" for j in idx)
-            + f") AS w{i}"
-            for i in idx
-        ]
-        state = state.selectExpr("*", *ws)
-        nrm = "sqrt(" + " + ".join(f"w{i} * w{i}" for i in idx) + ")"
-        state = state.selectExpr("*", f"{nrm} AS nrm").selectExpr(
-            *c_cols, *[f"w{i} / nrm AS v{i}" for i in idx]
-        )
-    eig = " + ".join(
-        f"v{i} * ("
-        + " + ".join(f"{cn(i, j)} * v{j}" for j in idx)
-        + ")"
-        for i in idx
-    )
+        w = []
+        for i in idx:
+            acc = cv(i, 1) * v[0]
+            for j in list(idx)[1:]:
+                acc = acc + cv(i, j) * v[j - 1]
+            w.append(acc)
+        nrm = w[0] * w[0]
+        for x in w[1:]:
+            nrm = nrm + x * x
+        nrm = math.sqrt(nrm)
+        v = [x / nrm if nrm else 0.0 for x in w]
+    eig_raw = 0.0
+    first = True
+    for i in idx:
+        acc = cv(i, 1) * v[0]
+        for j in list(idx)[1:]:
+            acc = acc + cv(i, j) * v[j - 1]
+        term = v[i - 1] * acc
+        eig_raw = term if first else eig_raw + term
+        first = False
+
     # round_compat's scaled form inline (round(x*1e6)/1e6): plain
     # round(x, 6) is Spark HALF_UP on the exact binary value and
-    # diverges from DuckDB's scaled-double ROUND at .xx5 boundaries
-    fin = state.selectExpr(
-        *[f"v{i}" for i in idx],
-        f"round(({eig}) * 1e6, 0) / 1e6 AS eigenvalue",
-    )
-    proj = " + ".join(f"element_at(e, {i}) * v{i}" for i in idx)
-    scored = emb.crossJoin(F.broadcast(fin)).selectExpr(
+    # diverges from DuckDB's scaled-double ROUND at .xx5 boundaries;
+    # rounding runs IN-PLAN so those semantics are Spark's, with the
+    # driver-solved v_i / eigenvalue injected as exact double literals
+    proj = " + ".join(f"element_at(e, {i}) * {v[i - 1]!r}D" for i in idx)
+    scored = emb.selectExpr(
         "vec_id",
         f"round(({proj}) * 1e6, 0) / 1e6 AS pc1_score",
-        "eigenvalue",
+        f"round({eig_raw!r}D * 1e6, 0) / 1e6 AS eigenvalue",
     )
     w = Window.orderBy(F.col("pc1_score").desc(), "vec_id")
     return (

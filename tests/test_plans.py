@@ -123,9 +123,9 @@ CARTESIAN_WHITELIST = {
     "unigram_lm_score",
     # composes unigram_lm_score, inheriting its 1-row total cross-join
     "corpus_quality_gates",
-    # scalar-subquery pattern: the 1-row eigenvector/moment state
-    # broadcast into the map-side projection
-    "pca_power_projection",
+    # (pca_power_projection left this list in round 12: the
+    # eigensolve moved to bounded driver arithmetic, so the plan no
+    # longer carries the 1-row state cross-join)
     # scalar-subquery pattern: stream-total 1-row aggregate broadcast
     # into the support-threshold filter
     "heavy_hitters_twopass",

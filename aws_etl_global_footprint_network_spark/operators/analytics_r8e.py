@@ -52,7 +52,7 @@ RCTE_MAX_DEPTH = 8  # fixed walk depth: the cost model is rounds x
     f" cap {RCTE_MAX_DEPTH} reached in 2 doubling rounds instead of 8"
     " linear ones; the oracle derives the identical capped depths from"
     " ROW_NUMBER, pinning jumping == window on this shape",
-    tags=("relational", "recursive", "window"),
+    tags=("relational", "recursive", "window", "job-latency-floor"),
 )
 def recursive_cte_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List ranking by pointer jumping (Wyllie's algorithm), seeded at
@@ -70,7 +70,17 @@ def recursive_cte_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast would ship the full 1.5M-row frame per round; SMJ
     shuffles only hash partitions), so the cost is 3 jobs + agg —
     versus 8 sequential successor joins in the round-8 WITH RECURSIVE
-    plan (100x DuckDB at sf1; now ~3 s).  The recursive-CTE API
+    plan (100x DuckDB at sf1; now ~3 s).
+
+    Floor (round-12 A/B, warm sf1, alternating 3 rounds): jumping
+    2.5-3.1 s vs the one-window ROW_NUMBER plan 1.1-1.3 s — the
+    ~1.3 s delta is the two extra doubling jobs + lineage cuts,
+    data-independent machinery. The window plan would be the better
+    REGISTERED plan for a depth-8 cap, but this operator exists to
+    exercise the recursive/pointer-jumping surface at scale (the
+    oracle deliberately states the window form as the independent
+    twin), so the row carries the job-latency-floor flag instead of
+    being rewritten into its own oracle.  The recursive-CTE API
     surface stays covered by tests/test_round8e_ops.py::
     test_with_recursive_api (tiny fixed-point at sf0.001).  Oracle:
     the independent ROW_NUMBER formulation, unchanged."""

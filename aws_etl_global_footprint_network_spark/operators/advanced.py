@@ -326,7 +326,11 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     " second-newest year, insert new keys, preserve unmatched rows in"
     " the rewritten partition; applied twice (idempotent); only the"
     " touched partition's files are rewritten",
-    tags=("merge", "etl"),
+    # physical-write-floor: steady state is one full-table write + two
+    # single-partition rewrites + the audit read-back (docstring A/B)
+    # — the oracle states the merged RESULT declaratively and pays no
+    # I/O, so the ratio prices physical writes the plan cannot remove
+    tags=("merge", "etl", "physical-write-floor"),
 )
 def merge_rowlevel_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physically exercises operators.ingestion.merge_rowlevel: full

@@ -1073,13 +1073,21 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank 2*cb + t + 1 is an INTEGER, so the per-variable rank
     tables are exact and row ranks attach by joining each row to its
     value's entry (two value-cardinality dimension joins — never a
-    per-row rank window, which single-tasks each group). The five
+    per-row rank window, which single-tasks each group). The
     sufficient sums accumulate as exact DECIMAL(38,0) — the
-    rank-squared products overflow int64 past ~7e5 rows per group
-    (caught by the sf1 sweep under ANSI mode), while 38 digits hold
-    to ~3e12 rows/group and DuckDB's integer sums widen to HUGEINT
-    natively; each per-row product still fits int64 — and the closing
-    Pearson formula is an identical-order IEEE chain rounded 1e-6.
+    rank products overflow int64 past ~7e5 rows per group (caught by
+    the sf1 sweep under ANSI mode), while 38 digits hold to ~3e12
+    rows/group and DuckDB's integer sums widen to HUGEINT natively —
+    but only the JOINT moment Σ r2x·r2y needs the row path: the four
+    marginal moments Σr2, Σr2² regroup by value (Σ_values t·r2^k,
+    identical integers) and aggregate over the value-cardinality rank
+    tables instead, so the row-scale aggregate carries one decimal
+    multiply + one decimal sum instead of three and five (round-12
+    rework; sf1 A/B, one warm session, three alternating rounds:
+    five-sum row path 9.05/6.34/6.19 s -> joint-only 6.75/5.86/6.03 s,
+    same hash). The closing Pearson formula is an identical-order
+    IEEE chain rounded 1e-6 consuming identical exact integers, so
+    the row-based oracle twin is unchanged.
     Zero rank variance (all values tied) pins NULL on both sides.
     The exclusive cumulative count dispatches on measured value
     cardinality (functions/ranking.adaptive_cumsum, round-8 verdict
@@ -1135,11 +1143,34 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             t, "flag", [F.col(col)], {"cb": "t"}, scope, n_rows=n_vals[var]
         )
         return c.select(
-            "flag", col, (2 * F.col("cb") + F.col("t") + 1).alias(out)
+            "flag", col, "t", (2 * F.col("cb") + F.col("t") + 1).alias(out)
         )
 
     vx = rank_table("x", "x", "r2x")
     vy = rank_table("y", "y", "r2y")
+    # Marginal moments off the row path (round-12 rework): Σr2, Σr2²
+    # over ROWS group by VALUE — Σ_values t·r2 and t·r2² are the same
+    # exact integers — so four of the five wide sums aggregate over the
+    # value-cardinality rank tables instead of the row-scale join, and
+    # the row path keeps only the joint moment Σ r2x·r2y (plus the
+    # count), cutting the DECIMAL(38,0) row work from three multiplies
+    # + five sums to one multiply + one sum.  Exact integers make the
+    # formulation invisible to the oracle: the closing double chain
+    # consumes identical values, so the row-based DuckDB twin
+    # hash-matches unchanged.  (sf1 A/B, one warm session, alternating:
+    # see docstring.)
+    dec = "decimal(38,0)"
+
+    def moments(vt: DataFrame, out: str, s1n: str, s11n: str) -> DataFrame:
+        td = F.col("t").cast(dec)
+        rd = F.col(out).cast(dec)
+        return vt.groupBy("flag").agg(
+            F.sum(td * rd).alias(s1n),
+            F.sum(td * rd * rd).alias(s11n),
+        )
+
+    mom_x = moments(vx, "r2x", "s1", "s11")
+    mom_y = moments(vy, "r2y", "s2", "s22")
     # A value table that passed the adaptive-window dispatch
     # (cardinality <= cap) is PROVABLY bounded — the same
     # domain-boundedness argument that justified the window justifies
@@ -1152,19 +1183,21 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         vx = F.broadcast(vx)
     if n_vals["y"] <= ADAPTIVE_WINDOW_CAP:
         vy = F.broadcast(vy)
-    ranked = li.join(vx, ["flag", "x"]).join(vy, ["flag", "y"])
-    dec = "decimal(38,0)"
+    ranked = li.join(vx.drop("t"), ["flag", "x"]).join(
+        vy.drop("t"), ["flag", "y"]
+    )
     # Decimal casts happen BEFORE any multiply: no int64 product on
-    # the row path (r2*r2 overflows int64 past ~7e5 rows/group under
+    # the row path (r2x*r2y overflows int64 past ~7e5 rows/group under
     # ANSI mode — caught by the sf1 sweep).
     r2xd, r2yd = F.col("r2x").cast(dec), F.col("r2y").cast(dec)
-    s = ranked.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(r2xd).alias("s1"),
-        F.sum(r2yd).alias("s2"),
-        F.sum(r2xd * r2xd).alias("s11"),
-        F.sum(r2yd * r2yd).alias("s22"),
-        F.sum(r2xd * r2yd).alias("s12"),
+    s = (
+        ranked.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(r2xd * r2yd).alias("s12"),
+        )
+        .join(mom_x, "flag")
+        .join(mom_y, "flag")
     )
     nd = F.col("n").cast("double")
     s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")

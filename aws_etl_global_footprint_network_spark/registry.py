@@ -120,6 +120,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pq_adc_topk",
     "pq_adc_rerank_topk",
     "ivfadc_rerank_topk",
+    # round-12 continuation-session plan-changed (spearman's marginal
+    # moments moved to the value tables; yoy/seasonal persists) —
+    # displacing the last three round-6 fills (events_lag_delta,
+    # events_running_sum, events_sessionization head round 13 with
+    # file_compaction_plan and the rest of the round-6 tail)
+    "spearman_rank_corr",
+    "orders_yoy_growth",
+    "seasonal_anomaly_days",
     # round-6-stale fill (name order)
     "ann_cosine_topk_vectorized",
     "benford_first_digit",
@@ -129,9 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cms_frequency_estimates",
     "customers_without_orders_anti",
     "cusum_changepoint",
-    "events_lag_delta",
-    "events_running_sum",
-    "events_sessionization",
     "file_compaction_plan",
     # round-12 late catch: salted_join_revenue's float revenue SUM
     # diverged in the last cent at sf10 (summation order); re-paired

@@ -734,7 +734,27 @@ def seasonal_daily_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     and seasonal_anomaly_days (standardizes the residual) — one
     construction so a fix to the window/edge handling propagates to
     both (round-8 review finding). Exactness recipe documented on the
-    operator above."""
+    operator above.
+
+    The centered 7-day calendar window is a CONVOLUTION, not a
+    self-join: each daily row scatters its cents to the 7 target days
+    it contributes to (explode of fixed offsets -3..+3) and one tiny
+    groupBy(target_day) gathers sum7/cnt7 AND the day's own cents
+    (the offset-0 contribution) in the same pass. The previous
+    range-condition self-join planned as a broadcast nested loop whose
+    build AND stream sides each re-ran the events scan + daily
+    aggregation (no exchange reuse across a broadcast boundary) —
+    at sf1 the corpus scan ran 3x per consumer. Now events is scanned
+    EXACTLY once: the detrended frame (calendar cardinality, ~1 row
+    per day) is persisted, so the weekday-seasonal broadcast and the
+    final join both read the cache. Gap-awareness is preserved:
+    cnt7 = 7 requires all seven calendar neighbours present, which
+    also guarantees the offset-0 row exists (sf1, warm-session
+    rounds: decompose 1.2/1.0/1.1 s and the anomaly consumer
+    2.1/1.8/1.6 s, vs 1.5 / 3.0 s on the committed round-12 pair;
+    identical rows/hash at sf0.01)."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+
     e = (
         read_testdata(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -746,17 +766,24 @@ def seasonal_daily_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("day").agg(
         F.sum("cents").cast("bigint").alias("cents")
     )
-    a, b = daily.alias("a"), daily.alias("b")
+    # scatter: day d contributes its cents to target days d-3 .. d+3
+    contrib = daily.select(
+        F.explode(F.array([F.lit(o) for o in range(-3, 4)])).alias("off"),
+        "day",
+        "cents",
+    ).select(
+        F.date_add(F.col("day"), F.col("off")).alias("day"),
+        F.col("off"),
+        F.col("cents"),
+    )
     win = (
-        a.join(
-            b,
-            (F.col("b.day") >= F.date_sub(F.col("a.day"), 3))
-            & (F.col("b.day") <= F.date_add(F.col("a.day"), 3)),
-        )
-        .groupBy(F.col("a.day").alias("day"), F.col("a.cents").alias("cents"))
+        contrib.groupBy("day")
         .agg(
-            F.sum("b.cents").cast("bigint").alias("sum7"),
+            F.sum("cents").cast("bigint").alias("sum7"),
             F.count(F.lit(1)).cast("bigint").alias("cnt7"),
+            F.max(F.when(F.col("off") == 0, F.col("cents")))
+            .cast("bigint")
+            .alias("cents"),
         )
         .filter(F.col("cnt7") == 7)
     )
@@ -769,6 +796,7 @@ def seasonal_daily_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         isodow.alias("dow"),
         (F.col("cents") * 7 - F.col("sum7")).alias("detr7"),
     )
+    detr = CacheScope("seasonal_daily_components").persist(detr)
     seas = detr.groupBy("dow").agg(
         F.sum("detr7").cast("bigint").alias("s_sum"),
         F.count(F.lit(1)).cast("bigint").alias("s_cnt"),

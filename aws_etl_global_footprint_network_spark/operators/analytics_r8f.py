@@ -170,23 +170,20 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample standard deviation — mean/sd as a 1-row broadcast,
     threshold identical both engines, day-ordered deterministic
     output."""
-    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.operators.analytics_r8 import (
         seasonal_daily_components,
     )
 
-    # persisted: the mean, the moment aggregate, and the final filter
-    # all read the residual table — unpersisted, the whole
-    # decomposition (events scan + daily agg + 7-day self-join) ran
-    # THREE times for a ~350-row frame (sf1 A/B, one warm session,
-    # three alternating rounds: 2.25/1.59/1.62 s -> 1.90/1.93/1.44 s,
-    # same rows — a modest win concentrated in the cold-plan first
-    # run the pair protocol measures)
-    scope = CacheScope("seasonal_anomaly_days")
-    resid = scope.persist(
-        seasonal_daily_components(spark, sf_dir).select(
-            "day", "cents", F.col("resid").alias("r")
-        )
+    # NOT persisted here (round-12 rework): seasonal_daily_components
+    # now persists the calendar-cardinality detrended frame itself, so
+    # the mean, the moment aggregate, and the final filter re-derive
+    # the residual from that cache with one broadcast-join over ~1 row
+    # per day — a second persist generation on top of it only added a
+    # materialization job (it was worth it when the components
+    # recomputed the full events scan per read; that scan now runs
+    # exactly once, inside the shared cache).
+    resid = seasonal_daily_components(spark, sf_dir).select(
+        "day", "cents", F.col("resid").alias("r")
     )
     mu = resid.agg(F.avg("r").alias("mu"))
     mom = (

@@ -786,16 +786,24 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Censored customers (ordering within KM_CENSOR_MONTHS of the
     horizon) leave the risk set without counting as deaths — the
     defining KM subtlety, pinned by the reference-estimator test.
-    Month indexes are year*12+month integers, engine-proof."""
+    Month indexes are year*12+month integers, engine-proof.
+
+    One corpus pass (round-12 rework): censoring needs the global
+    horizon, but the horizon is only ever COMPARED against last_m —
+    so instead of a horizon pre-pass followed by a second per-customer
+    scan, the per-customer frame collapses straight to the calendar-
+    bounded (tenure, last_m) grid (<= months^2 rows). The grid is
+    persisted; the horizon, the censored death counts, and the user
+    total are all derived from that cache, so orders is scanned and
+    custkey-shuffled exactly once (the previous shape scanned it
+    twice; its persist A/B was a wash precisely because it cached the
+    1-row-per-customer frame rather than this grid). sf1 warm-session
+    rounds: 1.9/1.8/1.6 s vs 3.12 s on the committed round-12 pair;
+    rows/hash green at sf0.01."""
+    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 
     month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
-    # NOT persisted (round-12 A/B): caching u to spare the second
-    # orders scan+shuffle trades a materialization job for a recompute
-    # that the OS page cache already makes cheap — measured a wash
-    # with a warm-side regression (old 2.28/1.21/0.96 s vs persisted
-    # 1.67/1.20/1.28 s, sf1, one warm session, alternating), so the
-    # two-pass plan stands.
     u = (
         read_testdata(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -804,19 +812,27 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(month_idx).alias("last_m"),
         )
     )
-    h = u.agg(F.max("last_m").alias("horizon"))
-    lt = u.crossJoin(F.broadcast(h)).select(
-        (F.col("last_m") - F.col("first_m")).alias("t"),
-        F.when(
-            F.col("horizon") - F.col("last_m") <= KM_CENSOR_MONTHS, F.lit(0)
-        )
-        .otherwise(F.lit(1))
-        .alias("died"),
+    grid = CacheScope("kaplan_meier_churn").persist(
+        u.groupBy(
+            (F.col("last_m") - F.col("first_m")).alias("t"), "last_m"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    tot = lt.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
-    byt = lt.groupBy("t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("leaving"),
-        F.sum("died").cast("bigint").alias("d"),
+    h = grid.agg(F.max("last_m").alias("horizon"))
+    tot = grid.agg(F.sum("n").cast("bigint").alias("n_users"))
+    byt = (
+        grid.crossJoin(F.broadcast(h))
+        .groupBy("t")
+        .agg(
+            F.sum("n").cast("bigint").alias("leaving"),
+            F.sum(
+                F.when(
+                    F.col("horizon") - F.col("last_m") <= KM_CENSOR_MONTHS,
+                    F.lit(0),
+                ).otherwise(F.col("n"))
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
     )
     wo = Window.orderBy("t")
     r = byt.crossJoin(F.broadcast(tot)).withColumn(
@@ -888,42 +904,69 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on an integer month index (year*12+month) — LAG(12)
     over the monthly series silently compares against the wrong
     month as soon as any month is absent from the data. The monthly
-    relation is calendar-cardinality, the self-join is on the tiny
-    aggregated table (AQE broadcasts it unhinted), and all sums are
-    exact integer cents with a single rounded division. Months
-    without a prior-year counterpart drop via the inner join —
-    pinned identically in both engines."""
-    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    relation is calendar-cardinality and all sums are exact integer
+    cents with a single rounded division. The shifted comparison is a
+    SCATTER, not a self-join: each monthly row contributes itself to
+    its own month index AND (shifted +12) to next year's index; one
+    tiny groupBy(index) gathers current and prior-year cents in the
+    same pass, and months without a prior-year counterpart drop via
+    the null filter — the same inner-join semantics, but orders is
+    scanned exactly once with no persist generation and no join
+    machinery (the previous persisted-self-join shape still paid the
+    cache materialization + broadcast on the pair protocol's cold
+    first run). Months without a counterpart are dropped identically
+    in both engines (sf1, warm-session rounds: 1.4/1.1/1.1 s vs
+    2.71 s on the committed round-12 pair; rows/hash green at
+    sf0.01)."""
     from aws_etl_global_footprint_network_spark.functions.compat import round_compat
 
-    scope = CacheScope("orders_yoy_growth")
     o = read_testdata(spark, sf_dir, "orders")
-    # persisted: the calendar-cardinality monthly table feeds BOTH
-    # sides of the shifted self-join — unpersisted, the orders scan +
-    # month aggregate ran twice (sf1 A/B, one warm session, three
-    # alternating rounds: 3.14/1.28/1.22 s -> 1.54/0.95/1.14 s,
-    # same rows — the cold-plan first run, the pair protocol's
-    # operating point, halves)
-    monthly = scope.persist(
-        o.groupBy(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
-                "m_idx"
-            ),
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
-        ).agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-                "cents"
-            )
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m_idx"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
         )
     )
-    cur, prev = monthly.alias("cur"), monthly.alias("prev")
-    return cur.join(
-        prev, F.col("prev.m_idx") == F.col("cur.m_idx") - 12
-    ).select(
-        F.col("cur.month").alias("month"),
-        (F.col("cur.cents") / 100.0).alias("revenue"),
-        (F.col("prev.cents") / 100.0).alias("revenue_prior_year"),
+    contrib = monthly.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("m_idx").alias("t_idx"),
+                    F.lit(0).alias("shift"),
+                    F.col("month").alias("month"),
+                    F.col("cents").alias("cents"),
+                ),
+                F.struct(
+                    (F.col("m_idx") + 12).alias("t_idx"),
+                    F.lit(12).alias("shift"),
+                    F.col("month").alias("month"),
+                    F.col("cents").alias("cents"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    gathered = (
+        contrib.groupBy("t_idx")
+        .agg(
+            F.max(F.when(F.col("shift") == 0, F.col("month"))).alias("month"),
+            F.max(F.when(F.col("shift") == 0, F.col("cents"))).alias(
+                "cur_cents"
+            ),
+            F.max(F.when(F.col("shift") == 12, F.col("cents"))).alias(
+                "prev_cents"
+            ),
+        )
+        .filter(
+            F.col("month").isNotNull() & F.col("prev_cents").isNotNull()
+        )
+    )
+    return gathered.select(
+        "month",
+        (F.col("cur_cents") / 100.0).alias("revenue"),
+        (F.col("prev_cents") / 100.0).alias("revenue_prior_year"),
         round_compat(
-            F.col("cur.cents") * 1.0 / F.col("prev.cents") - 1.0, 6
+            F.col("cur_cents") * 1.0 / F.col("prev_cents") - 1.0, 6
         ).alias("yoy_growth_r6"),
     )

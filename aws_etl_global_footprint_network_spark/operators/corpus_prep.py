@@ -419,7 +419,19 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-only: regex extraction and replacement are JVM built-ins
     inside codegen; emitting md5(clean) pins the full redacted text
     against the oracle without hashing megabytes through the compare
-    harness."""
+    harness.
+
+    Literal precheck before the regex passes (round-12 rework): an
+    EMAIL_RE match REQUIRES an '@' and an IPV4_RE match REQUIRES a
+    '.', so a document containing neither character can produce no
+    match, no redaction, and no output row — it is dropped by a cheap
+    codegen `contains` before any of the four regex scans run. The
+    filter is exact by construction of the patterns (not a corpus
+    assumption), and on this corpus it prunes ~84% of documents
+    (only the planted 1/7 + 1/11 carry '@' or '.'), turning four
+    full-corpus Java-regex passes into four passes over the planted
+    subset (sf1, warm-session rounds: 0.77/0.65/0.64 s vs 2.98 s on
+    the committed round-12 pair; identical rows/hash at sf0.01)."""
     d = spread(read_testdata(spark, sf_dir, "documents"))
     planted = d.select(
         "doc_id",
@@ -444,6 +456,9 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(""),
         ).alias("text"),
+    )
+    planted = planted.filter(
+        F.col("text").contains("@") | F.col("text").contains(".")
     )
     clean = F.regexp_replace(
         F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"

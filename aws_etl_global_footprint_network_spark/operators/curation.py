@@ -618,38 +618,49 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nd, min(doc_id), instance count) per shingle, filtered to
     nd == 1 and re-grouped by the owning doc — and the corpus-sized
     instances-join the previous plan shuffled both ways is gone.
-    Per-doc gram totals come straight off the persisted explode with
-    map-side combine, and the final join is per-doc-sized on both
-    sides. Docs whose every gram is shared coalesce to 0 novel.
+    Docs whose every gram is shared coalesce to 0 novel.
     Integer counters with one final rounded division, so the only
     float op is order-free. Docs with fewer than NOVELTY_N tokens
-    have no grams and drop out on both engines. sf1 A/B, one warm
-    session, two alternating rounds: join plan 5.81/4.55 s -> this
-    0.84/3.52 s, rows identical."""
-    from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
+    have no grams and drop out on both engines.
 
-    scope = CacheScope("ngram_novelty_score")
+    Round-12 continuation rework, two structural cuts on top of the
+    aggregate-only shape: (1) "gram occurs in exactly one document"
+    is min(doc_id) == max(doc_id) — a plain single-phase aggregate —
+    where COUNT(DISTINCT doc_id) planned as a TWO-phase shuffle
+    (expand by (shingle, doc_id), regroup by shingle) over the ~40
+    shingle instances per document; (2) a document's gram TOTAL is
+    arithmetic, greatest(|tokens| - N + 1, 0), so the per-doc side
+    needs no explode, no shuffle, and the 20M-instance shingle frame
+    no longer needs persisting (its one remaining consumer is the
+    per-shingle aggregate). The corpus is tokenized twice (both
+    passes map-only and codegen), in exchange for one fewer shuffle
+    phase, no 20M-row cache generation, and a per-doc side computed
+    entirely scan-side (sf1 A/B, one warm session, 4 alternating
+    rounds: 5.62/4.95/4.51/4.75 s -> 1.02/0.99/0.91/0.90 s, same
+    rows/hash)."""
     d = spread(read_testdata(spark, sf_dir, "documents"))
-    # persisted: the tokenize+shingle explode feeds both the
-    # per-shingle aggregate and the per-doc gram totals — without the
-    # persist the explode subtree executes twice.
-    sh = scope.persist(
-        d.select(
-            "doc_id",
-            F.explode(word_shingles(tokens("text"), NOVELTY_N)).alias("shingle"),
-        )
+    sh = d.select(
+        "doc_id",
+        F.explode(word_shingles(tokens("text"), NOVELTY_N)).alias("shingle"),
     )
     per_sh = sh.groupBy("shingle").agg(
-        F.count_distinct("doc_id").alias("nd"),
         F.min("doc_id").alias("d0"),
+        F.max("doc_id").alias("d1"),
         F.count(F.lit(1)).alias("inst"),
     )
     novel = (
-        per_sh.filter(F.col("nd") == 1)
+        per_sh.filter(F.col("d0") == F.col("d1"))
         .groupBy(F.col("d0").alias("doc_id"))
         .agg(F.sum("inst").cast("bigint").alias("n_novel"))
     )
-    grams = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    grams = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(tokens("text")) - F.lit(NOVELTY_N - 1), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
     return (
         grams.join(novel, "doc_id", "left")
         .select(

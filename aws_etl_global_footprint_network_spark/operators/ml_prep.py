@@ -61,7 +61,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan as acctbal_vs_global_avg. The vocabulary join is deliberately
     NOT broadcast: at real scale the vocab is larger than a broadcast
     budget, and Catalyst will still pick broadcast on its own below
-    the threshold."""
+    the threshold.
+
+    The per-document top-{TFIDF_TOP} is a grouped TOP-K AGGREGATE
+    (collect_list -> sort_array -> slice, then posexplode for the
+    rank), not a row_number window: a window must shuffle AND
+    fully sort the scored relation on (doc_id, score) before
+    discarding all but {TFIDF_TOP} rows per document, while the
+    aggregate hash-groups, sorts only each document's ~|vocab| entries
+    in-memory, and is partial-combinable map-side. Ordering is pinned
+    by the (-score, token) struct key — identical to the SQL's
+    (score DESC, token) with the rounded score, so ranks agree
+    cross-engine. sf1 A/B, one warm session, 4 alternating rounds
+    under host noise: 4.18/3.10/3.09/3.23 s -> 3.32/2.70/3.94/3.15 s
+    — a ~10% win in minima, kept primarily for the scale posture
+    (the tokenize + tf/df aggregates dominate at this SF; the
+    eliminated full sort is what would dominate at 1000x)."""
     d = spread(read_testdata(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -76,17 +91,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_compat(F.col("tf") * idf, 6).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TFIDF_TOP)
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            "token",
-            F.col("tf").cast("bigint").alias("tf"),
-            "score",
-            "rank",
-        )
+    entry = F.struct(
+        (-F.col("score")).alias("ns"),
+        F.col("token").alias("token"),
+        F.col("tf").alias("tf"),
+        F.col("score").alias("score"),
+    )
+    top = scored.groupBy("doc_id").agg(
+        F.slice(F.sort_array(F.collect_list(entry)), 1, TFIDF_TOP).alias("top")
+    )
+    return top.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("top").alias("pos", "e"),
+    ).select(
+        "doc_id",
+        F.col("e.token").alias("token"),
+        F.col("e.tf").cast("bigint").alias("tf"),
+        F.col("e.score").alias("score"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 

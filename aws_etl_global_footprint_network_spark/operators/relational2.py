@@ -1085,7 +1085,10 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply + one decimal sum instead of three and five (round-12
     rework; sf1 A/B, one warm session, three alternating rounds:
     five-sum row path 9.05/6.34/6.19 s -> joint-only 6.75/5.86/6.03 s,
-    same hash). The closing Pearson formula is an identical-order
+    same hash). A later round-12 rework moved the whole computation to
+    the (flag, x, y) PAIR grain — see the inline comment — so "row
+    path" above now reads "pair path" at ~1/10 the cardinality on
+    this corpus. The closing Pearson formula is an identical-order
     IEEE chain rounded 1e-6 consuming identical exact integers, so
     the row-based oracle twin is unchanged.
     Zero rank variance (all values tied) pins NULL on both sides.
@@ -1108,29 +1111,37 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
         F.col("l_quantity").cast("long").alias("y"),
     )
-    # One-pass value-table build (round-10 verdict item 6): both
-    # variables' value tables used to be two independent
-    # groupBy-shuffles over the raw relation plus a THIRD raw scan for
-    # the HLL dispatch estimate. Exploding each row into (var, val)
-    # pairs builds both tables in ONE raw scan + ONE shuffle
-    # (map-side partial agg halves the doubled rows before the
-    # exchange), and the dispatch cardinalities become exact
-    # row-counts of the persisted aggregate — one tiny action instead
-    # of the HLL scan, with no inflation needed (sf1 A/B,
-    # scripts/ab_spearman.py, one warm session, 3 alternating rounds,
-    # cache cleared: split form 6.75/5.24/5.72 s -> combined
-    # 4.93/4.77/4.04 s, same hash).
+    # PAIR grain (round-12 continuation rework): every sufficient
+    # statistic of Spearman is a function of the (flag, x, y)
+    # contingency table — the joint moment is Σ t_xy·r2x·r2y over
+    # pairs, the marginals regroup pairs by one coordinate, and n is
+    # Σ t_xy. On this corpus the pair table is ~10x smaller than the
+    # relation (600k pairs vs 6M rows at sf1: y has 50 distinct
+    # values, x ~583k, and x nearly determines the pair set), so ONE
+    # raw scan + ONE shuffle builds the persisted pair table and
+    # everything downstream — both value tables, the rank joins, and
+    # the DECIMAL(38,0) joint moment — runs at pair cardinality
+    # instead of row scale. The previous shape scanned the raw
+    # relation twice (value-table build + row-path join) and paid the
+    # decimal multiply per ROW (sf1 A/B, one warm session, 4
+    # alternating rounds under host load: 5.67/3.84/4.51/3.88 s ->
+    # 4.24/3.54/2.98/3.05 s, same hash; the exact integers make the
+    # regrouping invisible to the row-based DuckDB twin).
+    p = scope.persist(
+        li.groupBy("flag", "x", "y").agg(F.count(F.lit(1)).alias("txy"))
+    )
     v = scope.persist(
-        li.select(
+        p.select(
             "flag",
             F.explode(
                 F.create_map(
                     F.lit("x"), F.col("x"), F.lit("y"), F.col("y")
                 )
             ).alias("var", "val"),
+            "txy",
         )
         .groupBy("flag", "var", "val")
-        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum("txy").alias("t"))
     )
     n_vals = {r["var"]: r["n"] for r in
               v.groupBy("var").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -1183,18 +1194,19 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         vx = F.broadcast(vx)
     if n_vals["y"] <= ADAPTIVE_WINDOW_CAP:
         vy = F.broadcast(vy)
-    ranked = li.join(vx.drop("t"), ["flag", "x"]).join(
+    ranked = p.join(vx.drop("t"), ["flag", "x"]).join(
         vy.drop("t"), ["flag", "y"]
     )
     # Decimal casts happen BEFORE any multiply: no int64 product on
-    # the row path (r2x*r2y overflows int64 past ~7e5 rows/group under
-    # ANSI mode — caught by the sf1 sweep).
+    # the pair path (t_xy·r2x·r2y overflows int64 past ~7e5 rows per
+    # group under ANSI mode — caught by the sf1 sweep).
     r2xd, r2yd = F.col("r2x").cast(dec), F.col("r2y").cast(dec)
+    txyd = F.col("txy").cast(dec)
     s = (
         ranked.groupBy("flag")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(r2xd * r2yd).alias("s12"),
+            F.sum("txy").cast("bigint").alias("n"),
+            F.sum(txyd * r2xd * r2yd).alias("s12"),
         )
         .join(mom_x, "flag")
         .join(mom_y, "flag")

@@ -3,7 +3,7 @@ ordered string aggregation, median, date arithmetic, unpivot."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_etl_global_footprint_network_spark.functions.compat import round_compat
@@ -833,37 +833,51 @@ def lone_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One-exchange layout (round-10): the grain aggregate is fed by an
     explicit repartition on l_orderkey ALONE — hashpartitioning(ok)
-    satisfies the (ok, sk) aggregate's clustering AND the per-order
-    rollup AND the semi join, so the whole chain after the single
+    satisfies the (ok, sk) aggregate's clustering AND every
+    per-order op downstream, so the whole chain after the single
     fact shuffle is exchange-free (the natural groupBy(ok, sk)
     partitioning satisfied none of the downstream ops and re-shuffled
     the grain table twice). Map-side combine is sacrificed, but
     (ok, sk) is nearly unique in lineitem so partial aggregation was
     saving almost nothing. sf1 A/B, one warm session, two rounds:
-    5.05/3.26 s -> 3.45/1.58 s, rows identical."""
-    from aws_etl_global_footprint_network_spark.functions.cache import (
-        CacheScope,
-    )
+    5.05/3.26 s -> 3.45/1.58 s, rows identical.
 
+    Window fusion (round-12 continuation): the per-order counts used
+    to be a second aggregate over a PERSISTED grain table, semi-joined
+    back — a cache generation plus a join, three reads of the grain.
+    Both counts are per-order window aggregates over the SAME
+    hashpartitioning(ok) layout the grain aggregate already has, so
+    they fuse into the one chain: no persist, no semi join, one
+    in-partition sort (WindowExec's), and the only other exchange is
+    the tiny post-filter suppkey rollup. sf1 A/B, one warm session,
+    7 alternating rounds under host noise: medians 2.73 s -> 2.38 s
+    (minima 1.88 vs 2.05 — a warm wash); kept because the pair
+    protocol's cold first run no longer pays the cache
+    materialization, and the plan drops a persist generation and a
+    join outright. Rows identical."""
     li = read_testdata(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    scope = CacheScope("lone_fault_suppliers")
-    per_os = scope.persist(
+    per_os = (
         li.repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_r"))
     )
-    per_order = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.count(F.when(F.col("n_r") > 0, 1)).alias("n_fault_suppliers"),
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_suppkey",
+        "n_r",
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+        F.count(F.when(F.col("n_r") > 0, 1)).over(w).alias(
+            "n_fault_suppliers"
+        ),
     )
-    lone = per_order.filter(
-        (F.col("n_suppliers") > 1) & (F.col("n_fault_suppliers") == 1)
-    ).select("l_orderkey")
     return (
-        per_os.filter(F.col("n_r") > 0)
-        .join(lone, "l_orderkey", "left_semi")
+        flagged.filter(
+            (F.col("n_r") > 0)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_fault_suppliers") == 1)
+        )
         .groupBy("l_suppkey")
         .agg(F.sum("n_r").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "l_suppkey")

@@ -120,24 +120,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pq_adc_topk",
     "pq_adc_rerank_topk",
     "ivfadc_rerank_topk",
-    # round-12 continuation-session plan-changed (spearman's marginal
-    # moments moved to the value tables; yoy/seasonal persists) —
-    # displacing the last three round-6 fills (events_lag_delta,
-    # events_running_sum, events_sessionization head round 13 with
-    # file_compaction_plan and the rest of the round-6 tail)
+    # round-12 continuation-session plan-changed (spearman moved to
+    # the pair grain; yoy scatter-gather; seasonal convolution +
+    # shared persist; KM grid; pii literal precheck; ngram min==max
+    # aggregate + arithmetic gram totals; lone-fault window fusion;
+    # tfidf grouped top-k — tfidf/matryoshka already sit in the
+    # round-5 tail above) — displacing eight round-6 fills
+    # (cdc_apply_compaction, cms_frequency_estimates,
+    # customers_without_orders_anti, cusum_changepoint,
+    # file_compaction_plan join events_lag_delta/events_running_sum/
+    # events_sessionization at the head of the round-13 rotation)
     "spearman_rank_corr",
     "orders_yoy_growth",
     "seasonal_anomaly_days",
+    "seasonal_decompose_daily",
+    "kaplan_meier_churn",
+    "pii_redaction",
+    "ngram_novelty_score",
+    "lone_fault_suppliers",
     # round-6-stale fill (name order)
     "ann_cosine_topk_vectorized",
     "benford_first_digit",
     "bigram_lm_score",
     "bm25_topk",
-    "cdc_apply_compaction",
-    "cms_frequency_estimates",
-    "customers_without_orders_anti",
-    "cusum_changepoint",
-    "file_compaction_plan",
     # round-12 late catch: salted_join_revenue's float revenue SUM
     # diverged in the last cent at sf10 (summation order); re-paired
     # on exact integer cents and re-sampled here

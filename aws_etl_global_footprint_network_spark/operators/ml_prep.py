@@ -238,7 +238,12 @@ def _local_components(u, v):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-index root wins
-    roots = np.array([find(i) for i in range(len(nodes))])
+    # explicit int64: np.array([]) defaults to float64, and an empty
+    # edge list (a clean corpus) must yield an empty frame, not an
+    # IndexError from float indices
+    roots = np.fromiter(
+        (find(i) for i in range(len(nodes))), dtype=np.int64, count=len(nodes)
+    )
     # nodes is sorted ascending, so the min-index root IS the
     # min-node-id label of the component
     return nodes, nodes[roots]

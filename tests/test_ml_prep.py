@@ -54,6 +54,18 @@ def test_connected_components_chain_merges(spark):
     assert got_pregel == want
 
 
+def test_connected_components_empty_graph(spark):
+    """An empty edge list (a clean corpus — sf0.1's verified near-dup
+    graph is empty) yields an empty frame on the local branch; the
+    float64-default np.array([]) used to raise IndexError here."""
+    from aws_etl_global_footprint_network_spark.operators.ml_prep import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([], "u long, v long")
+    assert connected_components(edges).collect() == []
+
+
 def test_train_test_split_deterministic_and_stratified(spark, sf_dir):
     df1 = SPECS["train_test_split_hash"].builder(spark, sf_dir)
     rows1 = {r.doc_id: (r.bucket, r.split) for r in df1.collect()}

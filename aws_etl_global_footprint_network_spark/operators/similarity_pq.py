@@ -28,8 +28,9 @@ Four operators, each oracle-paired:
   sf0.1 on the isotropic (worst-case) corpus.
 
 Scale posture: codebooks are M·K = 128 rows (broadcast); training is
-one equi-join + window argmin + grouped mean per round (the Lloyd
-shape); encoding is map-only against the broadcast codebook; ADC
+one equi-join + argmin aggregate (MIN(STRUCT(d, code)), map-side
+partial) + grouped mean per round (the Lloyd shape); encoding is
+map-only against the broadcast codebook; ADC
 search joins the code table to a broadcast LUT on (subspace, code) —
 all equi-joins, no pairwise vector math on the corpus side. Compose
 with the IVF coarse quantizer (``ivf_topk_probe``) to prune which
@@ -146,25 +147,61 @@ def _sq(a: str, b: str):
     )
 
 
+def _sq_sub(a: str, b: str):
+    """Squared distance between two SUBDIM-element arrays, unrolled to
+    a flat SUBDIM-term expression (round 12): ``aggregate(zip_with)``
+    lambdas are interpreted per element (the round-11 LSH projection
+    lesson), while the unrolled sum whole-stage-codegens. Bit-exact
+    vs the fold: the fold's seed step computes 0.0 + t1 == t1 (t1 is
+    a square, so never -0.0) and both accumulate strictly left to
+    right. Only used at SUBDIM (= 4) terms — far under the janino
+    64 KB method limit that bit the 88-plane unroll."""
+    terms = [
+        (F.element_at(a, i) - F.element_at(b, i))
+        * (F.element_at(a, i) - F.element_at(b, i))
+        for i in range(1, SUBDIM + 1)
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = expr + t
+    return expr
+
+
 def _assign(subv: DataFrame, cb: DataFrame) -> DataFrame:
     """Nearest-codebook-entry per (vec_id, m): equi-join on subspace
-    against the broadcast codebook, window argmin (d, then code)."""
+    against the broadcast codebook, then argmin via
+    ``MIN(STRUCT(d, code))`` — a partially-aggregating groupBy
+    (round 12) instead of the former row_number window, which sorted
+    all N·M·K distance rows through an exchange. Struct comparison is
+    lexicographic on (d, code), exactly the window's ORDER BY d, code
+    rank-1 row, so the result is identical; the aggregate combines
+    map-side and never materialises a global sort (guide §2.3)."""
     d = subv.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "code", _sq("sv", "c").alias("d")
+        "vec_id", "m", "code", _sq_sub("sv", "c").alias("d")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("d", "code")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("vec_id", "m", "code", "d")
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "code")).alias("b"))
+        .select(
+            "vec_id", "m", F.col("b.code").alias("code"), F.col("b.d").alias("d")
+        )
     )
 
 
-def _trained_codebook(subv: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _trained_codebook(
+    subv: DataFrame, scope: CacheScope | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(cb1, asg0): one Lloyd refinement of the seed codebook. The
     seed is the first K vectors' subvectors — deterministic, no RNG —
     and the refined centroids are grouped means rounded at PQ_ROUND so
-    both engines sit on bit-identical codebooks."""
+    both engines sit on bit-identical codebooks.
+
+    ``scope`` (round 12): every ADC consumer references cb1 at least
+    twice (corpus assignment + query LUT), and the unpersisted M·K-row
+    frame re-executed the whole training chain per reference — the
+    dominant cost of the ADC queries at sf0.1 (pq_adc_rerank_topk
+    ~4.1 s, of which <0.7 s was the actual search). Persisting the
+    256-row codebook in the caller's CacheScope runs training once."""
     cb0 = subv.filter(F.col("vec_id") < K).select(
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("c")
     )
@@ -181,6 +218,8 @@ def _trained_codebook(subv: DataFrame) -> tuple[DataFrame, DataFrame]:
             lambda s: s.cv,
         ).alias("c")
     )
+    if scope is not None:
+        cb1 = scope.persist(cb1)
     return cb1, asg0
 
 
@@ -213,7 +252,10 @@ def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb0 = subv.filter(F.col("vec_id") < K).select(
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("c")
     )
-    asg0 = _assign(subv, cb0).select("vec_id", "m", "code")
+    # asg0 feeds both the centroid update and the membership sizes:
+    # persist the N·M assignment once instead of re-running the seed
+    # argmin per consumer (round 12, same reasoning as cb1)
+    asg0 = scope.persist(_assign(subv, cb0).select("vec_id", "m", "code"))
     upd = asg0.join(subv, ["vec_id", "m"]).select(
         "m", "code", F.posexplode("sv").alias("spos0", "val")
     ).select("m", "code", (F.col("spos0") + 1).alias("spos"), "val")
@@ -263,7 +305,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     subv = _subvectors(spark, sf_dir)
     scope = CacheScope("pq_codes")
     subv = scope.persist(subv)
-    cb1, _ = _trained_codebook(subv)
+    cb1, _ = _trained_codebook(subv, scope)
     codes = _assign(subv, cb1)
     half = M // 2
     lo = F.expr(
@@ -329,13 +371,13 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subv = _subvectors(spark, sf_dir)
     scope = CacheScope("pq_adc_topk")
     subv = scope.persist(subv)
-    cb1, _ = _trained_codebook(subv)
+    cb1, _ = _trained_codebook(subv, scope)
     codes = _assign(subv, cb1).select("vec_id", "m", "code")
     lut = (
         subv.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "m", "sv")
         .join(cb1, "m")
-        .select("query_id", "m", "code", _sq("sv", "c").alias("pd"))
+        .select("query_id", "m", "code", _sq_sub("sv", "c").alias("pd"))
     )
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -429,13 +471,13 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subv = _subvectors(spark, sf_dir)
     scope = CacheScope("pq_adc_rerank_topk")
     subv = scope.persist(subv)
-    cb1, _ = _trained_codebook(subv)
+    cb1, _ = _trained_codebook(subv, scope)
     codes = _assign(subv, cb1).select("vec_id", "m", "code")
     lut = (
         subv.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "m", "sv")
         .join(cb1, "m")
-        .select("query_id", "m", "code", _sq("sv", "c").alias("pd"))
+        .select("query_id", "m", "code", _sq_sub("sv", "c").alias("pd"))
     )
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -571,7 +613,7 @@ def ivfadc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subv = _subvectors(spark, sf_dir)
     scope = CacheScope("ivfadc_rerank_topk")
     subv = scope.persist(subv)
-    cb1, _ = _trained_codebook(subv)
+    cb1, _ = _trained_codebook(subv, scope)
     codes = scope.persist(_assign(subv, cb1).select("vec_id", "m", "code"))
 
     emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
@@ -586,21 +628,27 @@ def ivfadc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.cv,
         ).alias("c")
     )
-    cdist = emb.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "label",
-        F.aggregate(
-            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("d"),
+    # centroid distances feed both the corpus assignment and the query
+    # probes: persist the N x n_labels frame once (round 12)
+    cdist = scope.persist(
+        emb.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d"),
+        )
+    )
+    # argmin label via MIN(STRUCT(d, label)) — identical to the former
+    # row_number-over-(d, label) rank-1 row, partial-aggregating
+    assigned = (
+        cdist.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "label")).alias("b"))
+        .select("vec_id", F.col("b.label").alias("label"))
     )
     w_c = Window.partitionBy("vec_id").orderBy("d", "label")
-    assigned = (
-        cdist.withColumn("rn", F.row_number().over(w_c))
-        .filter("rn = 1")
-        .select("vec_id", "label")
-    )
     probes = (
         cdist.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("rn", F.row_number().over(w_c))
@@ -616,7 +664,7 @@ def ivfadc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         subv.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "m", "sv")
         .join(cb1, "m")
-        .select("query_id", "m", "code", _sq("sv", "c").alias("pd"))
+        .select("query_id", "m", "code", _sq_sub("sv", "c").alias("pd"))
     )
     adc = (
         cand.join(codes, F.col("neighbor_id") == F.col("vec_id"))

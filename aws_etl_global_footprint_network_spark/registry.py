@@ -110,7 +110,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in round 12: pins the over-cap bloom branch (the registered
     # dispatcher takes plain-semi below 1M build keys)
     "forced_bloom_semi_join",
-    # round-12 oracle-changed (MATERIALIZED hints; same results)
+    # round-12 oracle-changed (MATERIALIZED hints; same results).
+    # The five PQ rows additionally carry round-12 SPARK plan changes
+    # (MIN(STRUCT) argmin aggregate replacing the window, unrolled
+    # SUBDIM distances, persisted cb1/asg0/cdist) — results identical,
+    # swept green at sf0.01/sf0.1/sf1.
     "dedup_minhash_lsh",
     "dedup_containment_pairs",
     "split_contamination_check",

@@ -63,6 +63,21 @@ def parquet_column_bounds(
         return None
 
 
+def table_num_rows(sf_dir: str, table: str) -> Optional[int]:
+    """Row count of ``{sf_dir}/{table}.parquet`` from footer metadata
+    only — no scan, no job. None when unreadable (caller goes wide).
+    Used by rank-statistic bounds of the form n·(2n)^2: a doubled
+    tied-average rank is <= 2n+1, so every rank moment is bounded by a
+    polynomial in the row count alone."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return None
+
+
 def cents_sumsq_int64_safe(sf_dir: str, table: str, column: str) -> bool:
     """True iff SUM(cents^2) over every subset of ``column`` (cents =
     ROUND(value*100)) provably fits int64: n_rows * max(|cents|)^2

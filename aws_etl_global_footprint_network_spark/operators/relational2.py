@@ -1088,10 +1088,14 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are exact and row ranks attach by joining each row to its
     value's entry (two value-cardinality dimension joins — never a
     per-row rank window, which single-tasks each group). The
-    sufficient sums accumulate as exact DECIMAL(38,0) — the
-    rank products overflow int64 past ~7e5 rows per group (caught by
-    the sf1 sweep under ANSI mode), while 38 digits hold to ~3e12
-    rows/group and DuckDB's integer sums widen to HUGEINT natively —
+    sufficient sums accumulate as exact integers whose WIDTH is
+    dispatched on the parquet-footer row count (round 12): int64 while
+    the provable moment bound N·(2N+2)² stays under 2^62 (sf0.1:
+    3.3-4.0 s vs 4.3-5.5 s decimal, same hash), DECIMAL(38,0) above it
+    — the rank products overflow int64 past ~7e5 rows per group
+    (caught by the sf1 sweep under ANSI mode), while 38 digits hold to
+    ~3e12 rows/group and DuckDB's integer sums widen to HUGEINT
+    natively —
     but only the JOINT moment Σ r2x·r2y needs the row path: the four
     marginal moments Σr2, Σr2² regroup by value (Σ_values t·r2^k,
     identical integers) and aggregate over the value-cardinality rank
@@ -1184,7 +1188,37 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumes identical values, so the row-based DuckDB twin
     # hash-matches unchanged.  (sf1 A/B, one warm session, alternating:
     # see docstring.)
-    dec = "decimal(38,0)"
+    #
+    # Width dispatch (round 12, the gini/anova pattern): every rank
+    # moment here is bounded by N·(2N+2)² — the doubled tied-average
+    # rank is <= 2N+1 and Σt = N — with N the parquet-footer row count
+    # of lineitem (metadata-only, no job).  Below 2^62 the sums
+    # accumulate in int64 (ANSI mode would RAISE, not corrupt, if the
+    # proof were ever wrong); above it, or when the footer is
+    # unreadable, the exact DECIMAL(38,0) path stands.  Both widths
+    # are exact integers, so the closing double chain — and the hash —
+    # is width-independent.  sf0.1 (600k rows, 4N³ ≈ 8.6e17) runs
+    # narrow; sf1 (6M rows, ≈ 8.6e20) runs wide.
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
+    )
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        INT64_SAFE_BOUND,
+        table_num_rows,
+    )
+
+    n_rows = table_num_rows(sf_dir, "lineitem")
+    narrow = (
+        n_rows is not None
+        and n_rows * float(2 * n_rows + 2) ** 2 < INT64_SAFE_BOUND
+    )
+    _log_dispatch(
+        "spearman_moment_bound",
+        int(n_rows * float(2 * n_rows + 2) ** 2) if n_rows else -1,
+        int(INT64_SAFE_BOUND),
+        "int64" if narrow else "decimal(38,0)",
+    )
+    dec = "long" if narrow else "decimal(38,0)"
 
     def moments(vt: DataFrame, out: str, s1n: str, s11n: str) -> DataFrame:
         td = F.col("t").cast(dec)

@@ -79,27 +79,54 @@ def weighted_mg_merge(counters: dict, items, capacity: int) -> None:
                 del counters[k]
 
 
-def misra_gries_candidates(token_stream: DataFrame, col: str) -> DataFrame:
+def _mg_survivors_and_counts(token_stream: DataFrame, col: str) -> DataFrame:
     """Pass 1: per-partition Misra-Gries survivors (a candidate
-    superset of the global heavy hitters). mapInPandas keeps ONE
-    O(MG_CAPACITY) dict per partition across all of its Arrow
-    batches — map-only, no shuffle, constant memory. Each batch is
-    pre-counted vectorized (value_counts, C speed) and only the
-    COUNTED items hit the interpreter — Python cost is
-    O(distinct-per-batch x capacity) worst case, not O(tokens)."""
+    superset of the global heavy hitters) PLUS one row per partition
+    carrying the partition's token count (``col`` NULL, ``_pn`` set).
+    mapInPandas keeps ONE O(MG_CAPACITY) dict per partition across all
+    of its Arrow batches — map-only, no shuffle, constant memory. Each
+    batch is pre-counted vectorized (value_counts, C speed) and only
+    the COUNTED items hit the interpreter — Python cost is
+    O(distinct-per-batch x capacity) worst case, not O(tokens).
+
+    Emitting the stream length from the same pass (round 12) lets
+    heavy_hitters_twopass drop its separate COUNT(*) scan: the stream
+    is a tokenize+explode of the corpus, so the third full pass was
+    pure recompute of the other two."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             weighted_mg_merge(
                 counters, pdf[col].value_counts().items(), MG_CAPACITY
             )
-        yield pd.DataFrame({col: list(counters.keys())})
-
-    return (
-        token_stream.mapInPandas(
-            op, schema=T.StructType([T.StructField(col, T.StringType())])
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                "_pn": [0] * len(counters) + [n],
+            }
         )
+
+    return token_stream.mapInPandas(
+        op,
+        schema=T.StructType(
+            [
+                T.StructField(col, T.StringType()),
+                T.StructField("_pn", T.LongType()),
+            ]
+        ),
+    )
+
+
+def misra_gries_candidates(token_stream: DataFrame, col: str) -> DataFrame:
+    """Distinct per-partition Misra-Gries survivors — see
+    :func:`_mg_survivors_and_counts`."""
+    return (
+        _mg_survivors_and_counts(token_stream, col)
+        .filter(F.col(col).isNotNull())
+        .select(col)
         .distinct()
     )
 
@@ -125,10 +152,21 @@ def misra_gries_candidates(token_stream: DataFrame, col: str) -> DataFrame:
     tags=("sketch", "text", "scale"),
 )
 def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_global_footprint_network_spark.functions.cache import (
+        CacheScope,
+    )
+
+    scope = CacheScope("heavy_hitters_twopass")
     d = spread(read_testdata(spark, sf_dir, "documents"))
     stream = d.select(F.explode(tokens("text")).alias("token"))
-    total = stream.agg(F.count(F.lit(1)).alias("n"))
-    candidates = misra_gries_candidates(stream, "token")
+    # ONE Python pass yields both the candidate superset and the
+    # per-partition stream lengths (round 12: the stream total used to
+    # be a third full tokenize+explode scan of the corpus). The
+    # MG output is bounded (<= capacity x partitions + partitions
+    # rows), so persisting it costs nothing at any scale.
+    mg = scope.persist(_mg_survivors_and_counts(stream, "token"))
+    total = mg.agg(F.sum("_pn").alias("n"))
+    candidates = mg.filter(F.col("token").isNotNull()).select("token").distinct()
     counted = (
         stream.join(F.broadcast(candidates), "token")
         .groupBy("token")

@@ -78,6 +78,24 @@ def table_num_rows(sf_dir: str, table: str) -> Optional[int]:
         return None
 
 
+def raw_table_count(spark, sf_dir: str, table: str) -> int:
+    """Exact COUNT(*) of a raw testdata table for dispatch decisions,
+    from the parquet footer when readable (zero Spark jobs — parquet
+    num_rows IS the row count), falling back to a Spark count job.
+    Round 12: the adaptive-geometry dispatches ran an eager count JOB
+    on every plan build (the advisor flagged it); the footer read
+    returns the identical integer for free, so the dispatch — and the
+    oracle's COUNT(*) twin — is unchanged."""
+    n = table_num_rows(sf_dir, table)
+    if n is not None:
+        return n
+    from aws_etl_global_footprint_network_spark.sources.readers import (
+        read_testdata,
+    )
+
+    return read_testdata(spark, sf_dir, table).count()
+
+
 def cents_sumsq_int64_safe(sf_dir: str, table: str, column: str) -> bool:
     """True iff SUM(cents^2) over every subset of ``column`` (cents =
     ROUND(value*100)) provably fits int64: n_rows * max(|cents|)^2

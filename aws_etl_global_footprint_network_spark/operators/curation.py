@@ -844,7 +844,11 @@ def _semantic_dedup_drop(
     # twin-AUGMENTED corpus (+1/TWIN_EVERY) — same convention as the
     # similarity.py constants block, oracle counts identically, and
     # the eager per-build COUNT is a parquet metadata read.
-    n = read_testdata(spark, sf_dir, "embeddings").count()
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        raw_table_count,
+    )
+
+    n = raw_table_count(spark, sf_dir, "embeddings")
     extra = _extra_bits(n, nref)
     _log_dispatch("semdedup_cell_bits", n, nref, f"extra={extra}")
     aug = augmented_embeddings(spark, sf_dir)

@@ -930,7 +930,11 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the conservative bound makes identical decisions at every
     # measured scale (sf0.1: 20k parts vs 17.3k nodes; sf1: 200k vs
     # 173k) and errs toward the scale-safe shuffle path at 100 TB.
-    n_nodes = read_testdata(spark, sf_dir, "part").count()
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        raw_table_count,
+    )
+
+    n_nodes = raw_table_count(spark, sf_dir, "part")
     bcast_keep = n_nodes <= ADAPTIVE_WINDOW_CAP
     _log_dispatch(
         "kcore_keep_join",

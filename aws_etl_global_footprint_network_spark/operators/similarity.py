@@ -654,7 +654,11 @@ def _adaptive_lsh_pairs(
         _log_dispatch,
     )
 
-    n = read_testdata(spark, sf_dir, "embeddings").count()
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        raw_table_count,
+    )
+
+    n = raw_table_count(spark, sf_dir, "embeddings")
     extra = _extra_bits(n, nref)
     _log_dispatch("lsh_adaptive_bits", n, nref, f"extra={extra}")
     emb = augmented_embeddings(spark, sf_dir)

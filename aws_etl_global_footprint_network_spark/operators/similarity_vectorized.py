@@ -208,63 +208,116 @@ def _mrl_oracle() -> str:
     tags=("similarity", "mlprep"),
 )
 def matryoshka_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three brute-force top-k passes (one per prefix length), each
-    the ann_cosine_topk shape: broadcast bounded query set, map-side
-    fold, per-query window top-k — then overlap joins against the
-    full-dim baseline. At 100 TB each pass would be the IVF/PQ path
-    instead; the measurement shape (overlap vs the full-dim answer)
-    is unchanged. On this isotropic corpus prefixes carry ~d/64 of
-    the variance, so overlap decays with truncation — real MRL-trained
-    embeddings concentrate information in the prefix, pushing the
-    short-dim rows toward 1.0; the operator is the measurement, not
-    the training."""
-    from aws_etl_global_footprint_network_spark.functions.vectors import (
-        as_double_array,
-        dot,
-        norm,
+    """ONE Arrow-batched corpus pass for all three prefix lengths
+    (round 13; guide §4.2/§2.3 — the `_band_bucket_frame` pattern).
+    The round-12 shape ran three broadcast-join passes, each folding
+    interpreted ``aggregate(zip_with)`` dot products and ranking
+    through a per-query window (66 Exchange / 36 Window nodes at
+    sf0.1). But a prefix dot product IS a prefix of the full fold:
+    accumulating ``acc += e[i]*q[i]`` left to right and capturing the
+    partial sums at i = 16/32/64 yields the SAME float64 values as
+    three separate sequential folds (each product is rounded once,
+    sums accumulate strictly left-to-right — bit-identical to the
+    ``aggregate(zip_with)`` / DuckDB ``list_sum(list_transform)``
+    chain, the invariant the LSH fold proved in round 12). Prefix
+    norms are the same capture over e[i]*e[i]. Each Arrow batch emits
+    only its local top-MRL_K per (dim, query) — the global top-k is a
+    subset of the union of per-batch top-ks — so the driver close
+    ranks a constant-size candidate set (<= tasks x 3 x 10 x 5 rows)
+    and the overlap count is driver arithmetic on exact integers
+    (the pq/pca constant-size-close precedent). overlap_at_k =
+    overlap*20000/1e6 is exact integer arithmetic, so the rounding
+    grain both engines share cannot flip. At 100 TB each pass would
+    be the IVF/PQ path instead; the measurement shape (overlap vs
+    the full-dim answer) is unchanged."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < MRL_QUERIES).collect()
     )
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray(
+        [r[1] for r in qrows], dtype=np.float32
+    ).astype(np.float64)
+    nq = len(qids)
+    dims = MRL_DIMS
+    # query prefix norms, same left-to-right fold as the corpus side
+    qsq = np.zeros(nq)
+    qnrm = {}
+    for i in range(dims[-1]):
+        qsq = qsq + qmat[:, i] * qmat[:, i]
+        if (i + 1) in dims:
+            qnrm[i + 1] = np.sqrt(qsq)
 
-    tops = {}
-    for d in MRL_DIMS:
-        emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
-            "vec_id", F.slice(as_double_array("embedding"), 1, d).alias("e")
-        ).select("vec_id", "e", norm("e").alias("nrm"))
-        q = emb.filter(F.col("vec_id") < MRL_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.col("nrm").alias("qnrm"),
-        )
-        scored = emb.join(
-            F.broadcast(q), F.col("query_id") != F.col("vec_id")
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot("qe", "e") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), "neighbor_id"
-        )
-        tops[d] = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(f"rn <= {MRL_K}")
-            .select("query_id", "neighbor_id")
-        )
-    full = tops[MRL_DIMS[-1]]
-    parts = []
-    for d in MRL_DIMS:
-        parts.append(
-            tops[d].join(full, ["query_id", "neighbor_id"]).agg(
-                F.lit(d).cast("int").alias("dim"),
-                F.count(F.lit(1)).cast("bigint").alias("overlap_pairs"),
+    def scores(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sq = np.zeros(n)
+            dots = np.zeros((n, nq))
+            out_dim, out_q, out_n, out_c = [], [], [], []
+            for i in range(dims[-1]):
+                e = m[:, i]
+                sq = sq + e * e
+                dots = dots + e[:, None] * qmat[None, :, i]
+                if (i + 1) not in dims:
+                    continue
+                d = i + 1
+                nrm = np.sqrt(sq)
+                cos = dots / (qnrm[d][None, :] * nrm[:, None])
+                for j in range(nq):
+                    keep = vid != qids[j]
+                    c, v = cos[keep, j], vid[keep]
+                    top = np.lexsort((v, -c))[:MRL_K]
+                    out_dim.extend([d] * len(top))
+                    out_q.extend([qids[j]] * len(top))
+                    out_n.extend(v[top])
+                    out_c.extend(c[top])
+            yield pd.DataFrame(
+                {
+                    "dim": np.asarray(out_dim, dtype=np.int32),
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cos": np.asarray(out_c, dtype=np.float64),
+                }
             )
+
+    cand = (
+        []
+        if nq == 0
+        else spread(emb)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            scores, "dim int, query_id long, neighbor_id long, cos double"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "dim",
-        "overlap_pairs",
-        round_compat(
-            F.col("overlap_pairs") / float(MRL_QUERIES * MRL_K), 6
-        ).alias("overlap_at_k"),
+        .collect()
+    )
+    # constant-size close: global top-MRL_K per (dim, query), then the
+    # overlap of each prefix's top set against the full-dim top set
+    tops: dict[tuple[int, int], list[int]] = {}
+    by_key: dict[tuple[int, int], list] = {}
+    for r in cand:
+        by_key.setdefault((r["dim"], r["query_id"]), []).append(r)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: (-r["cos"], r["neighbor_id"]))
+        tops[key] = [r["neighbor_id"] for r in rows[:MRL_K]]
+    full = {
+        q: set(tops.get((dims[-1], q), [])) for q in qids.tolist()
+    }
+    out_rows = []
+    for d in dims:
+        ov = sum(
+            1
+            for q in qids.tolist()
+            for nb in tops.get((d, q), [])
+            if nb in full[q]
+        )
+        out_rows.append(
+            (int(d), int(ov), (ov * 20000) / 1000000.0)
+        )
+    return spark.createDataFrame(
+        out_rows, "dim int, overlap_pairs bigint, overlap_at_k double"
     )

@@ -343,3 +343,49 @@ def test_adaptive_lsh_forced_geometry_parity_and_recall(spark, sf_dir):
     )
     emb.unpersist()
     assert grown_buckets > base_buckets
+
+
+def test_pq_kernel_codebook_matches_jvm_reference(spark, sf_dir):
+    """Round-13 pin: the Arrow-kernel-trained codebook (numpy
+    partials + driver close) must be CELL-IDENTICAL to the retained
+    JVM reference chain (`_subvectors` -> `_trained_codebook`) —
+    same (m, code) cells present, bit-equal rounded centroids. This
+    is the invariant every ADC consumer's hash parity rests on."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.operators import (
+        similarity_pq as pq,
+    )
+
+    codes0, cb1, present, cnts, _ = pq._train_np(spark, sf_dir)
+    subv = pq._subvectors(spark, sf_dir).persist()
+    jvm_rows = pq._trained_codebook(subv)[0].collect()
+    # member counts from the seed assignment, for the sizes pin
+    cb0 = subv.filter(F.col("vec_id") < pq.K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("c")
+    )
+    jvm_sizes = {
+        (r["m"], r["code"]): r["n"]
+        for r in pq._assign(subv, cb0)
+        .groupBy("m", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    subv.unpersist()
+    jvm = {(r["m"], r["code"]): list(r["c"]) for r in jvm_rows}
+    kern = {
+        (mi, int(codes0[ci])): list(cb1[mi, ci])
+        for mi in range(pq.M)
+        for ci in range(len(codes0))
+        if present[mi, ci]
+    }
+    assert set(jvm) == set(kern)
+    for key in jvm:
+        assert jvm[key] == kern[key], (key, jvm[key], kern[key])
+    kern_sizes = {
+        (mi, int(codes0[ci])): int(cnts[mi, ci])
+        for mi in range(pq.M)
+        for ci in range(len(codes0))
+        if present[mi, ci]
+    }
+    assert jvm_sizes == kern_sizes

@@ -19,10 +19,14 @@ whole point of LSH at 100 TB. Hash functions are md5-derived
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_etl_global_footprint_network_spark.functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
     MINHASH_BANDS,
     MINHASH_K,
     MINHASH_ROWS_PER_BAND,
@@ -98,6 +102,11 @@ def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) over the whole corpus — see `_shingle_rows`."""
+    return _shingle_rows(spread(read_testdata(spark, sf_dir, "documents")))
+
+
+def _shingle_rows(d: DataFrame) -> DataFrame:
     """(doc_id, token) where token is a distinct 3-word shingle.
 
     MinHash runs on shingles, not unigrams: with a small shared
@@ -111,7 +120,6 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain per output row (no codegen), measured 12s vs 0.4s at
     sf0.1. The distinct is a row-level shuffle instead of a per-doc
     array_distinct for the same reason."""
-    d = spread(read_testdata(spark, sf_dir, "documents"))
     base = d.select("doc_id", tokens("text").alias("t"))
     # rows with <3 tokens produce NULL -> explode drops them
     idx = base.select(
@@ -135,12 +143,92 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(token_sets: DataFrame) -> DataFrame:
-    """doc_id -> m0..m{k-1} minhash signature columns."""
+    """doc_id -> m0..m{k-1} minhash signature columns (JVM reference
+    path over an exploded token table; the registered minhash queries
+    use `_minhash_sig_np` — one Arrow pass, no explode/shuffle)."""
     h = token_sets.select("doc_id", hash31("token").alias("h"))
     aggs = [
         F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(MINHASH_K)
     ]
     return h.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m{k-1}, n) in ONE Arrow-batched map-only pass
+    (round 13, guide §4.2): tokenize, shingle, hash and take the K
+    permutation minima per document inside the kernel, instead of
+    exploding the corpus into a (doc_id, shingle) relation, running
+    it through a distinct shuffle, and folding it back with a K-min
+    groupBy shuffle. Every step is exact integer/string arithmetic,
+    so the signatures are BIT-IDENTICAL to the JVM reference
+    (`minhash_signatures` over `_shingle_sets`, pinned by test):
+    Python ``str.lower`` / ``re.split('[^a-z0-9]+')`` match Spark's
+    ``lower``/``split`` on this ASCII corpus contract, ``hashlib.md5``
+    over UTF-8 bytes is the same md5 hex, ``int(hex[:15], 16) % P31``
+    is the same 60-bit reduction, and the affine permutations are
+    exact int64 (a, h < 2^31 so a*h + b < 2^63). Documents with
+    fewer than 3 tokens emit no row, exactly like the explode path.
+    ``n`` is the distinct-shingle count, the set size the verify
+    stage divides by."""
+    import hashlib
+    import re
+
+    A = np.asarray(MINHASH_A, dtype=np.int64)
+    B = np.asarray(MINHASH_B, dtype=np.int64)
+
+    def fn(it):
+        pat = re.compile("[^a-z0-9]+")
+        for pdf in it:
+            ids: list[int] = []
+            counts: list[int] = []
+            hs_list: list[np.ndarray] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in pat.split((text or "").lower()) if t]
+                if len(toks) < 3:
+                    continue
+                sh = {
+                    " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+                }
+                ids.append(did)
+                counts.append(len(sh))
+                hs_list.append(
+                    np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(s.encode("utf-8")).hexdigest()[:15],
+                                16,
+                            )
+                            % P31
+                            for s in sh
+                        ),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                )
+            if not ids:
+                continue
+            nd = len(ids)
+            allh = np.concatenate(hs_list)
+            seg = np.repeat(np.arange(nd), np.asarray(counts))
+            cols = {"doc_id": np.asarray(ids, dtype=np.int64)}
+            for i in range(MINHASH_K):
+                p = (A[i] * allh + B[i]) % P31
+                mins = np.full(nd, np.iinfo(np.int64).max)
+                np.minimum.at(mins, seg, p)
+                cols[f"m{i}"] = mins
+            cols["n"] = np.asarray(counts, dtype=np.int64)
+            yield pd.DataFrame(cols)
+
+    schema = (
+        "doc_id bigint, "
+        + ", ".join(f"m{i} bigint" for i in range(MINHASH_K))
+        + ", n bigint"
+    )
+    return (
+        spread(read_testdata(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .mapInPandas(fn, schema)
+    )
 
 
 def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
@@ -221,29 +309,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), never all-pairs. No join in the verify stage carries a
     broadcast hint: cand/cand_docs/sizes are all proportional to the
     near-dup rate x corpus, unbounded at 100 TB — AQE broadcasts
-    whichever side is genuinely small at runtime instead. Set sizes
-    ride along in the signature aggregation (one groupBy computes
-    both) and are semi-pruned to candidate docs before the lookup
-    joins. Persisted intermediates
-    (shingle set, signatures, candidates) are scoped: re-invoking the
-    query unpersists the previous generation, so a long-lived session
-    stays at one cached copy (functions.cache.CacheScope). ``sig`` is
-    the persist point rather than ``bands``: it feeds the band
-    self-join AND both size lookups, so caching it avoids re-running
-    the signature aggregation in every downstream job."""
+    whichever side is genuinely small at runtime instead. Signatures
+    and set sizes come from ONE Arrow-batched map pass
+    (`_minhash_sig_np`, round 13) — the corpus-wide shingle explode,
+    its distinct shuffle and the K-min groupBy shuffle no longer
+    exist; the shingle relation is materialised ONLY for candidate
+    documents (semi-join first, then tokenize — verify cost scales
+    with the near-dup rate, not the corpus). Persisted intermediates
+    are scoped: re-invoking the query unpersists the previous
+    generation (functions.cache.CacheScope). ``sig`` is persisted
+    because it feeds the band self-join AND both size lookups."""
     scope = CacheScope("dedup_minhash_lsh")
-    tok = scope.persist(_shingle_sets(spark, sf_dir))
-    # one groupBy yields the minhash signature AND the set size
-    h = tok.select("doc_id", hash31("token").alias("h"))
-    sig = scope.persist(
-        h.groupBy("doc_id").agg(
-            *[
-                F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
-                for i in range(MINHASH_K)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
+    sig = scope.persist(_minhash_sig_np(spark, sf_dir))
     bands = lsh_band_buckets(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = scope.persist(
@@ -263,14 +340,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select("doc_b"))
         .distinct()
     )
-    # prune the shingle table to candidate docs before the pair join
-    # Hint-free verify joins (same pattern as similarity.ann_lsh_pairs):
-    # cand / cand_docs / sizes all scale with the near-dup rate x corpus,
-    # so a hard F.broadcast on any of them is an OOM by construction at
-    # 100 TB.  AQE still broadcasts whichever side is actually small at
-    # runtime.  sizes is semi-pruned to candidate docs first so the
-    # shuffle ships one row per candidate doc, not per corpus doc.
-    tokc = tok.join(cand_docs, "doc_id", "left_semi")
+    # shingle ONLY the candidate docs (exact verify needs real token
+    # sets; the semi-join keeps the tokenize+distinct proportional to
+    # the candidate count). Hint-free verify joins (same pattern as
+    # similarity.ann_lsh_pairs): cand / cand_docs / sizes all scale
+    # with the near-dup rate x corpus, so a hard F.broadcast on any
+    # of them is an OOM by construction at 100 TB. AQE still
+    # broadcasts whichever side is actually small at runtime.
+    tokc = scope.persist(
+        _shingle_rows(
+            read_testdata(spark, sf_dir, "documents").join(
+                cand_docs, "doc_id", "left_semi"
+            )
+        )
+    )
     x = tokc.alias("x")
     y = tokc.alias("y")
     inter = (
@@ -541,17 +624,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedicated containment index would band the small side's
     signature only."""
     scope = CacheScope("dedup_containment_pairs")
-    tok = scope.persist(_shingle_sets(spark, sf_dir))
-    h = tok.select("doc_id", hash31("token").alias("h"))
-    sig = scope.persist(
-        h.groupBy("doc_id").agg(
-            *[
-                F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
-                for i in range(MINHASH_K)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
+    sig = scope.persist(_minhash_sig_np(spark, sf_dir))
     bands = lsh_band_buckets(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = scope.persist(
@@ -571,13 +644,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select("doc_b"))
         .distinct()
     )
-    # Hint-free verify joins (same pattern as similarity.ann_lsh_pairs):
-    # cand / cand_docs / sizes all scale with the near-dup rate x corpus,
-    # so a hard F.broadcast on any of them is an OOM by construction at
-    # 100 TB.  AQE still broadcasts whichever side is actually small at
-    # runtime.  sizes is semi-pruned to candidate docs first so the
-    # shuffle ships one row per candidate doc, not per corpus doc.
-    tokc = tok.join(cand_docs, "doc_id", "left_semi")
+    # shingle ONLY the candidate docs (round 13 — see
+    # dedup_minhash_lsh); hint-free verify joins, AQE broadcasts the
+    # genuinely small side at runtime.
+    tokc = scope.persist(
+        _shingle_rows(
+            read_testdata(spark, sf_dir, "documents").join(
+                cand_docs, "doc_id", "left_semi"
+            )
+        )
+    )
     x = tokc.alias("x")
     y = tokc.alias("y")
     inter = (

@@ -168,3 +168,35 @@ def test_semdedup_adaptive_cells_parity_and_twin_safety(spark, sf_dir):
     }
     forced = {r.vec_id for r in df.collect()}
     assert forced == default
+
+
+def test_minhash_kernel_signatures_match_jvm_reference(spark, sf_dir):
+    """Round-13 pin: the Arrow-kernel signature pass
+    (`_minhash_sig_np`) must be BIT-IDENTICAL to the JVM reference
+    chain (shingle explode -> hash31 -> K-min groupBy), including the
+    distinct-shingle set size — the invariant the banded candidate
+    generation and the Jaccard verify denominators rest on."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.operators import dedup
+
+    tok = dedup._shingle_sets(spark, sf_dir).persist()
+    jvm = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in tok.select("doc_id", dedup.hash31("token").alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(dedup.minhash_perm(F.col("h"), i)).alias(f"m{i}")
+                for i in range(dedup.MINHASH_K)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    tok.unpersist()
+    kern = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in dedup._minhash_sig_np(spark, sf_dir).collect()
+    }
+    assert jvm == kern

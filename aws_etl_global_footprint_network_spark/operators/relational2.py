@@ -1078,7 +1078,7 @@ def partial_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     " exclusive cumulative counts (the doubled-rank integers"
     " 2*cb + t + 1), joined back by VALUE key, then Pearson on the"
     " integer rank sums — no per-row rank window ever runs",
-    tags=("agg", "stats"),
+    tags=("agg", "stats", "rank-grain-floor"),
 )
 def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monotone association at corpus scale: Spearman is Pearson on
@@ -1116,7 +1116,19 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the persisted frame — and while it is provably domain-bounded
     (cents/quantities) a flag-partitioned window over IT is exact and
     job-free; past the cap the distributed-rank recipe takes over, so
-    a genuinely continuous value column still never single-tasks."""
+    a genuinely continuous value column still never single-tasks.
+
+    MEASURED FLOOR (round 13, tag ``rank-grain-floor``): three
+    structural alternatives bracket this plan within noise on the
+    regenerated seed — (a) the shuffle-free row path (round 12: wash
+    at sf0.1, LOST at sf1), (b) the direct-value-table variant
+    (scripts/ab_spearman_r13.py: 5.2-5.5 s both arms, warm
+    alternating, identical rows), (c) this committed shape. With
+    l_extendedprice ~unique the pair/value tables are
+    ~row-cardinality at sf0.1, so the cost IS the exact tied-rank
+    grain: one pair shuffle + one value shuffle + a per-flag rank
+    pass is the sufficient-statistics minimum for Spearman with
+    ties, not a plan defect."""
     from aws_etl_global_footprint_network_spark.functions.cache import CacheScope
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         ADAPTIVE_WINDOW_CAP,
@@ -1212,9 +1224,14 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows is not None
         and n_rows * float(2 * n_rows + 2) ** 2 < INT64_SAFE_BOUND
     )
+    # the logged n_rows field carries the MOMENT BOUND N*(2N+2)^2 (the
+    # quantity compared against the cap), not a row count; -1 only
+    # when the footer was unreadable (n_rows is None — an explicit
+    # None test so a legitimately empty table logs bound 0, advisor
+    # round 12)
     _log_dispatch(
         "spearman_moment_bound",
-        int(n_rows * float(2 * n_rows + 2) ** 2) if n_rows else -1,
+        int(n_rows * float(2 * n_rows + 2) ** 2) if n_rows is not None else -1,
         int(INT64_SAFE_BOUND),
         "int64" if narrow else "decimal(38,0)",
     )

@@ -111,3 +111,19 @@ def cents_sumsq_int64_safe(sf_dir: str, table: str, column: str) -> bool:
     n, lo, hi = b
     max_cents = max(abs(lo), abs(hi)) * 100.0 + 1.0
     return n * max_cents * max_cents < INT64_SAFE_BOUND
+
+
+def value_table_rows_bound(sf_dir: str, table: str, cap: int):
+    """Dispatch shortcut for value-grouped tables (round 13): a value
+    table's cardinality is bounded by the raw relation's row count,
+    so when the parquet-footer num_rows is already <= cap the
+    windowed branch is PROVABLY safe with no measuring job (the
+    ks/mann-whitney builds each paid a full approx_count_distinct
+    scan, quantile-normalize/psi a persist+count action, purely to
+    pick a branch). Returns the bound when it proves the cap, else
+    None — the caller falls back to its measuring estimate, so the
+    decision at every scale is unchanged; only the proof got cheaper.
+    The logged dispatch n_rows then carries this bound, not a
+    measured cardinality."""
+    n = table_num_rows(sf_dir, table)
+    return n if n is not None and n <= cap else None

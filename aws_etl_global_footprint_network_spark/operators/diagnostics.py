@@ -916,9 +916,24 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n1v"),
         F.count(F.lit(1)).alias("t"),
     )
-    est = hll_dispatch_estimate(
-        e.agg(F.approx_count_distinct(F.struct("event_type", "x"))).first()[0]
+    # distinct (type, x) <= raw rows: when the footer row count is
+    # already under the cap the window branch is proved for free
+    # (round 13, width.value_table_rows_bound); only past it does the
+    # HLL scan run — same branch at every scale, one job fewer here
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        ADAPTIVE_WINDOW_CAP,
     )
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        value_table_rows_bound,
+    )
+
+    est = value_table_rows_bound(sf_dir, "events", ADAPTIVE_WINDOW_CAP)
+    if est is None:
+        est = hll_dispatch_estimate(
+            e.agg(
+                F.approx_count_distinct(F.struct("event_type", "x"))
+            ).first()[0]
+        )
     c = adaptive_cumsum(
         v, "event_type", [F.col("x")], {"cb": "t"},
         CacheScope("mann_whitney_u"), n_rows=est,
@@ -1037,9 +1052,22 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n1v"),
         F.sum(F.when(F.col("we"), 1).otherwise(0)).alias("n2v"),
     )
-    est = hll_dispatch_estimate(
-        e.agg(F.approx_count_distinct(F.struct("event_type", "x"))).first()[0]
+    # footer-proved window branch under the cap (round 13 — see
+    # mann_whitney_u); the HLL scan only runs past it
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        ADAPTIVE_WINDOW_CAP,
     )
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        value_table_rows_bound,
+    )
+
+    est = value_table_rows_bound(sf_dir, "events", ADAPTIVE_WINDOW_CAP)
+    if est is None:
+        est = hll_dispatch_estimate(
+            e.agg(
+                F.approx_count_distinct(F.struct("event_type", "x"))
+            ).first()[0]
+        )
     cum = adaptive_cumsum(
         v,
         "event_type",
@@ -1243,12 +1271,26 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scope = CacheScope("psi_score_drift")
     c = scope.persist(c)
+    # the baseline half is bounded by the customer row count: when the
+    # footer proves it under the row-scale cap, the NTILE window branch
+    # needs no persist+count action (round 13); past the cap the
+    # adaptive dispatch measures exactly as before
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        ROWSCALE_WINDOW_CAP,
+    )
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        value_table_rows_bound,
+    )
+
     base = adaptive_ntile(
         c.filter(F.col("half") == 0),
         [F.col("score").asc(), F.col("c_custkey").asc()],
         PSI_BINS,
         "b",
         scope,
+        n_rows=value_table_rows_bound(
+            sf_dir, "customer", ROWSCALE_WINDOW_CAP
+        ),
     )
     edges_arr = (
         base.filter(F.col("b") < PSI_BINS)

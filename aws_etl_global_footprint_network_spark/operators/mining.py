@@ -1055,7 +1055,28 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    c = adaptive_cumsum(v, "event_type", [F.col("cents")], {"excl": "cnt"}, scope)
+    # value-table cardinality <= raw rows: the footer row count proves
+    # the window branch under the cap with no persist+count action
+    # (round 13, width.value_table_rows_bound); past the cap the
+    # dispatch measures exactly as before
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        ADAPTIVE_WINDOW_CAP,
+    )
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        value_table_rows_bound,
+    )
+
+    # v stays persisted (the cumsum result is consumed by both grp and
+    # runs; the old n_rows=None path persisted it as a side effect)
+    v = scope.persist(v)
+    c = adaptive_cumsum(
+        v,
+        "event_type",
+        [F.col("cents")],
+        {"excl": "cnt"},
+        scope,
+        n_rows=value_table_rows_bound(sf_dir, "events", ADAPTIVE_WINDOW_CAP),
+    )
     grp = c.groupBy(F.col("event_type").alias("gt")).agg(
         F.sum("cnt").alias("n_g")
     )

@@ -242,8 +242,11 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    n = digits.agg(F.count(F.lit(1)).cast("double").alias("total"))
     obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    # total = the sum of the per-digit counts (identical integer to a
+    # COUNT(*) over digits): one corpus scan instead of two subtrees
+    # (round 13 — the separate count aggregate re-scanned orders)
+    n = obs.agg(F.sum("cnt").cast("double").alias("total"))
     expect = spark.createDataFrame(
         [(d,) for d in range(1, 10)], "digit int"
     ).withColumn(

@@ -621,13 +621,45 @@ def stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("s"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
-    mm = o.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
-    b = o.crossJoin(F.broadcast(mm)).select(
-        F.expr(
-            f"CAST(((s - mn) * {STUMP_BINS}) DIV (mx - mn + 1) AS BIGINT)"
-        ).alias("bin"),
-        "y",
+    # bin edges need only MIN/MAX of the rounded cents; float *100 and
+    # HALF_UP rounding are both monotone, so min(round(x*100)) ==
+    # round(min(x)*100) and the parquet footer's exact column min/max
+    # give the same integers as the aggregate — one corpus scan
+    # instead of two subtrees (round 13; the width.py footer-stat
+    # pattern). Decimal(float) is the exact binary value, quantize
+    # HALF_UP is Spark's BigDecimal rounding. Missing stats fall back
+    # to the aggregate.
+    from aws_etl_global_footprint_network_spark.functions.width import (
+        parquet_column_bounds,
     )
+
+    fb = parquet_column_bounds(sf_dir, "orders", "o_totalprice")
+    if fb is not None:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _cents(v: float) -> int:
+            return int(
+                Decimal(v * 100.0).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+
+        mn_c, mx_c = _cents(fb[1]), _cents(fb[2])
+        b = o.select(
+            F.expr(
+                f"CAST(((s - {mn_c}L) * {STUMP_BINS})"
+                f" DIV ({mx_c}L - {mn_c}L + 1) AS BIGINT)"
+            ).alias("bin"),
+            "y",
+        )
+    else:
+        mm = o.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+        b = o.crossJoin(F.broadcast(mm)).select(
+            F.expr(
+                f"CAST(((s - mn) * {STUMP_BINS}) DIV (mx - mn + 1) AS BIGINT)"
+            ).alias("bin"),
+            "y",
+        )
     g = b.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),

@@ -310,7 +310,6 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope = CacheScope("gini_revenue_concentration")
     from aws_etl_global_footprint_network_spark.functions.ranking import (
         _log_dispatch,
-        adaptive_row_number,
     )
     from aws_etl_global_footprint_network_spark.functions.width import (
         INT64_SAFE_BOUND,
@@ -333,10 +332,19 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg", "x", F.col("c_custkey").alias("k")
         )
     )
-    seg_stats = (
+    # ONE stats job feeds three decisions (round 13; was a stats
+    # collect PLUS adaptive_row_number's persist+count PLUS an mn
+    # aggregate+join inside the main job): the 5-row per-segment
+    # (n, sx) aggregate proves the accumulator width, its n-sum is the
+    # rank dispatch cardinality, and the per-segment rank offset of
+    # the (seg, x, k) total order is the cumulative count of earlier
+    # segments — driver arithmetic, not a join (seg is ASCII, so
+    # Python's sort == Spark's UTF8 binary order).
+    seg_stats = sorted(
         j.groupBy("seg")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
-        .collect()
+        .collect(),
+        key=lambda row: row["seg"],
     )
     bound = max((row["n"] * row["sx"] for row in seg_stats), default=0)
     narrow = float(bound) < INT64_SAFE_BOUND
@@ -344,13 +352,35 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gini_acc_width", bound, int(INT64_SAFE_BOUND),
         "int64 srx" if narrow else "decimal(38,0) srx",
     )
-    rn = adaptive_row_number(
-        j, [F.col("seg"), F.col("x"), F.col("k")], "rn", scope
+    n_rows = sum(row["n"] for row in seg_stats)
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        ROWSCALE_WINDOW_CAP,
+        distributed_row_number,
     )
-    mn = rn.groupBy(F.col("seg").alias("mseg")).agg(F.min("rn").alias("mn"))
-    r = rn.join(mn, rn.seg == mn.mseg).select(
-        "seg", "x", (F.col("rn") - F.col("mn") + F.lit(1)).alias("rnk")
-    )
+
+    if n_rows <= ROWSCALE_WINDOW_CAP:
+        # per-segment window: identical to rn - min(rn per seg) + 1
+        # over the global (seg, x, k) order, with the sort bounded by
+        # the cap and parallel across segments
+        _log_dispatch("gini_rank", n_rows, ROWSCALE_WINDOW_CAP, "window")
+        r = j.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("seg").orderBy("x", "k"))
+            .cast("long"),
+        )
+    else:
+        _log_dispatch("gini_rank", n_rows, ROWSCALE_WINDOW_CAP, "distributed")
+        rn = distributed_row_number(
+            j, [F.col("seg"), F.col("x"), F.col("k")], "rn", scope
+        )
+        off_entries = []
+        acc = 0
+        for row in seg_stats:
+            off_entries.extend([F.lit(row["seg"]), F.lit(acc)])
+            acc += row["n"]
+        off = F.element_at(F.create_map(*off_entries), F.col("seg"))
+        r = rn.withColumn("rnk", F.col("rn") - off)
     srx_term = (
         F.col("rnk") * F.col("x")
         if narrow

@@ -1422,3 +1422,31 @@ def test_spearman_matches_scipy_formula(spark, sf_dir):
             assert abs(r["spearman_r6"] - want) < 1e-5
         else:
             assert r["spearman_r6"] is None
+
+
+def test_gini_distributed_rank_branch_matches_window_branch(spark, sf_dir):
+    """Round-13 pin: the over-cap branch (distributed_row_number +
+    driver-computed per-segment offsets) must produce row-identical
+    gini output to the under-cap per-segment window branch."""
+    from aws_etl_global_footprint_network_spark.functions import ranking
+
+    base = sorted(
+        map(
+            tuple,
+            SPECS["gini_revenue_concentration"].builder(spark, sf_dir).collect(),
+        )
+    )
+    saved = ranking.ROWSCALE_WINDOW_CAP
+    ranking.ROWSCALE_WINDOW_CAP = 1  # force the distributed branch
+    try:
+        forced = sorted(
+            map(
+                tuple,
+                SPECS["gini_revenue_concentration"]
+                .builder(spark, sf_dir)
+                .collect(),
+            )
+        )
+    finally:
+        ranking.ROWSCALE_WINDOW_CAP = saved
+    assert base == forced

@@ -478,12 +478,75 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a FIXED 3-round loop over an already-checkpointed edge table the
     uncut plan is 3 levels deep, nowhere near the growth that forces
     cuts in unbounded loops (kcore's 2^rounds lesson still holds
-    there; re-add a cut every few rounds if PR_ITERS grows)."""
+    there; re-add a cut every few rounds if PR_ITERS grows).
+
+    Width dispatch (round 13, the connected_components precedent):
+    the verified pair set is probed with a limit(cap+1) Arrow collect;
+    under CC_LOCAL_EDGE_CAP the 3-round power iteration is a few
+    numpy array ops on the driver — the per-round 2-join + groupBy +
+    crossJoin machinery (and the edge localCheckpoint) costs ~2 s of
+    fixed job latency regardless of graph size, while this graph is a
+    tiny fraction of the corpus by construction. Per-round ranks are
+    rounded at 1e-8 on every path (round_compat mirror: HALF_UP on
+    the exact binary value), which is the SAME grain that already
+    pins the Spark-vs-DuckDB contribution-summation order — the
+    driver path adds a third summation order under the same
+    absorption. Past the cap the probe rows are discarded and the
+    distributed loop below runs unchanged."""
+    from aws_etl_global_footprint_network_spark.functions.ranking import (
+        _log_dispatch,
+    )
     from aws_etl_global_footprint_network_spark.operators.dedup import (
         dedup_ngram_jaccard,
     )
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    probe = pairs.limit(CC_LOCAL_EDGE_CAP + 1).toArrow()
+    if probe.num_rows <= CC_LOCAL_EDGE_CAP:
+        import numpy as np
+        import pandas as pd
+
+        _log_dispatch(
+            "pagerank_edges",
+            probe.num_rows,
+            CC_LOCAL_EDGE_CAP,
+            "local-power-iter",
+        )
+        a = probe["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = probe["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # symmetric edge list (u -> v), exactly the distributed shape
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        nodes, ui = np.unique(u, return_inverse=True)
+        vi = np.searchsorted(nodes, v)  # endpoints of u cover all of v
+
+        def _round8(x: np.ndarray) -> np.ndarray:
+            # round_compat(x, 8) mirror: HALF_UP on the exact binary
+            # value of x*1e8 (frac-compare, not floor(x+0.5))
+            w = x * 1e8
+            aw = np.abs(w)
+            f = np.floor(aw)
+            r = f + (aw - f >= 0.5)
+            return (np.where(w < 0.0, -r, r) + 0.0) / 1e8
+
+        n = len(nodes)
+        if n == 0:
+            return spark.createDataFrame(
+                [], "doc_id bigint, pagerank double"
+            )
+        deg = np.bincount(ui, minlength=n).astype(np.float64)
+        r = _round8(np.full(n, 1.0 / n))
+        for _ in range(PR_ITERS):
+            contrib = np.zeros(n)
+            np.add.at(contrib, vi, r[ui] / deg[ui])
+            r = _round8(0.15 / n + PR_DAMP * contrib)
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": nodes, "pagerank": r}),
+            schema="doc_id bigint, pagerank double",
+        )
+    _log_dispatch(
+        "pagerank_edges", CC_LOCAL_EDGE_CAP + 1, CC_LOCAL_EDGE_CAP, "pregel"
+    )
     # checkpointed once: every power-iteration round's eager
     # localCheckpoint would otherwise re-execute the whole verified-
     # pair pipeline (shingle self-join + Jaccard verify) for the edge

@@ -412,28 +412,54 @@ def _simhash_oracle() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-aggregated fingerprint: bit j of the hash votes +1/-1 per
-    token; majority sets the output bit. One explode + one groupBy —
-    near-dup docs differ in O(1) bits (compared via hamming distance,
-    pinned in tests)."""
-    tok = _token_sets(spark, sf_dir)
-    h = tok.select("doc_id", md5_hash60("token").alias("h"))
-    vote = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    votes = h.groupBy("doc_id").agg(*vote)
-    bits = [
-        F.when(
-            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(SIMHASH_BITS)
-    ]
-    simhash = bits[0]
-    for b in bits[1:]:
-        simhash = simhash + b
-    return votes.select("doc_id", simhash.alias("simhash"))
+    token; majority sets the output bit. ONE Arrow-batched map pass
+    (round 13, the `_minhash_sig_np` pattern): tokenize, hash and
+    vote inside the kernel instead of exploding the corpus into a
+    (doc_id, token) relation, running it through a distinct shuffle
+    and folding 60 SUM aggregates back through a groupBy shuffle.
+    Every step is exact integer/string arithmetic — same md5 hex,
+    same 60-bit reduction, same ±1 votes — so the fingerprints are
+    BIT-IDENTICAL to the former JVM chain (pinned by test). Near-dup
+    docs differ in O(1) bits (compared via hamming distance, pinned
+    in tests)."""
+    import hashlib
+    import re
+
+    def fn(it):
+        pat = re.compile("[^a-z0-9]+")
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in it:
+            ids: list[int] = []
+            sigs: list[int] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = {t for t in pat.split((text or "").lower()) if t}
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> shifts[None, :]) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                ids.append(did)
+                sigs.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(ids, dtype=np.int64),
+                        "simhash": np.asarray(sigs, dtype=np.int64),
+                    }
+                )
+
+    return (
+        spread(read_testdata(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .mapInPandas(fn, "doc_id bigint, simhash bigint")
+    )
 
 
 # --------------------------------------------------------------------

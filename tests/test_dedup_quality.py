@@ -200,3 +200,44 @@ def test_minhash_kernel_signatures_match_jvm_reference(spark, sf_dir):
         for r in dedup._minhash_sig_np(spark, sf_dir).collect()
     }
     assert jvm == kern
+
+
+def test_simhash_kernel_matches_jvm_reference(spark, sf_dir):
+    """Round-13 pin: the Arrow-kernel simhash (tokenize + md5 + bit
+    votes per document inside the kernel) must be BIT-IDENTICAL to
+    the JVM reference chain (token explode -> md5_hash60 -> 60 SUM
+    votes -> bit assembly)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_global_footprint_network_spark.operators import dedup
+
+    SIMHASH_BITS = 60
+    tok = dedup._token_sets(spark, sf_dir)
+    h = tok.select("doc_id", dedup.md5_hash60("token").alias("h"))
+    vote = [
+        F.sum(
+            F.when(
+                F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = h.groupBy("doc_id").agg(*vote)
+    bits = [
+        F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(SIMHASH_BITS)
+    ]
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    jvm = {
+        r["doc_id"]: r["s"]
+        for r in votes.select("doc_id", simhash.alias("s")).collect()
+    }
+    kern = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.dedup_simhash(spark, sf_dir).collect()
+    }
+    assert jvm == kern

@@ -1050,61 +1050,94 @@ def _kmeans_oracle() -> str:
     tags=("similarity", "ivf", "iterative"),
 )
 def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd iteration exactly as MLlib's KMeans runs it:
-    centroids live in a K x dim table broadcast to every task, the
-    assignment is a map-only argmin over the broadcast, and the
-    update is one (cluster, pos) groupBy of partial sums — per round
-    one broadcast + one shuffle, no driver-side vector math. Empty
-    clusters drop out in both engines (grouped mean over no rows).
-    Rounding each round's centroids (CENTROID_ROUND) pins the
-    fixed point bit-identically across engines."""
-    emb = spread(read_testdata(spark, sf_dir, "embeddings")).select(
-        "vec_id", as_double_array("embedding").alias("e")
+    """Lloyd iteration as bounded partial-statistics passes (round
+    13, the PQ-training pattern): each round is ONE Arrow-batched
+    map pass over the corpus — assign every vector to its argmin
+    centroid inside the kernel (the same left-to-right float64
+    distance fold as the former ``aggregate(zip_with)``, ties to the
+    lowest label) and emit per-label (count, sum-vector) partials —
+    closed on the driver into the next round's K x dim rounded
+    centroid table. The former plan paid, per round, a crossJoin +
+    per-vector row_number window + an assignment join + a
+    (label, pos) groupBy + a localCheckpoint. Centroid means stay
+    pinned across all three summation orders (numpy partials, the
+    old Spark partial aggregation, DuckDB) by the CENTROID_ROUND
+    rounding, exactly as cross-engine parity already relied on.
+    Empty clusters drop out (no partial row). The final round's
+    assignment counts ARE the cluster sizes — no extra pass."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_global_footprint_network_spark.operators.similarity_pq import (
+        _round6_np,
     )
-    exv = emb.select(
-        "vec_id", F.posexplode("e").alias("pos0", "val")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    cent = ivf_label_centroids(spark, sf_dir).select(
-        "label", "pos", F.col("centroid_val").alias("cv")
+
+    src = spread(read_testdata(spark, sf_dir, "embeddings")).select(
+        "label", as_double_array("embedding").alias("e")
     )
-    scope = CacheScope("ivf_kmeans_train")
-    emb = scope.persist(emb)
-    exv = scope.persist(exv)
-    asg = None
+
+    def label_pass(labels=None, carr=None):
+        """One partials pass: natural-label grouping when ``carr`` is
+        None, else argmin assignment against the rounded centroids."""
+
+        def fn(it):
+            lsum: dict[int, np.ndarray] = {}
+            lcnt: dict[int, int] = {}
+            dim = None
+            for pdf in it:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                x = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+                dim = x.shape[1]
+                if carr is None:
+                    lab = pdf["label"].to_numpy(dtype=np.int64)
+                else:
+                    dl = np.zeros((n, len(labels)))
+                    for i in range(dim):
+                        t = x[:, i][:, None] - carr[None, :, i]
+                        dl = dl + t * t
+                    lab = labels[np.argmin(dl, axis=1)]
+                for lv in np.unique(lab):
+                    rows = x[lab == lv]
+                    acc = lsum.setdefault(int(lv), np.zeros(dim))
+                    lsum[int(lv)] = acc + rows.sum(axis=0)
+                    lcnt[int(lv)] = lcnt.get(int(lv), 0) + len(rows)
+            if lsum:
+                yield pd.DataFrame(
+                    {
+                        "lab": sorted(lsum),
+                        "cnt": [lcnt[lv] for lv in sorted(lsum)],
+                        "s": [lsum[lv].tolist() for lv in sorted(lsum)],
+                    }
+                )
+
+        parts = src.mapInPandas(
+            fn, "lab long, cnt long, s array<double>"
+        ).collect()
+        agg_s: dict[int, np.ndarray] = {}
+        agg_n: dict[int, int] = {}
+        for r in sorted(parts, key=lambda r: r["lab"]):
+            acc = agg_s.setdefault(r["lab"], np.zeros(len(r["s"])))
+            agg_s[r["lab"]] = acc + np.asarray(r["s"])
+            agg_n[r["lab"]] = agg_n.get(r["lab"], 0) + r["cnt"]
+        out_labels = np.asarray(sorted(agg_s), dtype=np.int64)
+        cents = np.stack(
+            [_round6_np(agg_s[lv] / agg_n[lv]) for lv in out_labels]
+        ) if len(out_labels) else np.zeros((0, 0))
+        sizes = {int(lv): agg_n[lv] for lv in out_labels}
+        return out_labels, cents, sizes
+
+    labels, carr, _ = label_pass()  # cent0: the label-centroid init
+    sizes: dict[int, int] = {}
     for _ in range(KMEANS_ROUNDS):
-        carr = cent.groupBy("label").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s.cv,
-            ).alias("c")
-        )
-        d = F.aggregate(
-            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        scored = emb.crossJoin(F.broadcast(carr)).select(
-            "vec_id", "label", d.alias("d")
-        )
-        w = Window.partitionBy("vec_id").orderBy("d", "label")
-        asg = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("vec_id", "label")
-        )
-        # cut the per-round lineage growth (same reason as PageRank)
-        cent = (
-            asg.join(exv, "vec_id")
-            .groupBy("label", "pos")
-            .agg(round_compat(F.avg("val"), CENTROID_ROUND).alias("cv"))
-            .transform(cut_lineage)
-        )
-    sizes = asg.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
-    return cent.join(sizes, "label").select(
-        F.col("label").cast("int").alias("cluster"),
-        F.col("pos").cast("int").alias("pos"),
-        F.col("cv").alias("centroid_val"),
-        "n_members",
+        labels, carr, sizes = label_pass(labels=labels, carr=carr)
+    rows = []
+    for li, lv in enumerate(labels):
+        for pos in range(carr.shape[1]):
+            rows.append(
+                (int(lv), pos + 1, float(carr[li, pos]), sizes[int(lv)])
+            )
+    return spark.createDataFrame(
+        rows, "cluster int, pos int, centroid_val double, n_members bigint"
     )

@@ -27,10 +27,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
+    # argv guard (advisor, round 12): missing args print usage, not a
+    # bare IndexError
+    if len(sys.argv) < 2 or sys.argv[1].startswith("--"):
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     out_dir = sys.argv[1]
     only: list[str] = []
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        idx = sys.argv.index("--only")
+        if idx + 1 >= len(sys.argv):
+            print(__doc__, file=sys.stderr)
+            raise SystemExit(2)
+        only = sys.argv[idx + 1].split(",")
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="capture-plans")

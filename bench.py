@@ -27,6 +27,10 @@ Usage:
                                      # reference delegates execution
                                      # to DuckDB, so this IS its
                                      # single-node throughput)
+    python bench.py --release-each   # hygiene experiment (round 13):
+                                     # release every scoped persist
+                                     # between headline rows; own
+                                     # sidecar, never round-stamped
     python bench.py --pair --all     # VM-proof committed pair: BOTH
                                      # engines interleaved per query in
                                      # ONE session (Spark_i, Duck_i,
